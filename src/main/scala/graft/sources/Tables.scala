@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated TPC-H-ish parquet tables
+  * (/root/repo/TESTDATA.md): region nation customer supplier part orders
+  * lineitem events documents embeddings.
+  *
+  * Parquet is self-describing, so the schema comes from the footer — no
+  * inference pass. Catalyst pushes filters and column pruning into these
+  * scans (`PushedFilters` / `ReadSchema` in `.explain("formatted")`),
+  * which is the 100 TB-scale contract: a query touching 2 columns must
+  * read 2 column chunks, not the whole table.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql(...)` works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

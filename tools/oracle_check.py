@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local self-check mirroring the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
+oracle_sql.json entry in DuckDB over <sfDir>'s tables, sorts columns by name
+and rows by all columns, and diffs exactly. This is developer tooling only —
+the engine itself is the Scala library under src/.
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # normalize ints (duckdb hugeint -> object) and floats
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+    return df
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        spark_df = canon(con.sql(
+            f"SELECT * FROM read_parquet({files!r})").df())
+        try:
+            duck_df = canon(con.sql(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
+            n_fail += 1; continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            n_fail += 1; continue
+        try:
+            pd.testing.assert_frame_equal(spark_df, duck_df,
+                                          check_dtype=False, check_exact=True)
+            print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: {str(e)[:500]}"); n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
