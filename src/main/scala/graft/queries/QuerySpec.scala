@@ -22,7 +22,8 @@ final case class QuerySpec(
 
 /** All implemented queries, aggregated for SparkEntry. */
 object Registry {
-  def specs: Seq[QuerySpec] = Relational.specs
+  def specs: Seq[QuerySpec] =
+    Relational.specs ++ Functional.specs ++ Events.specs
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(q => q.name -> q.run).toMap
   def oracleSql: Map[String, String] =

@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.ExactNum.{cents, e4}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational query surface: the reference's 7 canonical README queries
@@ -12,7 +13,7 @@ import org.apache.spark.sql.functions._
   * (filters P1-P10, joins J1-J5, aggregations A1-A9, sorts/limits O1-O6).
   *
   * Every query is lazy DataFrame DSL — Catalyst does pushdown, pruning,
-  * join selection (broadcast for the dims), partial aggregation, and
+  * join selection (broadcast hints on the dims), partial aggregation, and
   * top-k fusion (TakeOrderedAndProject). No UDFs: everything stays in
   * whole-stage codegen.
   */
@@ -20,8 +21,9 @@ object Relational {
 
   /** A4/A8-class grouped aggregation over the fact table (shape of
     * reference Q3/Q6: count + sums per group; `README.md:561-572`).
-    * Partial (map-side) aggregation halves the shuffle; exact integer
-    * cents keep the result bit-stable at any partition count.
+    * Partial (map-side) aggregation shrinks the shuffle to #groups rows
+    * per partition; exact integer cents keep the result bit-stable at
+    * any partition count.
     */
   private def q01(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -64,8 +66,8 @@ object Relational {
       |LIMIT 10""".stripMargin
 
   /** A9-class frequency histogram (reference Q7 rating distribution,
-    * `README.md:684-688`): group → count → order. Two-phase hash
-    * aggregate; only 5 groups cross the shuffle.
+    * `README.md:684-688`): group → count → order; only 5 groups cross
+    * the shuffle after partial aggregation.
     */
   private def q03(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -79,8 +81,228 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** J2/J3-class multi-way join (reference Q2/Q3 `README.md:547-572`):
+    * fact ⋈ customer ⋈ nation ⋈ region. nation/region are broadcast
+    * (25/5 rows — no shuffle for the dims even at 100 TB facts);
+    * orders⋈customer shuffles on the key and AQE picks the strategy.
+    */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("sum_total_cents"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q04Sql =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_total_cents
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** A5/A6-class group + HAVING + top-k (reference Q4/Q5
+    * `README.md:577-601`): per-customer order stats, HAVING count >= 12,
+    * sorted with a full tiebreak so the LIMIT is deterministic.
+    */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("spend_cents"))
+      .filter(col("n_orders") >= 12)
+      .orderBy(col("n_orders").desc, col("o_custkey").asc)
+      .limit(100)
+
+  private val q05Sql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spend_cents
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 12
+      |ORDER BY n_orders DESC, o_custkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** A8-class conditional aggregation (reference Q6 null-quality audit,
+    * `README.md:677-681`): one pass, one output row, CASE WHEN counters.
+    */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(when(col("l_discount") === 0.0, 1L).otherwise(0L)).as("n_zero_discount"),
+        sum(when(col("l_quantity") >= 30.0, 1L).otherwise(0L)).as("n_heavy"))
+
+  private val q06Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      |  CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_discount,
+      |  CAST(SUM(CASE WHEN l_quantity >= 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+      |FROM lineitem""".stripMargin
+
+  /** A7-class string-set aggregation (reference Q2's GROUP_CONCAT,
+    * `README.md:550`): sorted for determinism (SURVEY.md §7.4 — MySQL
+    * leaves GROUP_CONCAT order unspecified; we pin ascending).
+    */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name"))
+  }
+
+  private val q07Sql =
+    """SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** Window-function top-N-per-group (SURVEY.md §2.7): row_number over
+    * (nation, acctbal desc) — one shuffle on the partition key; the
+    * rn <= 3 filter cuts each group to 3 rows before anything downstream.
+    */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(
+        col("c_nationkey"), col("rn"), col("c_custkey"),
+        cents(col("c_acctbal")).as("acctbal_cents"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  private val q08Sql =
+    """SELECT c_nationkey, rn, c_custkey, acctbal_cents FROM (
+      |  SELECT c_nationkey, c_custkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn,
+      |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+      |  FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_nationkey, rn""".stripMargin
+
+  /** J5-class anti join (reference key-consistency diagnostic,
+    * `README.md:482-488`): orders that have no lineitems, rolled up per
+    * status. left_anti never materializes the matching side's payload.
+    */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q09Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** J4-class semi join (EXISTS): parts that appear in the fact table,
+    * counted per brand. left_semi short-circuits on first match — no
+    * fact-side row duplication at scale.
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val p  = Tables.part(s, dir)
+    val li = Tables.lineitem(s, dir)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q10Sql =
+    """SELECT p_brand, COUNT(*) AS n_parts
+      |FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Set operation (SURVEY.md §2.7): customers that never placed a
+    * finished ('F') order — EXCEPT with distinct semantics on both
+    * engines.
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val ck = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+    val fk = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    ck.except(fk).orderBy(col("custkey"))
+  }
+
+  private val q11Sql =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY custkey""".stripMargin
+
+  /** A1+A2-class dense-id assignment (reference genre dim AUTO_INCREMENT,
+    * `etl1.py:437-442` / SURVEY.md A2): distinct values → row_number over
+    * sorted order. The distinct is distributed; only the tiny result
+    * passes through the single-partition window (≤ #brands rows).
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_brand")).distinct()
+      .withColumn("brand_id",
+        row_number().over(Window.orderBy(col("p_brand"))).cast("long"))
+      .orderBy(col("brand_id"))
+
+  private val q12Sql =
+    """SELECT p_brand, CAST(ROW_NUMBER() OVER (ORDER BY p_brand) AS BIGINT) AS brand_id
+      |FROM (SELECT DISTINCT p_brand FROM part)
+      |ORDER BY brand_id""".stripMargin
+
+  /** F4/A3-class split + explode fan-out (reference genre junction build,
+    * `etl1.py:429-467`): tokenize p_name, count per token. explode is a
+    * built-in Generator — no UDTF.
+    */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(explode(split(col("p_name"), " ")).as("token"))
+      .filter(length(trim(col("token"))) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("token"))
+
+  private val q13Sql =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+      |WHERE length(trim(token)) > 0
+      |GROUP BY token
+      |ORDER BY token""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_topk_orders", q02, Some(q02Sql)),
-    QuerySpec("q03_priority_histogram", q03, Some(q03Sql)))
+    QuerySpec("q03_priority_histogram", q03, Some(q03Sql)),
+    QuerySpec("q04_nation_revenue", q04, Some(q04Sql)),
+    QuerySpec("q05_customer_having", q05, Some(q05Sql)),
+    QuerySpec("q06_conditional_audit", q06, Some(q06Sql)),
+    QuerySpec("q07_group_concat_nations", q07, Some(q07Sql)),
+    QuerySpec("q08_top3_per_nation", q08, Some(q08Sql)),
+    QuerySpec("q09_orders_no_lineitems", q09, Some(q09Sql)),
+    QuerySpec("q10_parts_with_sales", q10, Some(q10Sql)),
+    QuerySpec("q11_custkeys_except", q11, Some(q11Sql)),
+    QuerySpec("q12_dense_brand_ids", q12, Some(q12Sql)),
+    QuerySpec("q13_token_counts", q13, Some(q13Sql)))
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated TPC-H-ish parquet tables
   * (/root/repo/TESTDATA.md): region nation customer supplier part orders
@@ -27,7 +28,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
+    * long and rebuild a microsecond TimestampType column (floor
+    * division — matches how nanos-truncating engines downscale).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
