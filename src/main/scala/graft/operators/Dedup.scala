@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, each designed
+  * for the 100 TB regime:
+  *
+  *  - exact: hash-groupBy on a canonical form — one shuffle on the hash.
+  *  - MinHash + LSH: shingle → k minhashes → band buckets → bucket join.
+  *    The candidate join is on band keys, so cost is proportional to
+  *    actual collisions, never all-pairs.
+  *  - SimHash: 16-bit weighted bit-vote fingerprint; near-dup = small
+  *    hamming distance.
+  *  - n-gram Jaccard: inverted-index join on shingles (pairs that share
+  *    at least one shingle), again never all-pairs.
+  *
+  * Hashing is md5-based (not Spark's murmur `hash()`) so every stage is
+  * engine-independent and oracle-checkable; md5 is also stable across
+  * Spark versions, which matters for incremental dedup state at scale.
+  */
+object Dedup {
+
+  // ---------------- exact ----------------
+
+  /** Exact duplicate groups: canonical-form hash → groups with >1 doc. */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.textHash(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col(idCol)).as("min_doc_id"),
+           max(col(idCol)).as("max_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Deterministic exact dedup: keep the smallest id per canonical hash.
+    * (dropDuplicates keeps an arbitrary row; a window makes the survivor
+    * reproducible — SURVEY.md §7.4 determinism policy.) */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.textHash(col(textCol)))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Bag-of-words fingerprint duplicate groups (order/repetition
+    * invariant — catches shuffled near-dups). */
+  def fingerprintDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.bagFingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col(idCol)).as("min_doc_id"),
+           max(col(idCol)).as("max_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  // ---------------- shingles ----------------
+
+  /** Distinct k-token shingles per document: (doc_id, s). The sequence/
+    * transform/explode pipeline is all built-in generators — one narrow
+    * pass over the corpus. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    val idxs = when(n >= k, sequence(lit(1), n - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idxs, i =>
+      concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    df.select(col(idCol).as("doc_id"), explode(sh).as("s")).distinct()
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** k-permutation MinHash signature via seeded md5: column m0..m{k-1},
+    * each the lexicographic min of md5(shingle + "#" + seed). */
+  def minhashSignature(shingleDf: DataFrame, numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(col("s"), lit(s"#$i")))).as(s"m$i"))
+    shingleDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the signature into bands, key each band by the
+    * md5 of its rows, self-join on (band, key). Only colliding buckets
+    * pay join cost — the scale path for fuzzy dedup. */
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val key = md5(concat_ws("", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+      struct(lit(b).as("band"), key.as("bk"))
+    }
+    val bandsDf = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+    bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      .distinct()
+  }
+
+  // ---------------- n-gram Jaccard ----------------
+
+  /** Pairwise Jaccard over shingle sets, restricted to pairs sharing at
+    * least one shingle (inverted-index join — never all-pairs). Returns
+    * exact intersection/union counts plus a rounded similarity. */
+  def jaccardPairs(shingleDf: DataFrame, threshold: Double): DataFrame = {
+    val card = shingleDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shingleDf.as("a")
+      .join(shingleDf.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") / col("n_union").cast("double")
+    inter
+      .join(card.as("c1"), col("doc_id1") === col("c1.doc_id"))
+      .join(card.as("c2"), col("doc_id2") === col("c2.doc_id"))
+      .withColumn("n_union", col("c1.n") + col("c2.n") - col("n_inter"))
+      .filter(jac >= threshold)
+      .select(col("doc_id1"), col("doc_id2"), col("n_inter"), col("n_union"),
+        round(jac, 4).as("jaccard_r4"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 16-bit SimHash: per token take 16 bits of md5, per bit position sum
+    * ±1 votes across tokens (with multiplicity), bit = sign of the sum.
+    * Cross-engine exact: integer votes, no floats.
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+    // first 4 hex chars of md5 → 16-bit int
+    val v = conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int")
+    val votes = (0 until 16).map(b =>
+      sum(shiftright(v, b).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
+    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.cast("long").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a hamming radius. Scale path: block on
+    * nibble bands (a pair within hamming r<=3 of 16 bits shares at least
+    * one of 4 nibbles), then verify with bit_count on candidates only. */
+  def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nibbles = (0 until 4).map { nb =>
+      struct(lit(nb).as("band"),
+        shiftright(col("simhash"), nb * 4).bitwiseAND(lit(15)).as("bk"))
+    }
+    val banded = sim
+      .select(col("doc_id"), col("simhash"), explode(array(nibbles: _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+        ham.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *  - `knnExact`: brute-force cosine top-k — the correctness baseline and
+  *    the right tool when the query set is small (query × corpus is a
+  *    broadcast join, corpus streamed once, top-k via window).
+  *  - `annLsh`: random-hyperplane LSH bucketing — sub-linear candidate
+  *    generation; buckets shrink the join by ~2^planes, then exact
+  *    cosine re-ranks candidates only.
+  *
+  * Determinism: dot products are computed as sums of per-dimension
+  * products scaled to integers (round(x*y*1e12)) — exact, associative,
+  * order-independent, so results are bit-identical at any partition
+  * count and reproducible in an external oracle. Hyperplanes are derived
+  * from md5, not an RNG — no seed state to lose.
+  */
+object Similarity {
+
+  /** Σ round(a_i * b_i * 1e12) as long — exact, shuffle-order-proof. */
+  def dotE12(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * y.cast("double") * lit(1.0e12), 0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Σ round(a_i^2 * 1e12) as long. */
+  def norm2E12(a: Column): Column = dotE12(a, a)
+
+  /** cosine from the exact integer pieces — one fixed IEEE expression. */
+  def cosineFromE12(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * other vectors. Query side is small → broadcast; corpus is read
+    * once; per-query top-k via row_number window (ties broken by id).
+    */
+  def knnExact(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn", norm2E12(col("qe")))
+    val c = emb
+      .select(col("vec_id").as("vid"), col("embedding").as("ce"))
+      .withColumn("cn", norm2E12(col("ce")))
+    val cos = cosineFromE12(col("dot_e12"), col("qn"), col("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    c.join(broadcast(q), col("qid") =!= col("vid"))
+      .withColumn("dot_e12", dotE12(col("qe"), col("ce")))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid"), round(col("cos"), 6).as("cos_r6"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane, dim): parity of
+    * the first hex digit of md5("p<plane>_d<dim>"). */
+  private def hyperplane(plane: Int, dims: Int): Array[Double] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { d =>
+      val h = mdig.digest(s"p${plane}_d$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }.toArray
+  }
+
+  /** LSH bucket id: sign bit per hyperplane, packed to an int. */
+  def lshBucket(embCol: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val h = array(hyperplane(p, dims).map(lit): _*)
+      when(dotE12(embCol, h) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN via LSH buckets: candidates share a bucket; exact cosine
+    * re-ranks candidates only. Recall < 1 by construction — pair with
+    * knnExact on a sample to measure it (the scale/quality trade knob
+    * is `planes`).
+    */
+  def annLsh(emb: DataFrame, queryFilter: Column, k: Int,
+             planes: Int = 6, dims: Int = 64): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), planes, dims))
+    val q = bucketed.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      .withColumn("qn", norm2E12(col("qe")))
+    val c = bucketed
+      .select(col("vec_id").as("vid"), col("embedding").as("ce"), col("bucket"))
+      .withColumn("cn", norm2E12(col("ce")))
+    val cos = cosineFromE12(col("dot_e12"), col("qn"), col("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("dot_e12", dotE12(col("qe"), col("ce")))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid"), round(col("cos"), 6).as("cos_r6"))
+  }
+}

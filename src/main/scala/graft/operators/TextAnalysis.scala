@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, stopword/quality scoring, heuristic language ID, and
+  * document fingerprinting. All pure built-in `Column` expressions —
+  * codegen-friendly, no UDFs, safe to run over 100 TB of documents
+  * (narrow per-row transforms; the only shuffles are the aggregations
+  * callers add on top).
+  *
+  * Determinism contract: every function here is reproducible bit-for-bit
+  * across engines (md5-based hashing, integer counts, single-IEEE-op
+  * ratios) so results can be oracle-checked externally.
+  */
+object TextAnalysis {
+
+  /** Function words used by the stopword/lang-ID heuristics. */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Whitespace tokenization. Documents are single-space normalized; for
+    * raw text call `normalizeText` first. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def uniqueTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Stopword occurrences (with multiplicity). */
+  def stopwordCount(text: Column, stops: Seq[String] = DefaultStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stops: _*))).cast("long")
+
+  /** stop/total as double — exact integer inputs, one IEEE division. */
+  def stopwordRatio(text: Column, stops: Seq[String] = DefaultStopwords): Column =
+    stopwordCount(text, stops).cast("double") / tokenCount(text).cast("double")
+
+  /** Whitespace collapse + trim + lowercase: the canonical form for
+    * exact deduplication. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact-dedup key: md5 of the canonical form. */
+  def textHash(text: Column): Column = md5(normalizeText(text))
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set.
+    * Invariant to token order and repetition — catches shuffled /
+    * re-sampled near-duplicates that exact hashing misses. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** N-gram-free heuristic language ID: function-word density. Real
+    * pipelines plug a model here; the operator shape (per-row scalar,
+    * no shuffle) is what matters at scale. */
+  def langIdHeuristic(text: Column,
+                      stops: Seq[String] = DefaultStopwords,
+                      threshold: Double = 0.05): Column =
+    when(stopwordRatio(text, stops) >= threshold, lit("en"))
+      .otherwise(lit("unknown"))
+
+  /** Composite quality score in [0,1]: length credit (saturating at 100
+    * tokens) + stopword-density credit. Deterministic: exact ints into
+    * a fixed IEEE expression tree. */
+  def qualityScore(text: Column,
+                   stops: Seq[String] = DefaultStopwords): Column = {
+    val lenCredit = least(tokenCount(text), lit(100L)).cast("double") / 100.0
+    lenCredit * 0.7 + stopwordRatio(text, stops) * 0.3
+  }
+}

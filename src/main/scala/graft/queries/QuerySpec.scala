@@ -23,7 +23,8 @@ final case class QuerySpec(
 /** All implemented queries, aggregated for SparkEntry. */
 object Registry {
   def specs: Seq[QuerySpec] =
-    Relational.specs ++ Functional.specs ++ Events.specs
+    Relational.specs ++ Functional.specs ++ Events.specs ++
+      TextQueries.specs ++ VectorQueries.specs
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(q => q.name -> q.run).toMap
   def oracleSql: Map[String, String] =

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries over the `documents` table:
+  * text stats, quality/lang heuristics, and the dedup family (exact,
+  * fingerprint, MinHash+LSH, n-gram Jaccard, SimHash). Every query has a
+  * step-for-step DuckDB mirror so the semantics — including the md5-based
+  * MinHash and the integer SimHash votes — are pinned by the oracle.
+  */
+object TextQueries {
+
+  private val stopsSqlList =
+    TextAnalysis.DefaultStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Per-document token/char stats (d01). */
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.uniqueTokenCount(col("text")).as("n_uniq_tokens"),
+      length(col("text")).cast("long").as("chr_len"))
+      .orderBy(col("doc_id"))
+
+  private val d01Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+      |  CAST(length(text) AS BIGINT) AS chr_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source corpus profile incl. exact-dedup distinct count (d02). */
+  private def d02(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+        countDistinct(TextAnalysis.textHash(col("text"))).as("n_uniq_texts"))
+      .orderBy(col("source"))
+
+  private val d02Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_uniq_texts
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Per-document stopword + quality scoring (d03). */
+  private def d03(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio_r4"),
+      round(TextAnalysis.qualityScore(col("text")), 4).as("quality_r4"))
+      .orderBy(col("doc_id"))
+
+  private val d03Sql =
+    s"""SELECT doc_id, n_stop,
+       |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio_r4,
+       |  round(CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.7
+       |        + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3, 4) AS quality_r4
+       |FROM (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |             t -> t IN $stopsSqlList)) AS BIGINT) AS n_stop
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language-ID vs labeled lang (d04). */
+  private def d04(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), TextAnalysis.langIdHeuristic(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  private val d04Sql =
+    s"""SELECT lang,
+       |  CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+       |       THEN 'en' ELSE 'unknown' END AS pred_lang,
+       |  COUNT(*) AS n
+       |FROM (SELECT lang,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |             t -> t IN $stopsSqlList)) AS BIGINT) AS n_stop
+       |      FROM documents)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Bag-of-words fingerprint duplicate groups (d05). */
+  private def d05(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintDuplicateGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("fp"))
+
+  private val d05Sql =
+    """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+      |             doc_id
+      |      FROM documents)
+      |GROUP BY fp
+      |HAVING COUNT(*) > 1
+      |ORDER BY fp""".stripMargin
+
+  // Shared DuckDB 3-token-shingle CTE (mirrors Dedup.shingles k=3).
+  private val shingleCte =
+    """WITH sh AS (
+      | SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
+      |         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s
+      | FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      |)""".stripMargin
+
+  /** MinHash + LSH candidate pairs (d06): 8 seeded-md5 minhashes, 4
+    * bands of 2 — the scale path for fuzzy dedup. */
+  private def d06(s: SparkSession, dir: String): DataFrame = {
+    val sh  = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+    val sig = Dedup.minhashSignature(sh, numHashes = 8)
+    Dedup.lshCandidatePairs(sig, numHashes = 8, bands = 4)
+      .orderBy(col("doc_id1"), col("doc_id2"))
+  }
+
+  private val d06Sql = {
+    val mins  = (0 until 8).map(i => s"min(md5(s || '#$i')) AS m$i").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bk FROM sig")
+      .mkString("\n UNION ALL ")
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       | $bands)
+       |SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |ORDER BY doc_id1, doc_id2""".stripMargin
+  }
+
+  /** n-gram Jaccard near-dup pairs >= 0.6 (d07): inverted-index join on
+    * shingles — cost scales with collisions, never all-pairs. */
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+    Dedup.jaccardPairs(sh, 0.6).orderBy(col("doc_id1"), col("doc_id2"))
+  }
+
+  private val d07Sql =
+    s"""$shingleCte,
+       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_id1, doc_id2, n_inter,
+       |  c1.n + c2.n - n_inter AS n_union,
+       |  round(CAST(n_inter AS DOUBLE) / CAST(c1.n + c2.n - n_inter AS DOUBLE), 4) AS jaccard_r4
+       |FROM inter
+       |JOIN card c1 ON doc_id1 = c1.doc_id
+       |JOIN card c2 ON doc_id2 = c2.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(c1.n + c2.n - n_inter AS DOUBLE) >= 0.6
+       |ORDER BY doc_id1, doc_id2""".stripMargin
+
+  /** 16-bit SimHash fingerprints (d08) — integer bit votes, exact. */
+  private def d08(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val d08Sql = {
+    def hexpos(i: Int) = s"(strpos('0123456789abcdef', h[$i]) - 1)"
+    val v = s"${hexpos(1)} * 4096 + ${hexpos(2)} * 256 + ${hexpos(3)} * 16 + ${hexpos(4)}"
+    val sums = (0 until 16).map(b => s"SUM(((v >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+    val sim  = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""SELECT doc_id, CAST($sim AS BIGINT) AS simhash
+       |FROM (SELECT doc_id, $sums
+       |      FROM (SELECT doc_id, $v AS v
+       |            FROM (SELECT doc_id, substr(md5(t), 1, 4) AS h
+       |                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |                        FROM documents)))
+       |      GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
+    QuerySpec("d02_source_profile", d02, Some(d02Sql)),
+    QuerySpec("d03_stopword_quality", d03, Some(d03Sql)),
+    QuerySpec("d04_lang_id", d04, Some(d04Sql)),
+    QuerySpec("d05_fingerprint_dups", d05, Some(d05Sql)),
+    QuerySpec("d06_minhash_candidates", d06, Some(d06Sql)),
+    QuerySpec("d07_jaccard_pairs", d07, Some(d07Sql)),
+    QuerySpec("d08_simhash", d08, Some(d08Sql)))
+}
