@@ -153,7 +153,7 @@ object Dedup {
     val banded = sim
       .select(col("doc_id"), col("simhash"), explode(array(nibbles: _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
-    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&

@@ -1,0 +1,38 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J4/J5 + A8-A10: the reference's data-quality surface
+  * (README.md:482-488,675-688) as first-class operators. The reference
+  * got FK integrity "for free" from MySQL; a lakehouse engine must
+  * check it explicitly — as anti joins, which cost one shuffle and
+  * return the violating rows themselves, not just a boolean.
+  */
+object DataQuality {
+
+  /** J4: FK violations — child keys with no parent. Empty ⇒ integrity
+    * holds. */
+  def fkViolations(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent, child(childKey) === parent(parentKey), "left_anti")
+
+  /** J5: key-consistency diagnostic (README.md:482-488) — count of keys
+    * present on the left but missing on the right. */
+  def missingKeyCount(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String): Long =
+    left.select(col(leftKey)).distinct()
+      .join(right.select(col(rightKey)).distinct(),
+        col(leftKey) === col(rightKey), "left_anti")
+      .count()
+
+  /** A8: per-column null counts in one pass. */
+  def nullAudit(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_rows"),
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")): _*)
+
+  /** A9: value histogram. */
+  def histogram(df: DataFrame, colName: String): DataFrame =
+    df.groupBy(col(colName)).agg(count(lit(1)).as("count")).orderBy(col(colName))
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.functions.ExactNum.cents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY.md §7.5 — the
+  * reference has no streaming; this is the harness-driven extension).
+  *
+  * Design: the streaming aggregation is the SAME logical shape as the
+  * batch query q16_events_hourly — tumbling window + per-type counters —
+  * so batch results oracle-check the streaming semantics, and
+  * `foreachBatch` lands increments into the curated layer. Watermarking
+  * bounds state: late events beyond 30 minutes are dropped, so state
+  * size is O(active windows × types), independent of stream length —
+  * the property that matters at 100 TB/day.
+  */
+object EventsStreaming {
+
+  /** events schema as stored (ts read as nanos long, converted after). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) surfaced as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet (file-stream source; in
+    * production this is Kafka/rate — same DataFrame downstream). The
+    * FileStreamSource requires a directory, but the harness lays events
+    * out as a single file next to the other tables — so stage a symlink
+    * into a scratch directory and stream that. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 30-minute watermark —
+    * the streaming twin of q16_events_hourly. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Run the stream to completion over the (bounded) file source into an
+    * in-memory sink — the local smoke path; swap the sink for
+    * `foreachBatch { (batch, id) => batch.write.format("delta")... }`
+    * in production. Returns the queryable sink table name. */
+  def runToMemorySink(spark: SparkSession, dir: String,
+                      sinkName: String = "events_hourly"): StreamingQuery = {
+    val q = hourlyAgg(readEventsStream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+
+  /** Stateful per-user sessionization via flatMapGroupsWithState-style
+    * processing expressed with built-in session windows: events within
+    * `gap` of each other form one session (custom state without custom
+    * state code — session_window is Catalyst-native and codegen'd). */
+  def userSessions(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+      .select(
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_cents"))
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup
+    (4L, "completely different text about spark engines here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps the smallest id per canonical form") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L))
+    val groups = Dedup.exactDuplicateGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getLong(1) === 2L) // n_docs
+  }
+
+  test("minhash LSH surfaces exact and near dups, not unrelated docs") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignature(sh, 8)
+    val pairs = Dedup.lshCandidatePairs(sig, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))     // identical -> all bands collide
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
+  }
+
+  test("jaccard pairs: exact dup = 1.0, near dup high, threshold filters") {
+    // doc 3 differs from 1/2 in one word of nine: 4 shared shingles of
+    // 7+7 -> jaccard 4/10 = 0.4
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val pairs = Dedup.jaccardPairs(sh, 0.35)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) === 0.4)
+    assert(pairs((2L, 3L)) === 0.4)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // threshold excludes the near-dups
+    assert(Dedup.jaccardPairs(sh, 0.5).count() === 1L)
+  }
+
+  test("simhash: identical docs share a fingerprint; pairs respect hamming") {
+    val sim = Dedup.simhash16(docs, "doc_id", "text")
+    val byId = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) === byId(2L))
+    val pairs = Dedup.simhashPairs(sim, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) === 0L)
+    pairs.values.foreach(h => assert(h <= 3L))
+  }
+
+  test("ANN recall vs exact kNN on real embeddings (sf0.001)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.knnExact(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.annLsh(emb, col("vec_id") < 10, 5, planes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall@5 was $recall") // 3-plane buckets: coarse but useful
+    // cosine agreement where both found the same neighbor
+    val exactCos = Similarity.knnExact(emb, col("vec_id") < 10, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val annCos = Similarity.annLsh(emb, col("vec_id") < 10, 5, planes = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    (exactCos.keySet intersect annCos.keySet).foreach { k =>
+      assert(exactCos(k) === annCos(k)) // same exact-integer dot product
+    }
+  }
+
+  test("multimodal: binary plumbing with stubbed decode") {
+    val bin = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val meta = Multimodal.extractMeta(spark, bin, "doc_id", "payload", "image")
+    val rows = meta.collect()
+    assert(rows.length === 500)
+    val byId = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { m =>
+      assert(m.n_bytes === byId(m.media_id)) // ASCII text: bytes == chars
+      assert(m.fingerprint.length === 32)
+      assert(m.width >= 64 && m.n_frames >= 1)
+    }
+    val frames = Multimodal.sampleFrames(meta, stride = 2)
+    assert(frames.count() >= 500L) // at least one frame per payload
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.enrich.{OmdbRecord, StubEnrichmentClient}
+import graft.etl.{Extract, MoviePipeline}
+import graft.quality.DataQuality
+import graft.queries.CanonicalQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end golden run (SURVEY.md §5.2.3) on the real MovieLens data
+  * at /root/reference/data with the deterministic offline stub
+  * (FIXTURES.md §E). Expected counts measured from the data itself:
+  * 9,742 movies, 20 genres, 22,084 junction rows, 100,836 ratings
+  * (the README's 23,423 junction figure is self-reported drift).
+  */
+class EtlPipelineSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dataDir = "/root/reference/data"
+
+  // Stub exercising all three ladder rungs (FIXTURES.md §E):
+  // movie 1 hits title+year, movie 2 falls through to imdb-id (links row
+  // 2 = 0113497), others miss -> misses log.
+  private val stub = new StubEnrichmentClient(
+    byTitleYearMap = Map(("Toy Story", 1995) -> OmdbRecord(
+      Some("tt0114709"), Some("John Lasseter"), Some("plot"),
+      Some("$373,554,033"), Some("8.3"), Some("81 min"))),
+    byTitleMap = Map("Grumpier Old Men" -> OmdbRecord(
+      Some("tt0113228"), Some("Howard Deutch"), Some("N/A"),
+      None, Some("N/A"), Some("101 min"))),
+    byIdMap = Map("tt0113497" -> OmdbRecord(
+      Some("tt0113497"), Some("Joe Johnston"), Some("plot2"),
+      None, Some("7.1"), Some("104 min"))))
+
+  private lazy val result = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_etl").toString
+    MoviePipeline.run(spark, dataDir, stub, cap = 4, outDir = Some(tmp))
+  }
+
+  test("row counts match the measured reference data") {
+    val m = result.metrics
+    assert(m.nMovies === 9742L)
+    assert(m.nGenres === 20L)
+    assert(m.nMovieGenres === 22084L)
+    assert(m.nRatingsRaw === 100836L)
+    assert(m.nRatingsClean === 100836L) // real data has no bad rows
+    assert(m.nRatingsRemoved === 0L)
+  }
+
+  test("enrichment ladder: strategy attribution + misses") {
+    val m = result.metrics
+    assert(m.nEnrichAttempted === 4L)
+    assert(m.strategyHits.getOrElse("title_year", 0L) === 1L) // Toy Story
+    assert(m.strategyHits.getOrElse("title_only", 0L) === 1L) // Grumpier...
+    assert(m.strategyHits.getOrElse("imdb_id", 0L) === 1L)    // Jumanji via links
+    assert(result.misses.count() === 1L)                      // movie 4
+    assert(result.misses.columns.toSeq === Seq(
+      "movie_id", "original_title", "normalized_title", "release_year",
+      "genres", "imdb_id_available", "imdb_id", "strategies_attempted",
+      "error_reason", "timestamp"))
+  }
+
+  test("genre dim has dense sorted ids 1..20 incl. sentinel and IMAX") {
+    val g = result.genres.orderBy(col("genre_id")).collect()
+    assert(g.map(_.getInt(0)).toSeq === (1 to 20))
+    assert(g.head.getString(1) === "(no genres listed)") // sorts first
+    assert(g.map(_.getString(1)).contains("IMAX"))
+    assert(g.map(_.getString(1)).toSeq === g.map(_.getString(1)).toSeq.sorted)
+  }
+
+  test("junction integrity: no FK violations (J4)") {
+    assert(DataQuality.fkViolations(
+      result.movieGenres, "movie_id", result.movies, "movie_id").count() === 0L)
+    assert(DataQuality.fkViolations(
+      result.movieGenres, "genre_id", result.genres, "genre_id").count() === 0L)
+  }
+
+  test("canonical Q5: top heavy-rater matches independent oracle") {
+    // Computed independently (DuckDB over ratings.csv): user 452 leads
+    // with 202 ratings, avg 4.557.
+    val top = CanonicalQueries.q5ByUser(result.ratings).head()
+    assert(top.getInt(0) === 452)
+    assert(top.getLong(1) === 202L)
+    assert(math.abs(top.getDouble(2) - 4.557) < 0.001)
+  }
+
+  test("canonical Q7: rating histogram matches independent oracle") {
+    val hist = CanonicalQueries.q7RatingHistogram(result.ratings)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val expected = Map(0.5 -> 1370L, 1.0 -> 2811L, 1.5 -> 1791L,
+      2.0 -> 7551L, 2.5 -> 5550L, 3.0 -> 20047L, 3.5 -> 13136L,
+      4.0 -> 26818L, 4.5 -> 8551L, 5.0 -> 13211L)
+    assert(hist === expected)
+  }
+
+  test("canonical Q1-Q4, Q6 run and are sane") {
+    assert(CanonicalQueries.q1TopRated(result.movies).count() <= 10)
+    val q2 = CanonicalQueries.q2MoviesByGenre(
+      result.movies, result.movieGenres, result.genres, "Action")
+    assert(q2.count() === 20)
+    val q3 = CanonicalQueries.q3MostRated(result.movies, result.ratings)
+    assert(q3.head().getLong(2) === 329L) // Forrest Gump: most-rated, 329
+    val q6 = CanonicalQueries.q6NullAudit(result.movies).head()
+    assert(q6.getLong(0) === 9742L)
+    assert(q6.getLong(1) === 9742L - 3L) // 3 stub enrichments set imdb_id
+  }
+
+  test("S3: missing links.csv degrades to empty typed table") {
+    val df = Extract.links(spark, "/nonexistent/links.csv")
+    assert(df.columns.toSeq === Seq("movieId", "imdbId", "tmdbId"))
+    assert(df.count() === 0L)
+  }
+}

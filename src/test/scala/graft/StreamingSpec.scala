@@ -1,0 +1,43 @@
+package graft
+
+import graft.queries.Registry
+import graft.streaming.EventsStreaming
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming/batch equivalence (SURVEY.md §7.5): the windowed streaming
+  * aggregation over the bounded events file must produce exactly the
+  * batch q16_events_hourly result — same grouping, same exact-integer
+  * sums. This is what lets the DuckDB oracle vouch for the streaming
+  * semantics too. */
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming hourly agg == batch q16 on the bounded source") {
+    val q = EventsStreaming.runToMemorySink(spark, sfDir, "events_hourly_test")
+    q.awaitTermination()
+    val streamed = spark.table("events_hourly_test")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = Registry.queries("q16_events_hourly")(spark, sfDir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session windows produce bounded, ordered sessions") {
+    val sessions = EventsStreaming.userSessions(
+      graft.sources.Tables.events(spark, sfDir), "10 minutes")
+    // batch execution of the streaming plan shape: session_window works
+    // in batch mode too — validates the operator without a sink
+    val rows = sessions.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getTimestamp(0).after(r.getTimestamp(1)))
+      assert(r.getLong(3) >= 1L)
+    }
+  }
+}
