@@ -57,6 +57,26 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vid"), round(col("cos"), 6).as("cos_r6"))
   }
 
+  /** Embedding-cosine near-dup: the globally most-similar pairs (or all
+    * pairs above a threshold via the filter). All-pairs is the exact
+    * baseline — at corpus scale swap the candidate stage for annLsh
+    * buckets and keep the same scoring/ranking tail. */
+  def topSimilarPairs(emb: DataFrame, topN: Int,
+                      minCos: Double = -1.0): DataFrame = {
+    val a = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      .withColumn("n1", norm2E12(col("e1")))
+    val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      .withColumn("n2", norm2E12(col("e2")))
+    val cos = cosineFromE12(col("dot_e12"), col("n1"), col("n2"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("dot_e12", dotE12(col("e1"), col("e2")))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= minCos)
+      .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
+      .limit(topN)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_r6"))
+  }
+
   /** Deterministic ±1 hyperplane component for (plane, dim): parity of
     * the first hex digit of md5("p<plane>_d<dim>"). */
   private def hyperplane(plane: Int, dims: Int): Array[Double] = {

@@ -51,6 +51,22 @@ object TextAnalysis {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** BPE-ish subword-unit count: letter runs, digit runs, and single
+    * punctuation marks each count as one unit — the regex shape of a
+    * byte-pair pre-tokenizer, cheap enough to run inline over a corpus. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      .cast("long")
+
+  /** Polynomial rolling-hash fingerprint (Karp-Rabin style): per char
+    * h = (h*31 + code) mod 1e9+7. Order-sensitive — complements the
+    * order-invariant bagFingerprint. Pure integer folds: engine-exact. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => length(c) > 0),
+        c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
   /** N-gram-free heuristic language ID: function-word density. Real
     * pipelines plug a model here; the operator shape (per-row scalar,
     * no shuffle) is what matters at scale. */

@@ -291,6 +291,43 @@ object Relational {
       |GROUP BY token
       |ORDER BY token""".stripMargin
 
+  /** Grouping-sets aggregation (SURVEY.md §2.4 notes these absent in the
+    * reference but one-liners here): ROLLUP over status × priority with
+    * subtotals and a grand total. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(cents(col("o_totalprice"))).as("sum_total_cents"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  private val q18Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_total_cents
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Exact continuous median (percentile) per group over exact integer
+    * cents — interpolation of two longs is exact in IEEE, so the double
+    * result is engine-identical. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), cents(col("o_totalprice")).as("total_cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(total_cents, 0.5)").as("median_cents"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q19Sql =
+    """SELECT o_orderstatus,
+      |  quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.5) AS median_cents,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_topk_orders", q02, Some(q02Sql)),
@@ -304,5 +341,7 @@ object Relational {
     QuerySpec("q10_parts_with_sales", q10, Some(q10Sql)),
     QuerySpec("q11_custkeys_except", q11, Some(q11Sql)),
     QuerySpec("q12_dense_brand_ids", q12, Some(q12Sql)),
-    QuerySpec("q13_token_counts", q13, Some(q13Sql)))
+    QuerySpec("q13_token_counts", q13, Some(q13Sql)),
+    QuerySpec("q18_rollup_orders", q18, Some(q18Sql)),
+    QuerySpec("q19_median_by_status", q19, Some(q19Sql)))
 }

@@ -181,6 +181,37 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Order-sensitive rolling-hash fingerprint per doc (d09) — the
+    * Karp-Rabin complement to the order-invariant bag fingerprint. */
+  private def d09(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+      .orderBy(col("doc_id"))
+
+  private val d09Sql =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** BPE-ish subword token counts vs whitespace tokens (d10). */
+  private def d10(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val d10Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -189,5 +220,7 @@ object TextQueries {
     QuerySpec("d05_fingerprint_dups", d05, Some(d05Sql)),
     QuerySpec("d06_minhash_candidates", d06, Some(d06Sql)),
     QuerySpec("d07_jaccard_pairs", d07, Some(d07Sql)),
-    QuerySpec("d08_simhash", d08, Some(d08Sql)))
+    QuerySpec("d08_simhash", d08, Some(d08Sql)),
+    QuerySpec("d09_rolling_hash", d09, Some(d09Sql)),
+    QuerySpec("d10_bpeish_tokens", d10, Some(d10Sql)))
 }

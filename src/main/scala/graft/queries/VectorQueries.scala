@@ -52,7 +52,35 @@ object VectorQueries {
     Similarity.annLsh(Tables.embeddings(s, dir), QueryPred, K, planes = 4)
       .orderBy(col("qid"), col("rank"))
 
+  /** Embedding-cosine near-dup (e03): globally top-20 most-similar
+    * pairs, exact all-pairs baseline (swap candidates for LSH at
+    * corpus scale). */
+  private def e03(s: SparkSession, dir: String): DataFrame =
+    Similarity.topSimilarPairs(Tables.embeddings(s, dir), 20)
+      .orderBy(col("cos_r6").desc, col("v1"), col("v2"))
+
+  private val e03Sql =
+    """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+      |e AS (SELECT vec_id, embedding FROM embeddings),
+      |norms AS (
+      | SELECT vec_id,
+      |   CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS n2
+      | FROM e CROSS JOIN idx GROUP BY vec_id),
+      |dots AS (
+      | SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |   CAST(SUM(CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS dot_e12
+      | FROM e a JOIN e b ON a.vec_id < b.vec_id
+      | CROSS JOIN idx
+      | GROUP BY 1, 2)
+      |SELECT v1, v2, round(cos, 6) AS cos_r6
+      |FROM (SELECT v1, v2,
+      |        CAST(dot_e12 AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cos
+      |      FROM dots JOIN norms n1 ON v1 = n1.vec_id JOIN norms n2 ON v2 = n2.vec_id)
+      |ORDER BY cos DESC, v1 ASC, v2 ASC
+      |LIMIT 20""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
-    QuerySpec("e02_ann_lsh", e02, None))
+    QuerySpec("e02_ann_lsh", e02, None),
+    QuerySpec("e03_cosine_neardup", e03, Some(e03Sql)))
 }
