@@ -182,12 +182,16 @@ object TextQueries {
   }
 
   /** Order-sensitive rolling-hash fingerprint per doc (d09) — the
-    * Karp-Rabin complement to the order-invariant bag fingerprint. */
-  private def d09(s: SparkSession, dir: String): DataFrame =
+    * Karp-Rabin complement to the order-invariant bag fingerprint,
+    * computed by the native codegen expression (graft.plans); the
+    * declarative twin in TextAnalysis is its equivalence baseline. */
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     Tables.documents(s, dir).select(
       col("doc_id"),
-      TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+      expr("graft_rolling_hash(text)").as("rolling_hash"))
       .orderBy(col("doc_id"))
+  }
 
   private val d09Sql =
     """SELECT doc_id,

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.plans.{GraftFunctions, GraftHash}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen expression must be indistinguishable from the
+  * declarative fold (and from the DuckDB oracle, which d09 covers). */
+class RollingHashExprSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("native == declarative on the real document corpus") {
+    GraftFunctions.register(spark)
+    val diff = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(
+        TextAnalysis.rollingHash(col("text")).as("a"),
+        expr("graft_rolling_hash(text)").as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("edge cases: empty string, single char, null propagates") {
+    GraftFunctions.register(spark)
+    val rows = Seq(Some(""), Some("a"), None).toDF("t")
+      .select(expr("graft_rolling_hash(t)"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(rows.toSeq === Seq(Some(0L), Some(97L), None))
+  }
+
+  test("direct helper matches the modular fold definition") {
+    assert(GraftHash.rollingHash(UTF8String.fromString("ab")) ===
+      (97L * 31 + 98) % 1000000007L)
+  }
+}
