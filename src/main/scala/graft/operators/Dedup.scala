@@ -71,12 +71,25 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** k-permutation MinHash signature via seeded md5: column m0..m{k-1},
-    * each the lexicographic min of md5(shingle + "#" + seed). */
+  /** k-permutation MinHash signature: four 32-bit hash functions are
+    * carved out of each seeded md5 as disjoint 8-hex windows, so k
+    * hashes cost k/4 md5 evaluations per shingle (the md5 is by far the
+    * dominant cost at corpus scale). Each column m_i is the
+    * lexicographic min of its window — equivalent to numeric min on the
+    * 32-bit value. The seeded digests are pre-projected so aggregate
+    * expressions never re-evaluate the md5 (no cross-aggregate CSE in
+    * Spark). */
   def minhashSignature(shingleDf: DataFrame, numHashes: Int = 8): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(col("s"), lit(s"#$i")))).as(s"m$i"))
-    shingleDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
+    val nDigests = numHashes / 4
+    val digests = shingleDf.select(
+      col("doc_id") +:
+        (0 until nDigests).map(j =>
+          md5(concat(col("s"), lit(s"#$j"))).as(s"b$j")): _*)
+    val aggs = (0 until numHashes).map { i =>
+      min(substring(col(s"b${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"m$i")
+    }
+    digests.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: split the signature into bands, key each band by the
@@ -129,12 +142,15 @@ object Dedup {
     * Cross-engine exact: integer votes, no floats.
     */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // first 4 hex chars of md5 → 16-bit int, materialized ONCE before
+    // the aggregation — the 16 vote aggregates would otherwise each
+    // re-evaluate the md5 (Spark does no CSE across aggregate exprs).
     val tok = df.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
-    // first 4 hex chars of md5 → 16-bit int
-    val v = conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int")
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int").as("v"))
     val votes = (0 until 16).map(b =>
-      sum(shiftright(v, b).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
+      sum(shiftright(col("v"), b).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val sim = (0 until 16).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))

@@ -7,10 +7,12 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringT
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Codepoint-wise polynomial rolling hash: h = (h*31 + cp) mod 1e9+7.
-  * Shared by the interpreted and generated paths so they cannot drift. */
+/** Tight-loop kernels shared by the interpreted and generated paths of
+  * the native expressions, so the two can never drift. */
 object GraftHash {
   final val Mod = 1000000007L
+
+  /** Codepoint-wise polynomial rolling hash: h = (h*31 + cp) mod 1e9+7. */
   def rollingHash(s: UTF8String): Long = {
     val str = s.toString
     var h = 0L
@@ -21,6 +23,24 @@ object GraftHash {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** Exact scaled-integer dot product over float arrays:
+    * Σ round_half_away(a_i * b_i * 1e12) — the engine-exact cosine
+    * building block (see graft.operators.Similarity). Arrays must be
+    * null-element-free; trailing elements beyond the shorter length are
+    * ignored. */
+  def dotE12(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1.0e12
+      s += (if (v >= 0) (v + 0.5).toLong else (v - 0.5).toLong)
+      i += 1
+    }
+    s
   }
 }
 
@@ -61,6 +81,49 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_rolling_hash"
 }
 
+/** Native codegen dot-product for similarity search (SURVEY.md §7.3).
+  *
+  * Why native: Spark's higher-order functions (`zip_with`/`aggregate`)
+  * are interpreted — per-element lambda dispatch with boxing. An
+  * all-pairs near-dup pass over N vectors evaluates N²/2 × dims
+  * lambdas; measured at sf0.1 that made the cosine near-dup query
+  * ~100× slower than this fused loop, which runs inside whole-stage
+  * codegen via a static call. Rounding is half-away-from-zero, matching
+  * Spark's `round(_, 0)` and DuckDB's `ROUND` on non-boundary values.
+  * Both inputs must be ARRAY<FLOAT> (cast at the call site).
+  */
+case class DotE12Expr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bothFloatArrays = Seq(left, right).forall(c => c.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
+    if (bothFloatArrays)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_e12 expects ARRAY<FLOAT> args, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.dotE12(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftHash.dotE12($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotE12Expr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot_e12"
+}
+
 /** Session extensions: registers engine-native SQL functions.
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
@@ -70,13 +133,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
       (exprs: Seq[Expression]) => RollingHashExpr(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot_e12"),
+      new ExpressionInfo(classOf[DotE12Expr].getName, "graft_dot_e12"),
+      (exprs: Seq[Expression]) => DotE12Expr(exprs.head, exprs(1))))
   }
 }
 
 /** Per-session registration fallback for sessions built without
   * extensions (e.g. the driver's own Verify session). Idempotent. */
 object GraftFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", exprs => RollingHashExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_e12", exprs => DotE12Expr(exprs.head, exprs(1)), "built-in")
+  }
 }

@@ -125,7 +125,9 @@ object TextQueries {
   }
 
   private val d06Sql = {
-    val mins  = (0 until 8).map(i => s"min(md5(s || '#$i')) AS m$i").mkString(", ")
+    // mirror of minhashSignature: four 8-hex windows per seeded md5
+    val mins = (0 until 8).map(i =>
+      s"min(substr(md5(s || '#${i / 4}'), ${1 + 8 * (i % 4)}, 8)) AS m$i").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bk FROM sig")
       .mkString("\n UNION ALL ")

@@ -35,4 +35,20 @@ class RollingHashExprSpec extends AnyFunSuite with SparkTestSession {
     assert(GraftHash.rollingHash(UTF8String.fromString("ab")) ===
       (97L * 31 + 98) % 1000000007L)
   }
+
+  test("native dot product == declarative HOF fold on real embeddings") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      .filter(col("v1") < 30)
+    val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      .filter(col("v2") < 30)
+    val diff = a.join(b, col("v1") < col("v2"))
+      .select(
+        Similarity.dotE12(col("e1"), col("e2")).as("native"),
+        Similarity.dotE12Declarative(col("e1"), col("e2")).as("decl"))
+      .filter(col("native") =!= col("decl"))
+      .count()
+    assert(diff === 0L)
+  }
 }
