@@ -62,7 +62,34 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** As-of join (q20): for each purchase, the most recent strictly-prior
+    * error event of the same user — composed from a tagged ignore-nulls
+    * window (operators.AsOfJoin), one shuffle on the key. The oracle
+    * runs the identical window logic, so tie semantics are pinned. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AsOfJoin.priorRefId(
+      Tables.events(s, dir),
+      keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+      refPred = col("event_type") === "error",
+      probePred = col("event_type") === "purchase",
+      outCol = "prior_error_id")
+      .select(col("event_id"), col("user_id"), col("prior_error_id"))
+      .orderBy(col("event_id"))
+
+  private val q20Sql =
+    """SELECT event_id, user_id, prior_error_id
+      |FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_error_id
+      |  FROM events
+      |  WHERE event_type IN ('error', 'purchase'))
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q16_events_hourly", q16, Some(q16Sql)),
-    QuerySpec("q17_json_props", q17, Some(q17Sql)))
+    QuerySpec("q17_json_props", q17, Some(q17Sql)),
+    QuerySpec("q20_asof_prior_error", q20, Some(q20Sql)))
 }

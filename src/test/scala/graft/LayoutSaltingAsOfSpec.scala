@@ -1,0 +1,58 @@
+package graft
+
+import graft.etl.Layout
+import graft.operators.{AsOfJoin, Salting}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSaltingAsOfSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("bucketed co-located join plans with NO shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    Layout.writeBucketed(Tables.orders(spark, dir), "orders_b", "o_orderkey", 4)
+    Layout.writeBucketed(Tables.lineitem(spark, dir), "lineitem_b", "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Layout.readTable(spark, "orders_b")
+        .join(Layout.readTable(spark, "lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+      assert(joined.count() > 0)
+      // same result as the unbucketed join
+      val plain = Tables.orders(spark, dir).join(
+        Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      assert(joined.count() === plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the unsalted result under skew") {
+    // skewed fact: 10k rows on one hot key, a few on others
+    val large = (Seq.fill(10000)(1) ++ Seq(2, 2, 3)).toDF("k")
+    val small = Seq((1, "a"), (2, "b"), (4, "d")).toDF("k", "v")
+    val salted = Salting.saltedJoin(large, small, "k", salt = 8)
+    val plain  = large.join(small, Seq("k"))
+    assert(salted.count() === plain.count())
+    assert(salted.groupBy("k", "v").count().collect().toSet ===
+      plain.groupBy("k", "v").count().collect().toSet)
+  }
+
+  test("two-table as-of join attaches most recent prior payload") {
+    val quotes = Seq(
+      (1L, 10L, 100.0, 1L), (1L, 20L, 101.0, 2L), (1L, 30L, 102.0, 3L),
+      (2L, 15L, 200.0, 4L)).toDF("sym", "t", "px", "quote_id")
+    val trades = Seq(
+      (1L, 25L, 101L), (1L, 5L, 102L), (2L, 15L, 103L), (3L, 9L, 104L))
+      .toDF("sym", "t", "trade_id")
+    val out = AsOfJoin.asOfPrior(trades, quotes, "sym", "t", "trade_id", "quote_id")
+      .select(col("trade_id"), col("asof.px").as("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(101L) === Some(101.0)) // trade t=25 sees quote t=20
+    assert(out(102L) === None)        // trade t=5 predates all quotes
+    assert(out(103L) === Some(200.0)) // equal timestamps visible
+    assert(out(104L) === None)        // no quotes for sym 3
+  }
+}
