@@ -328,6 +328,19 @@ object Relational {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Sketch aggregations (q21): HyperLogLog++ distinct counts and
+    * approximate percentiles. No SQL oracle — sketch internals are
+    * engine-specific — so the driver records a rows-only check; the
+    * accuracy bound vs exact values is pinned in SketchSpec. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+      .orderBy(col("l_returnflag"))
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_topk_orders", q02, Some(q02Sql)),
@@ -343,5 +356,6 @@ object Relational {
     QuerySpec("q12_dense_brand_ids", q12, Some(q12Sql)),
     QuerySpec("q13_token_counts", q13, Some(q13Sql)),
     QuerySpec("q18_rollup_orders", q18, Some(q18Sql)),
-    QuerySpec("q19_median_by_status", q19, Some(q19Sql)))
+    QuerySpec("q19_median_by_status", q19, Some(q19Sql)),
+    QuerySpec("q21_sketches", q21, None))
 }

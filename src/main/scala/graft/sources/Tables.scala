@@ -41,7 +41,11 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Register every table as a temp view so `spark.sql(...)` works too. */
+  /** Register every table as a temp view so `spark.sql(...)` works too.
+    * events goes through its nanos-aware reader. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.queries.Registry
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchAndSqlTwinSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("q21 sketches are within tolerance of exact values") {
+    val approx = Registry.queries("q21_sketches")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"),
+           expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (n, m)) =>
+      val (an, am) = approx(flag)
+      assert(math.abs(an - n).toDouble / n < 0.05, s"$flag distinct: $an vs $n")
+      assert(math.abs(am - m) / m < 0.05, s"$flag median: $am vs $m")
+    }
+  }
+
+  test("SQL-text twins over registered temp views match the DSL results") {
+    Tables.registerAll(spark, sfDir)
+    val sqlHist = spark.sql(
+      "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority").collect().toSeq
+    val dslHist = Registry.queries("q03_priority_histogram")(spark, sfDir)
+      .collect().toSeq
+    assert(sqlHist === dslHist)
+
+    val sqlJoin = spark.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+      .collect().toSeq
+    val dslJoin = Registry.queries("q04_nation_revenue")(spark, sfDir)
+      .collect().toSeq
+    assert(sqlJoin === dslJoin)
+  }
+}
