@@ -73,6 +73,21 @@ object EventsStreaming {
     q
   }
 
+  /** Production-shaped sink: foreachBatch lands each micro-batch of the
+    * windowed aggregation into the curated layer (parquet here; swap the
+    * writer for Delta/JDBC unchanged). Complete mode + overwrite keeps
+    * the sink idempotent per batch. */
+  def runToParquetSink(spark: SparkSession, dir: String,
+                       outDir: String): StreamingQuery =
+    hourlyAgg(readEventsStream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stateful per-user sessionization via flatMapGroupsWithState-style
     * processing expressed with built-in session windows: events within
     * `gap` of each other form one session (custom state without custom

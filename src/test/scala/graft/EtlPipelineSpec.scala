@@ -104,6 +104,18 @@ class EtlPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(q6.getLong(1) === 9742L - 3L) // 3 stub enrichments set imdb_id
   }
 
+  test("curated movies round-trip as a typed Dataset[Movie]") {
+    import spark.implicits._
+    val ds = result.movies
+      .drop("created_at") // write-time audit column, not part of the row type
+      .as[graft.etl.Movie]
+    assert(ds.count() === 9742L)
+    val toy = ds.filter(_.movie_id == 1).head()
+    assert(toy.title === "Toy Story")
+    assert(toy.release_year === Some(1995))
+    assert(toy.imdb_rating === Some(8.3)) // from the stub enrichment
+  }
+
   test("S3: missing links.csv degrades to empty typed table") {
     val df = Extract.links(spark, "/nonexistent/links.csv")
     assert(df.columns.toSeq === Seq("movieId", "imdbId", "tmdbId"))

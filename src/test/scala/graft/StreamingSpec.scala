@@ -28,6 +28,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch parquet sink lands the same hourly aggregate") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val q = EventsStreaming.runToParquetSink(spark, sfDir, out)
+    q.awaitTermination()
+    val sunk = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = Registry.queries("q16_events_hourly")(spark, sfDir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(sunk === batch)
+  }
+
   test("session windows produce bounded, ordered sessions") {
     val sessions = EventsStreaming.userSessions(
       graft.sources.Tables.events(spark, sfDir), "10 minutes")
