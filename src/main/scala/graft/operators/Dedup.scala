@@ -58,7 +58,9 @@ object Dedup {
 
   /** Distinct k-token shingles per document: (doc_id, s). The sequence/
     * transform/explode pipeline is all built-in generators — one narrow
-    * pass over the corpus. */
+    * pass over the corpus. Per-document dedup happens inside the row
+    * (array_distinct BEFORE explode), so no global distinct() shuffle:
+    * the output is shuffle-free however large the corpus. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val n = size(toks)
@@ -66,7 +68,7 @@ object Dedup {
       .otherwise(array().cast("array<int>"))
     val sh = transform(idxs, i =>
       concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
-    df.select(col(idCol).as("doc_id"), explode(sh).as("s")).distinct()
+    df.select(col(idCol).as("doc_id"), explode(array_distinct(sh)).as("s"))
   }
 
   // ---------------- MinHash + LSH ----------------
@@ -102,9 +104,13 @@ object Dedup {
       val key = md5(concat_ws("", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
       struct(lit(b).as("band"), key.as("bk"))
     }
+    // repartition on the bucket key: the self-join's sides share one
+    // Exchange (ReusedExchange), so the shingle→minhash chain upstream
+    // is computed once, and the join adds no further shuffle.
     val bandsDf = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+      .repartition(col("band"), col("bk"))
     bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -119,9 +125,13 @@ object Dedup {
     * least one shingle (inverted-index join — never all-pairs). Returns
     * exact intersection/union counts plus a rounded similarity. */
   def jaccardPairs(shingleDf: DataFrame, threshold: Double): DataFrame = {
+    // Pre-partition the inverted index on the shingle: the self-join's
+    // two sides then share one identical Exchange (planned once, reused
+    // via ReusedExchange) and the join itself needs no further shuffle.
+    val sh = shingleDf.repartition(col("s"))
     val card = shingleDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = shingleDf.as("a")
-      .join(shingleDf.as("b"),
+    val inter = sh.as("a")
+      .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
       .agg(count(lit(1)).as("n_inter"))
@@ -169,6 +179,7 @@ object Dedup {
     val banded = sim
       .select(col("doc_id"), col("simhash"), explode(array(nibbles: _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
+      .repartition(col("band"), col("bk")) // shared Exchange for the self-join
     val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
     banded.as("a")
       .join(banded.as("b"),

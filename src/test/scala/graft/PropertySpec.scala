@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based coverage (SURVEY.md §5.2.2). Deterministic: samples
+  * are drawn from seeded ScalaCheck generators and pushed through Spark
+  * in one batch per property. */
+class PropertySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, gen).pureApply(Gen.Parameters.default, Seed(42L))
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(l => Gen.stringOfN(l, Gen.alphaLowerChar))
+
+  /** Paren-free, comma-free multi-word titles. */
+  private val plainTitle: Gen[String] =
+    Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("F1 round-trip: extractYear(title + ' (YYYY)') recovers year and title") {
+    val cases = samples(for {
+      t <- plainTitle
+      y <- Gen.chooseNum(1900, 2099)
+    } yield (t, y), 200)
+    val out = cases.toDF("t", "y")
+      .select(
+        col("t"), col("y"),
+        TextFunctions.extractYear(concat(col("t"), lit(" ("), col("y"), lit(")"))).as("ey"),
+        TextFunctions.stripYear(concat(col("t"), lit(" ("), col("y"), lit(")"))).as("et"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(2) === r.getInt(1))
+      assert(r.getString(3) === r.getString(0))
+    }
+  }
+
+  test("F2 idempotence on titles with optional article and paren noise") {
+    val gen = for {
+      t <- plainTitle
+      article <- Gen.oneOf("", ", The", ", A", ", Les")
+      paren <- Gen.oneOf("", " (alt title)", " (1995)")
+    } yield s"$t$article$paren"
+    val out = samples(gen, 300).toDF("t")
+      .select(TextFunctions.normalizeTitle(col("t")).as("n1"))
+      .select(col("n1"), TextFunctions.normalizeTitle(col("n1")).as("n2"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1), r.getString(0)))
+  }
+
+  test("A1-A3 invariants: junction count == Σ per-movie genre counts; ids dense") {
+    val genreGen = Gen.someOf(Seq("Action", "Comedy", "Drama", "IMAX",
+      "(no genres listed)", "Sci-Fi")).map(_.toList)
+    val cases = samples(genreGen, 150).zipWithIndex
+      .map { case (gs, id) => (id, if (gs.isEmpty) "(no genres listed)" else gs.mkString("|")) }
+    val movies = cases.toDF("movieId", "genres")
+    val dim = graft.etl.Transform.genreDim(movies)
+    val junction = graft.etl.Transform.movieGenres(movies, dim)
+    val expectedJunction = cases.map(_._2.split("\\|").count(_.trim.nonEmpty)).sum
+    assert(junction.count() === expectedJunction.toLong)
+    val ids = dim.orderBy("genre_id").collect().map(_.getInt(0)).toSeq
+    assert(ids === (1 to ids.length)) // dense 1..N
+    // every junction genre_id exists in the dim
+    assert(junction.join(dim, Seq("genre_id"), "left_anti").count() === 0L)
+  }
+
+  test("dedup invariant: dropExactDuplicates is idempotent and minimal") {
+    val docs = samples(plainTitle, 100).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = graft.operators.Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    val twice = graft.operators.Dedup.dropExactDuplicates(once, "doc_id", "text")
+    assert(once.count() === twice.count())
+    assert(once.select(graft.operators.TextAnalysis.textHash(col("text"))).distinct().count()
+      === once.count())
+  }
+}
