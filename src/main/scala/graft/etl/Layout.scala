@@ -36,4 +36,11 @@ object Layout {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** True iff a filter on the partition column pruned the file listing
+    * (PartitionFilters in the scan node) — used by LayoutSpec to prove
+    * the pruning, and handy as a planning diagnostic. */
+  def partitionFilterCount(df: DataFrame): Int =
+    "PartitionFilters: \\[[^\\]]".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
 }

@@ -88,6 +88,35 @@ object EventsStreaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Custom arbitrary state via mapGroupsWithState: per-user running
+    * totals (event count + value cents) carried across micro-batches.
+    * This is the escape hatch for state machines session_window can't
+    * express; here it doubles as the API demonstration, validated in
+    * batch-equivalent form by StreamingSpec. */
+  case class UserState(userId: Long, nEvents: Long, valueCents: Long)
+
+  def userRunningTotals(spark: SparkSession,
+                        events: DataFrame): org.apache.spark.sql.Dataset[UserState] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col("user_id").as("userId"),
+        col("event_id"),
+        graft.functions.ExactNum.cents(col("value")).as("valueCents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, 0L))
+          var n = prev.nEvents
+          var v = prev.valueCents
+          rows.foreach { r => n += 1; v += r._3 }
+          val next = UserState(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+
   /** Stateful per-user sessionization via flatMapGroupsWithState-style
     * processing expressed with built-in session windows: events within
     * `gap` of each other form one session (custom state without custom

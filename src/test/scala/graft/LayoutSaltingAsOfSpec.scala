@@ -29,6 +29,22 @@ class LayoutSaltingAsOfSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned layout prunes non-matching partitions at scan") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Layout.writePartitioned(
+      Tables.orders(spark, dir)
+        .withColumn("order_year", year(col("o_orderdate"))),
+      out, "order_year")
+    val pruned = spark.read.parquet(out).filter(col("order_year") === 1996)
+    assert(Layout.partitionFilterCount(pruned) >= 1,
+      pruned.queryExecution.executedPlan.toString)
+    assert(pruned.count() > 0)
+    // pruned read touches only the matching partition directory's rows
+    val full = spark.read.parquet(out)
+    assert(pruned.count() === full.filter(col("order_year") === 1996).count())
+  }
+
   test("salted join returns exactly the unsalted result under skew") {
     // skewed fact: 10k rows on one hot key, a few on others
     val large = (Seq.fill(10000)(1) ++ Seq(2, 2, 3)).toDF("k")

@@ -43,6 +43,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(sunk === batch)
   }
 
+  test("mapGroupsWithState running totals match a plain aggregation") {
+    val q = EventsStreaming.userRunningTotals(
+      spark, EventsStreaming.readEventsStream(spark, sfDir))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("user_totals_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update mode emits one row per (user, batch); the last per user is
+    // the final state — with a single AvailableNow batch there is one.
+    val streamed = spark.table("user_totals_test")
+      .groupBy("userId")
+      .agg(org.apache.spark.sql.functions.max("nEvents").as("n"),
+           org.apache.spark.sql.functions.max("valueCents").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+           org.apache.spark.sql.functions.sum(
+             graft.functions.ExactNum.cents(org.apache.spark.sql.functions.col("value"))).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("session windows produce bounded, ordered sessions") {
     val sessions = EventsStreaming.userSessions(
       graft.sources.Tables.events(spark, sfDir), "10 minutes")
