@@ -76,6 +76,21 @@ object TextAnalysis {
     when(stopwordRatio(text, stops) >= threshold, lit("en"))
       .otherwise(lit("unknown"))
 
+  /** Deterministic dataset splitting for training pipelines: assign
+    * each document to train/val/test by a content-hash bucket —
+    * reproducible across runs, engines, and partitionings (no RNG, no
+    * sampling state), and stable under re-sharding of the corpus.
+    * Buckets: md5 first byte (0..255); val = [0, valPct*256),
+    * test = next band, train = rest. */
+  def hashSplit(keyCol: Column, valPct: Double = 0.1, testPct: Double = 0.1): Column = {
+    val bucket = conv(substring(md5(keyCol), 1, 2), 16, 10).cast("int")
+    val valMax = (valPct * 256).toInt
+    val testMax = valMax + (testPct * 256).toInt
+    when(bucket < valMax, lit("val"))
+      .when(bucket < testMax, lit("test"))
+      .otherwise(lit("train"))
+  }
+
   /** Composite quality score in [0,1]: length credit (saturating at 100
     * tokens) + stopword-density credit. Deterministic: exact ints into
     * a fixed IEEE expression tree. */

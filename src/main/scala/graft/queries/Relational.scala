@@ -341,6 +341,30 @@ object Relational {
           .as("approx_median_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot / crosstab (q22): order counts by status × priority. Spark's
+    * pivot relational operator; the oracle mirrors with conditional
+    * aggregation under the same column aliases. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot(col("o_orderpriority"), prios)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q22Sql = {
+    val cols = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      .map(p => s"COUNT(*) FILTER (WHERE o_orderpriority = '$p') AS \"$p\"")
+      .mkString(",\n  ")
+    s"""SELECT o_orderstatus,
+       |  $cols
+       |FROM orders
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_topk_orders", q02, Some(q02Sql)),
@@ -357,5 +381,6 @@ object Relational {
     QuerySpec("q13_token_counts", q13, Some(q13Sql)),
     QuerySpec("q18_rollup_orders", q18, Some(q18Sql)),
     QuerySpec("q19_median_by_status", q19, Some(q19Sql)),
-    QuerySpec("q21_sketches", q21, None))
+    QuerySpec("q21_sketches", q21, None),
+    QuerySpec("q22_pivot_status_priority", q22, Some(q22Sql)))
 }

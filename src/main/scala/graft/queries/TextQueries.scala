@@ -218,6 +218,32 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test hash split (d11): content-hash
+    * buckets, reproducible at any partitioning — counts per (split,
+    * lang) prove stratification-free assignment is stable. */
+  private def d11(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(
+        TextAnalysis.hashSplit(TextAnalysis.textHash(col("text"))).as("split"),
+        col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+
+  private val d11Sql =
+    """SELECT split, lang, COUNT(*) AS n_docs
+      |FROM (SELECT lang,
+      |        CASE WHEN bucket < 25 THEN 'val'
+      |             WHEN bucket < 50 THEN 'test'
+      |             ELSE 'train' END AS split
+      |      FROM (SELECT lang,
+      |              (strpos('0123456789abcdef', h[1]) - 1) * 16 +
+      |              (strpos('0123456789abcdef', h[2]) - 1) AS bucket
+      |            FROM (SELECT lang,
+      |                    substr(md5(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))), 1, 2) AS h
+      |                  FROM documents)))
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -228,5 +254,6 @@ object TextQueries {
     QuerySpec("d07_jaccard_pairs", d07, Some(d07Sql)),
     QuerySpec("d08_simhash", d08, Some(d08Sql)),
     QuerySpec("d09_rolling_hash", d09, Some(d09Sql)),
-    QuerySpec("d10_bpeish_tokens", d10, Some(d10Sql)))
+    QuerySpec("d10_bpeish_tokens", d10, Some(d10Sql)),
+    QuerySpec("d11_hash_split", d11, Some(d11Sql)))
 }
