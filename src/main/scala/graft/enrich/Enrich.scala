@@ -50,6 +50,7 @@ object Enrich {
       client: EnrichmentClient,
       cap: Int = 400,
       delayMs: Long = 0L,
+      interRetryDelayMs: Long = 0L, // reference sleeps 0.1 s between ladder rungs (etl1.py:212,233)
       singlePartition: Boolean = true): DataFrame = {
     import spark.implicits._
 
@@ -76,12 +77,15 @@ object Enrich {
       rows.map { in =>
         if (delayMs > 0) Thread.sleep(delayMs) // S6 token bucket (fixed cadence)
         try {
-          // Strategy ladder (etl1.py:176-244): title+year → title → imdb id.
+          // Strategy ladder (etl1.py:176-244): title+year → title → imdb id,
+          // with the reference's short pause between rungs.
+          def pause(): Unit = if (interRetryDelayMs > 0) Thread.sleep(interRetryDelayMs)
           val s1 = in.release_year.flatMap(y => client.byTitleYear(in.clean_title, y))
             .map(r => (r, "title_year"))
-          val s2 = s1.orElse(client.byTitle(in.clean_title).map(r => (r, "title_only")))
-          val s3 = s2.orElse(in.imdb_id_lookup.flatMap(client.byImdbId)
-            .map(r => (r, "imdb_id")))
+          val s2 = s1.orElse { pause()
+            client.byTitle(in.clean_title).map(r => (r, "title_only")) }
+          val s3 = s2.orElse { pause()
+            in.imdb_id_lookup.flatMap(client.byImdbId).map(r => (r, "imdb_id")) }
           s3 match {
             case Some((r, strat)) => EnrichResult(in.movieId,
               r.imdbId, r.director, r.plot, r.boxOffice, r.imdbRating, r.runtime,

@@ -35,4 +35,23 @@ object DataQuality {
   /** A9: value histogram. */
   def histogram(df: DataFrame, colName: String): DataFrame =
     df.groupBy(col(colName)).agg(count(lit(1)).as("count")).orderBy(col(colName))
+
+  /** §3.3 metrics row: one-row report over the curated movie schema —
+    * row counts, FK violation counts, and null rates for the audited
+    * columns — the per-run artifact the reference assembled by hand. */
+  def runReport(movies: DataFrame, genres: DataFrame,
+                movieGenres: DataFrame, ratings: DataFrame): DataFrame = {
+    val mgMovieViol = fkViolations(movieGenres, "movie_id", movies, "movie_id").count()
+    val mgGenreViol = fkViolations(movieGenres, "genre_id", genres, "genre_id").count()
+    val rViol = fkViolations(ratings, "movie_id", movies, "movie_id").count()
+    movies.agg(
+      count(lit(1)).as("n_movies"),
+      sum(when(col("imdb_id").isNull, 1L).otherwise(0L)).as("null_imdb_id"),
+      sum(when(col("release_year").isNull, 1L).otherwise(0L)).as("null_year"))
+      .withColumn("n_genres", lit(genres.count()))
+      .withColumn("n_movie_genres", lit(movieGenres.count()))
+      .withColumn("n_ratings", lit(ratings.count()))
+      .withColumn("fk_violations",
+        lit(mgMovieViol + mgGenreViol + rViol))
+  }
 }

@@ -88,6 +88,35 @@ object EventsStreaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Watermarked streaming deduplication: drop events whose event_id
+    * reappears within the watermark horizon — the streaming face of the
+    * exact-dedup operator (state bounded by the watermark, so memory is
+    * O(events per horizon), not O(stream)). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id", "ts")
+
+  /** Stream-stream join: purchases joined to errors of the same user
+    * within a ±10-minute event-time band. Both sides watermarked, so
+    * join state expires; the time-band condition is what bounds the
+    * buffered range. */
+  def purchasesNearErrors(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "30 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", "30 minutes")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
+  }
+
   /** Custom arbitrary state via mapGroupsWithState: per-user running
     * totals (event count + value cents) carried across micro-batches.
     * This is the escape hatch for state machines session_window can't

@@ -104,6 +104,17 @@ class EtlPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(q6.getLong(1) === 9742L - 3L) // 3 stub enrichments set imdb_id
   }
 
+  test("data-quality run report: counts line up, zero FK violations") {
+    val report = graft.quality.DataQuality.runReport(
+      result.movies, result.genres, result.movieGenres, result.ratings).head()
+    assert(report.getAs[Long]("n_movies") === 9742L)
+    assert(report.getAs[Long]("n_genres") === 20L)
+    assert(report.getAs[Long]("n_movie_genres") === 22084L)
+    assert(report.getAs[Long]("n_ratings") === 100836L)
+    assert(report.getAs[Long]("fk_violations") === 0L)
+    assert(report.getAs[Long]("null_imdb_id") === 9742L - 3L)
+  }
+
   test("curated movies round-trip as a typed Dataset[Movie]") {
     import spark.implicits._
     val ds = result.movies

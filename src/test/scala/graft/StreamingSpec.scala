@@ -67,6 +67,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed === batch)
   }
 
+  test("stream-stream time-band join matches its batch equivalent") {
+    val q = EventsStreaming.purchasesNearErrors(
+      EventsStreaming.readEventsStream(spark, sfDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pp_near_err_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("pp_near_err_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch equivalent of the same band join
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val p = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id AS pu", "ts AS pts", "event_id AS pid")
+    val e = ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .selectExpr("user_id AS eu", "ts AS ets", "event_id AS eid")
+    val batch = p.join(e, org.apache.spark.sql.functions.expr(
+      "pu = eu AND ets >= pts - INTERVAL 10 MINUTES AND ets <= pts + INTERVAL 10 MINUTES"))
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("eid"))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermarked streaming dedup passes unique events through") {
+    val q = EventsStreaming.dedupedEvents(
+      EventsStreaming.readEventsStream(spark, sfDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_events_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // event_ids are unique in the source, so dedup must be lossless
+    assert(spark.table("dedup_events_test").count() ===
+      graft.sources.Tables.events(spark, sfDir).count())
+  }
+
   test("session windows produce bounded, ordered sessions") {
     val sessions = EventsStreaming.userSessions(
       graft.sources.Tables.events(spark, sfDir), "10 minutes")
