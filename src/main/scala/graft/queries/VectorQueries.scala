@@ -79,8 +79,18 @@ object VectorQueries {
       |ORDER BY cos DESC, v1 ASC, v2 ASC
       |LIMIT 20""".stripMargin
 
+  /** IVF-flat ANN, same queries (e04) — rows-only check like e02; its
+    * exhaustive-probe equivalence to e01 is pinned in the test suite. */
+  private def e04(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val index = graft.operators.Ivf.build(emb, k = 16, iters = 2)
+    graft.operators.Ivf.search(index, emb.filter(QueryPred), K, nprobe = 4)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_ann_lsh", e02, None),
-    QuerySpec("e03_cosine_neardup", e03, Some(e03Sql)))
+    QuerySpec("e03_cosine_neardup", e03, Some(e03Sql)),
+    QuerySpec("e04_ann_ivf", e04, None))
 }

@@ -77,6 +77,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("IVF ANN: probing more cells increases recall; cos values exact") {
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = Ivf.build(emb, k = 8, iters = 2)
+    // every vector lands in exactly one cell
+    assert(index.assigned.count() === emb.count())
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.knnExact(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Ivf.search(index, queries, k = 5, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4); val r8 = recallAt(8)
+    assert(r4 >= r1, s"recall@nprobe4 $r4 < @1 $r1")
+    assert(r8 >= 0.999, s"probing all cells must be exhaustive, got $r8")
+    assert(r1 > 0.0)
+  }
+
   test("multimodal: binary plumbing with stubbed decode") {
     val bin = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
