@@ -41,11 +41,30 @@ class StubEnrichmentClient(
     byIdMap.get(imdbId)
 }
 
+/** F9: the 6-field OMDb JSON projection (etl1.py:160-167), separated
+  * from transport so the parse semantics — `Response:"False"` rejection
+  * and missing-field tolerance — are testable offline. */
+object OmdbJson {
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def parse(body: String): Option[OmdbRecord] = {
+    val node = mapper.readTree(body)
+    if (node.path("Response").asText() != "True") return None
+    def f(name: String): Option[String] = {
+      val v = node.path(name)
+      if (v.isMissingNode || v.isNull) None else Option(v.asText())
+    }
+    Some(OmdbRecord(f("imdbID"), f("Director"), f("Plot"),
+      f("BoxOffice"), f("imdbRating"), f("Runtime")))
+  }
+}
+
 /** Real OMDb HTTP client (S4/S5 params per etl1.py:147-151,186-190;
   * 10 s timeout etl1.py:153). Uses JDK HttpClient + the Jackson already
-  * on Spark's classpath. Not exercised in the offline test environment —
-  * the operator is validated through the stub — but it is the production
-  * binding.
+  * on Spark's classpath. The HTTP leg is not exercised in the offline
+  * test environment — the operator is validated through the stub and
+  * OmdbJson.parse — but it is the production binding.
   */
 class OmdbHttpClient(apiKey: String,
                      baseUrl: String = "https://www.omdbapi.com/")
@@ -53,7 +72,6 @@ class OmdbHttpClient(apiKey: String,
 
   @transient private lazy val http = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10)).build()
-  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def get(params: Map[String, String]): Option[OmdbRecord] = {
     val qs = (params + ("apikey" -> apiKey))
@@ -64,14 +82,7 @@ class OmdbHttpClient(apiKey: String,
       .timeout(java.time.Duration.ofSeconds(10)).GET().build()
     val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200) return None
-    val node = mapper.readTree(resp.body())
-    if (node.path("Response").asText() != "True") return None
-    def f(name: String): Option[String] = {
-      val v = node.path(name)
-      if (v.isMissingNode || v.isNull) None else Option(v.asText())
-    }
-    Some(OmdbRecord(f("imdbID"), f("Director"), f("Plot"),
-      f("BoxOffice"), f("imdbRating"), f("Runtime")))
+    OmdbJson.parse(resp.body())
   }
 
   override def byTitleYear(title: String, year: Int): Option[OmdbRecord] =
