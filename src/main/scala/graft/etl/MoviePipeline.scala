@@ -52,8 +52,13 @@ object MoviePipeline {
     val genres      = Transform.genreDim(transformed)
     val movieGenres = Transform.movieGenres(transformed, genres)
 
-    // Ratings cleaning (P4/F5)
-    val ratingsClean = Transform.cleanRatings(ratingsRaw)
+    // Ratings cleaning (P4/F5). The raw-row count rides along as an
+    // Observation metric, so raw+clean counts cost ONE pass over the
+    // file instead of two — the A10 metrics pattern that matters when
+    // "the file" is 100 TB.
+    val ratingsObs = org.apache.spark.sql.Observation("ratings_raw")
+    val ratingsClean = Transform.cleanRatings(
+      ratingsRaw.observe(ratingsObs, count(lit(1)).as("n_raw")))
 
     // Curated projection (P3) + validation split (S8 policy)
     val curated          = Transform.curatedMovies(enriched)
@@ -68,9 +73,10 @@ object MoviePipeline {
       Load.writeMissesLog(dir, misses)
     }
 
-    // Metrics (A10) — one pass per branch, counts only
-    val nRatingsRaw   = ratingsRaw.count()
+    // Metrics (A10) — clean count triggers the plan; the raw count
+    // arrives via the Observation from the same pass.
     val nRatingsClean = ratingsClean.count()
+    val nRatingsRaw   = ratingsObs.get("n_raw").asInstanceOf[Long]
     val attempted = enriched.filter(
       col("strategy").isNotNull || col("error_reason").isNotNull)
     val strategyHits = attempted.filter(col("strategy").isNotNull)

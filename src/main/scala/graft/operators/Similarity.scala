@@ -90,6 +90,29 @@ object Similarity {
       .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_r6"))
   }
 
+  /** Scale path for near-dup: candidate pairs must share an IVF cell
+    * (vectors cluster, so near-duplicates co-locate), exact re-rank on
+    * candidates only — N²/cells pair evaluations instead of N².
+    * Approximate: a pair split across cells is missed; measure recall
+    * against topSimilarPairs on a sample (DedupSimilaritySpec). */
+  def nearDupBlocked(emb: DataFrame, topN: Int, cells: Int = 16): DataFrame = {
+    val index = Ivf.build(emb, cells, iters = 2)
+    val a = index.assigned.select(col("cell_id"),
+      col("vec_id").as("v1"), col("embedding").as("e1"))
+      .withColumn("n1", norm2E12(col("e1")))
+    val b = index.assigned.select(col("cell_id"),
+      col("vec_id").as("v2"), col("embedding").as("e2"))
+      .withColumn("n2", norm2E12(col("e2")))
+    val cos = cosineFromE12(col("dot_e12"), col("n1"), col("n2"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("dot_e12", dotE12(col("e1"), col("e2")))
+      .withColumn("cos", cos)
+      .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
+      .limit(topN)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_r6"))
+  }
+
   /** Deterministic ±1 hyperplane component for (plane, dim): parity of
     * the first hex digit of md5("p<plane>_d<dim>"). */
   private def hyperplane(plane: Int, dims: Int): Array[Double] = {

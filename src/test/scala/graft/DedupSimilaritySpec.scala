@@ -97,6 +97,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(r1 > 0.0)
   }
 
+  test("blocked near-dup overlaps exact top pairs with exact cosines") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.topSimilarPairs(emb, 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val blocked = Similarity.nearDupBlocked(emb, 20, cells = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val overlap = exact.keySet intersect blocked.keySet
+    assert(overlap.nonEmpty, "blocked candidates should find some true top pairs")
+    overlap.foreach(k => assert(exact(k) === blocked(k))) // exact re-rank
+  }
+
   test("multimodal: binary plumbing with stubbed decode") {
     val bin = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
