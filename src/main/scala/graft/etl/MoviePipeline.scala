@@ -45,8 +45,12 @@ object MoviePipeline {
     // Transform (P1, F1/F2)
     val transformed = Transform.transformMovies(moviesRaw)
 
-    // Enrich (S4-S6, J1)
-    val enriched = Enrich.enrich(spark, transformed, links, client, cap)
+    // Enrich (S4-S6, J1). The enrichment plan is SIDE-EFFECTING (HTTP
+    // calls); persist it so the several downstream actions (writes +
+    // metrics counts) execute the ladder exactly once — otherwise every
+    // action re-fires the API calls and metrics can diverge from the
+    // written output.
+    val enriched = Enrich.enrich(spark, transformed, links, client, cap).persist()
 
     // Dimensions + junction (A1-A3)
     val genres      = Transform.genreDim(transformed)
@@ -93,6 +97,7 @@ object MoviePipeline {
       nEnrichSucceeded = strategyHits.values.sum,
       strategyHits = strategyHits)
 
+    enriched.unpersist(blocking = false)
     Result(validMovies, genres, movieGenres, ratingsClean, misses, metrics)
   }
 }

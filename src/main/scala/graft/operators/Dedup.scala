@@ -172,6 +172,9 @@ object Dedup {
     * nibble bands (a pair within hamming r<=3 of 16 bits shares at least
     * one of 4 nibbles), then verify with bit_count on candidates only. */
   def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // pigeonhole: 4 nibble bands guarantee a shared band only for
+    // hamming <= 3; larger radii would silently lose qualifying pairs.
+    require(maxHamming <= 3, s"nibble blocking is complete only for hamming <= 3, got $maxHamming")
     val nibbles = (0 until 4).map { nb =>
       struct(lit(nb).as("band"),
         shiftright(col("simhash"), nb * 4).bitwiseAND(lit(15)).as("bk"))

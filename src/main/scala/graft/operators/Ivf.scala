@@ -51,10 +51,18 @@ object Ivf {
 
     for (_ <- 0 until iters) {
       val assigned = bestCell(emb, centroids)
+      // exact scaled-integer mean (sum of e12 longs / count): avg() on
+      // doubles is reduction-order dependent, which would make centroids
+      // — and therefore cell assignments — vary with partitioning,
+      // breaking the module's determinism contract.
       centroids = assigned
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cell_id"), col("pos"),
+          round(col("v").cast("double") * lit(1.0e12), 0).cast("long").as("v12"))
         .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg(sum(col("v12")).as("s12"), count(lit(1)).as("n"))
+        .withColumn("m",
+          col("s12").cast("double") / col("n").cast("double") / lit(1.0e12))
         .groupBy(col("cell_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),

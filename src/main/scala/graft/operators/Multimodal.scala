@@ -51,10 +51,11 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder init happens here (stub: nothing)
+        // per-partition init: one digest instance reused across rows
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, bytes) =>
           val (w, h, f) = decodeStub(bytes)
-          val md = java.security.MessageDigest.getInstance("MD5")
+          md.reset()
           val fp = md.digest(bytes).map("%02x".format(_)).mkString
           MediaMeta(id, kind, bytes.length.toLong, w, h, f, fp)
         }

@@ -91,11 +91,13 @@ object EventsStreaming {
   /** Watermarked streaming deduplication: drop events whose event_id
     * reappears within the watermark horizon — the streaming face of the
     * exact-dedup operator (state bounded by the watermark, so memory is
-    * O(events per horizon), not O(stream)). */
+    * O(events per horizon), not O(stream)). Uses
+    * dropDuplicatesWithinWatermark so a redelivered id with a restamped
+    * timestamp is still deduplicated. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream join: purchases joined to errors of the same user
     * within a ±10-minute event-time band. Both sides watermarked, so
