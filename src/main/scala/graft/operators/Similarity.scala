@@ -132,14 +132,26 @@ object Similarity {
 
   /** ANN via LSH buckets: candidates share a bucket; exact cosine
     * re-ranks candidates only. Recall < 1 by construction — pair with
-    * knnExact on a sample to measure it (the scale/quality trade knob
-    * is `planes`).
+    * knnExact on a sample to measure it (the scale/quality trade knobs
+    * are `planes` and `multiProbe`).
+    *
+    * Multi-probe: a query also probes every bucket at hamming distance
+    * 1 from its own (flip one hyperplane sign) — near neighbors that
+    * fall just across one boundary are recovered for a (planes+1)×
+    * candidate cost, far cheaper than halving `planes`.
     */
   def annLsh(emb: DataFrame, queryFilter: Column, k: Int,
-             planes: Int = 6, dims: Int = 64): DataFrame = {
+             planes: Int = 6, dims: Int = 64,
+             multiProbe: Boolean = true): DataFrame = {
     val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), planes, dims))
+    val probes =
+      if (multiProbe)
+        array((col("bucket") +: (0 until planes)
+          .map(p => col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+      else array(col("bucket"))
     val q = bucketed.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probes).as("bucket"))
       .withColumn("qn", norm2E12(col("qe")))
     val c = bucketed
       .select(col("vec_id").as("vid"), col("embedding").as("ce"), col("bucket"))

@@ -66,7 +66,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     val ann = Similarity.annLsh(emb, col("vec_id") < 10, 5, planes = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact intersect ann).size.toDouble / exact.size
-    assert(recall >= 0.2, s"recall@5 was $recall") // 3-plane buckets: coarse but useful
+    assert(recall >= 0.5, s"recall@5 was $recall") // 3 planes + multi-probe: 0.68 measured
     // cosine agreement where both found the same neighbor
     val exactCos = Similarity.knnExact(emb, col("vec_id") < 10, 5)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
