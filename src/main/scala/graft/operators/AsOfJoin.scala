@@ -49,11 +49,11 @@ object AsOfJoin {
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
     val l = left.select(
       lit(false).as("__is_ref"), lit(null).cast(rType).as("__p"),
-      struct(left.columns.map(col): _*).as("__l"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
       col(keyCol).as("__k"), col(timeCol).as("__t"),
       col(leftTie).cast("long").as("__tie"))
     val r = right.select(
-      lit(true).as("__is_ref"), struct(right.columns.map(col): _*).as("__p"),
+      lit(true).as("__is_ref"), struct(right.columns.toIndexedSeq.map(col): _*).as("__p"),
       lit(null).cast(lType).as("__l"),
       col(keyCol).as("__k"), col(timeCol).as("__t"),
       col(rightTie).cast("long").as("__tie"))

@@ -126,7 +126,7 @@ object Similarity {
   /** LSH bucket id: sign bit per hyperplane, packed to an int. */
   def lshBucket(embCol: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      val h = array(hyperplane(p, dims).map(lit): _*)
+      val h = array(hyperplane(p, dims).toIndexedSeq.map(lit): _*)
       when(dotE12(embCol, h) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
