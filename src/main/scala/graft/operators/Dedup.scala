@@ -129,7 +129,10 @@ object Dedup {
     // two sides then share one identical Exchange (planned once, reused
     // via ReusedExchange) and the join itself needs no further shuffle.
     val sh = shingleDf.repartition(col("s"))
-    val card = shingleDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // card reads from the repartitioned branch too: its groupBy re-shuffles
+    // on doc_id either way, but sourcing from `sh` reuses the same
+    // materialized exchange instead of re-running the shingle transform.
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
