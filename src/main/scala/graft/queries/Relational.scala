@@ -365,6 +365,119 @@ object Relational {
        |ORDER BY o_orderstatus""".stripMargin
   }
 
+  /** Set operation INTERSECT (q23): customers that placed both a
+    * finished and an open order. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    f.intersect(p).orderBy(col("custkey"))
+  }
+
+  private val q23Sql =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY custkey""".stripMargin
+
+  /** lag/lead window (q24): per-customer inter-order gap in days; the
+    * first order of each customer has no predecessor (null gap is
+    * filtered, exercising the frame edge). Day arithmetic on date-
+    * truncated timestamps is integer-exact in both engines. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q24Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day', prev_date, o_orderdate) AS gap_days
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey) AS prev_date
+      |  FROM orders)
+      |WHERE prev_date IS NOT NULL
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Exact statistical moments (q25): variance/correlation-class
+    * aggregation carried as exact integer moments (Σx, Σx², n over
+    * whole dollars) — derived statistics are one deterministic
+    * expression away, and the moments themselves are bit-exact at any
+    * partition count (stddev()/corr() on doubles would not be). Whole
+    * dollars, not cents: x² of a 5e5-magnitude value keeps ~3e7 rows
+    * of long headroom per group; at larger scale split Σx² into
+    * hi/lo words. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice"), 0).cast("long").as("d"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("d")).as("sum_dollars"),
+        sum(col("d") * col("d")).as("sum_sq_dollars"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q25Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(d) AS BIGINT) AS sum_dollars,
+      |  CAST(SUM(d * d) AS BIGINT) AS sum_sq_dollars
+      |FROM (SELECT o_orderstatus,
+      |        CAST(ROUND(o_totalprice, 0) AS BIGINT) AS d
+      |      FROM orders)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Date-part extraction (q26): orders per (year, month) — calendar
+    * functions agree across engines for year/month/day. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("y"), col("m"))
+
+  private val q26Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** String-function breadth (q27): upper/substring/lpad/replace over
+    * part names — every expression mirrored verbatim. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 4).as("pre4"),
+        lpad(col("p_brand"), 10, "_").as("brand_pad"),
+        regexp_replace(col("p_name"), "e", "3").as("leetish"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  private val q27Sql =
+    """SELECT p_partkey,
+      |  upper(p_name) AS up,
+      |  substring(p_name, 1, 4) AS pre4,
+      |  lpad(p_brand, 10, '_') AS brand_pad,
+      |  regexp_replace(p_name, 'e', '3', 'g') AS leetish,
+      |  CAST(length(p_name) AS BIGINT) AS name_len
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_topk_orders", q02, Some(q02Sql)),
@@ -382,5 +495,10 @@ object Relational {
     QuerySpec("q18_rollup_orders", q18, Some(q18Sql)),
     QuerySpec("q19_median_by_status", q19, Some(q19Sql)),
     QuerySpec("q21_sketches", q21, None),
-    QuerySpec("q22_pivot_status_priority", q22, Some(q22Sql)))
+    QuerySpec("q22_pivot_status_priority", q22, Some(q22Sql)),
+    QuerySpec("q23_custkeys_intersect", q23, Some(q23Sql)),
+    QuerySpec("q24_order_gaps_lag", q24, Some(q24Sql)),
+    QuerySpec("q25_exact_moments", q25, Some(q25Sql)),
+    QuerySpec("q26_orders_by_month", q26, Some(q26Sql)),
+    QuerySpec("q27_string_functions", q27, Some(q27Sql)))
 }
