@@ -24,14 +24,18 @@ object Dedup {
 
   // ---------------- exact ----------------
 
-  /** Exact duplicate groups: canonical-form hash → groups with >1 doc. */
-  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(TextAnalysis.textHash(col(textCol)).as("text_hash"), col(idCol))
-      .groupBy(col("text_hash"))
+  private def duplicateGroups(df: DataFrame, idCol: String,
+                              key: Column, keyName: String): DataFrame =
+    df.select(key.as(keyName), col(idCol))
+      .groupBy(col(keyName))
       .agg(count(lit(1)).as("n_docs"),
            min(col(idCol)).as("min_doc_id"),
            max(col(idCol)).as("max_doc_id"))
       .filter(col("n_docs") > 1)
+
+  /** Exact duplicate groups: canonical-form hash → groups with >1 doc. */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    duplicateGroups(df, idCol, TextAnalysis.textHash(col(textCol)), "text_hash")
 
   /** Deterministic exact dedup: keep the smallest id per canonical hash.
     * (dropDuplicates keeps an arbitrary row; a window makes the survivor
@@ -47,12 +51,7 @@ object Dedup {
   /** Bag-of-words fingerprint duplicate groups (order/repetition
     * invariant — catches shuffled near-dups). */
   def fingerprintDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(TextAnalysis.bagFingerprint(col(textCol)).as("fp"), col(idCol))
-      .groupBy(col("fp"))
-      .agg(count(lit(1)).as("n_docs"),
-           min(col(idCol)).as("min_doc_id"),
-           max(col(idCol)).as("max_doc_id"))
-      .filter(col("n_docs") > 1)
+    duplicateGroups(df, idCol, TextAnalysis.bagFingerprint(col(textCol)), "fp")
 
   // ---------------- shingles ----------------
 

@@ -87,20 +87,12 @@ object Ivf {
       .filter(col("__rn") <= nprobe)
       .select(col("qid"), col("qe"), col("cell_id"))
 
-    val cSim = Similarity.cosineFromE12(
-      col("dot_e12"), col("qn"), col("cn"))
-    val rankW = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vid").asc)
-    probes
+    val candidates = probes
+      .withColumn("qn", Similarity.norm2E12(col("qe")))
       .join(index.assigned.withColumnRenamed("vec_id", "vid")
         .withColumnRenamed("embedding", "ce"), Seq("cell_id"))
       .filter(col("qid") =!= col("vid"))
-      .withColumn("dot_e12", Similarity.dotE12(col("qe"), col("ce")))
-      .withColumn("qn", Similarity.norm2E12(col("qe")))
       .withColumn("cn", Similarity.norm2E12(col("ce")))
-      .withColumn("cos", cSim)
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vid"), round(col("cos"), 6).as("cos_r6"))
+    Similarity.rankTopK(candidates, k)
   }
 }

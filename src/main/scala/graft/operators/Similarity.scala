@@ -49,6 +49,34 @@ object Similarity {
   def cosineFromE12(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
+  /** Exact scoring + per-query top-k tail shared by every kNN/ANN
+    * variant. Expects candidate rows carrying (qid, qe, qn) × (vid, ce,
+    * cn); emits (qid, rank, vid, cos_r6). */
+  private[operators] def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val cos = cosineFromE12(col("dot_e12"), col("qn"), col("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    candidates
+      .withColumn("dot_e12", dotE12(col("qe"), col("ce")))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid"), round(col("cos"), 6).as("cos_r6"))
+  }
+
+  /** Pair scoring + global ordering tail shared by the near-dup
+    * variants. Expects (v1, e1, n1) × (v2, e2, n2) candidate rows. */
+  private[operators] def rankTopPairs(candidates: DataFrame, topN: Int,
+                                      minCos: Double): DataFrame = {
+    val cos = cosineFromE12(col("dot_e12"), col("n1"), col("n2"))
+    candidates
+      .withColumn("dot_e12", dotE12(col("e1"), col("e2")))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= minCos)
+      .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
+      .limit(topN)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_r6"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * other vectors. Query side is small → broadcast; corpus is read
     * once; per-query top-k via row_number window (ties broken by id).
@@ -60,14 +88,7 @@ object Similarity {
     val c = emb
       .select(col("vec_id").as("vid"), col("embedding").as("ce"))
       .withColumn("cn", norm2E12(col("ce")))
-    val cos = cosineFromE12(col("dot_e12"), col("qn"), col("cn"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
-    c.join(broadcast(q), col("qid") =!= col("vid"))
-      .withColumn("dot_e12", dotE12(col("qe"), col("ce")))
-      .withColumn("cos", cos)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vid"), round(col("cos"), 6).as("cos_r6"))
+    rankTopK(c.join(broadcast(q), col("qid") =!= col("vid")), k)
   }
 
   /** Embedding-cosine near-dup: the globally most-similar pairs (or all
@@ -80,14 +101,7 @@ object Similarity {
       .withColumn("n1", norm2E12(col("e1")))
     val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
       .withColumn("n2", norm2E12(col("e2")))
-    val cos = cosineFromE12(col("dot_e12"), col("n1"), col("n2"))
-    a.join(b, col("v1") < col("v2"))
-      .withColumn("dot_e12", dotE12(col("e1"), col("e2")))
-      .withColumn("cos", cos)
-      .filter(col("cos") >= minCos)
-      .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
-      .limit(topN)
-      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_r6"))
+    rankTopPairs(a.join(b, col("v1") < col("v2")), topN, minCos)
   }
 
   /** Scale path for near-dup: candidate pairs must share an IVF cell
@@ -103,14 +117,8 @@ object Similarity {
     val b = index.assigned.select(col("cell_id"),
       col("vec_id").as("v2"), col("embedding").as("e2"))
       .withColumn("n2", norm2E12(col("e2")))
-    val cos = cosineFromE12(col("dot_e12"), col("n1"), col("n2"))
-    a.join(b, Seq("cell_id"))
-      .filter(col("v1") < col("v2"))
-      .withColumn("dot_e12", dotE12(col("e1"), col("e2")))
-      .withColumn("cos", cos)
-      .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
-      .limit(topN)
-      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_r6"))
+    rankTopPairs(a.join(b, Seq("cell_id")).filter(col("v1") < col("v2")),
+      topN, minCos = -1.0)
   }
 
   /** Deterministic ±1 hyperplane component for (plane, dim): parity of
@@ -156,14 +164,7 @@ object Similarity {
     val c = bucketed
       .select(col("vec_id").as("vid"), col("embedding").as("ce"), col("bucket"))
       .withColumn("cn", norm2E12(col("ce")))
-    val cos = cosineFromE12(col("dot_e12"), col("qn"), col("cn"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("qid") =!= col("vid"))
-      .withColumn("dot_e12", dotE12(col("qe"), col("ce")))
-      .withColumn("cos", cos)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vid"), round(col("cos"), 6).as("cos_r6"))
+    rankTopK(
+      c.join(broadcast(q), Seq("bucket")).filter(col("qid") =!= col("vid")), k)
   }
 }

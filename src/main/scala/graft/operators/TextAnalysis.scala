@@ -40,7 +40,7 @@ object TextAnalysis {
   /** Whitespace collapse + trim + lowercase: the canonical form for
     * exact deduplication. */
   def normalizeText(text: Column): Column =
-    lower(trim(regexp_replace(text, "\\s+", " ")))
+    lower(graft.functions.TextFunctions.collapseWhitespace(text))
 
   /** Exact-dedup key: md5 of the canonical form. */
   def textHash(text: Column): Column = md5(normalizeText(text))

@@ -21,9 +21,11 @@ object DataQuality {
     * present on the left but missing on the right. */
   def missingKeyCount(left: DataFrame, leftKey: String,
                       right: DataFrame, rightKey: String): Long =
-    left.select(col(leftKey)).distinct()
-      .join(right.select(col(rightKey)).distinct(),
-        col(leftKey) === col(rightKey), "left_anti")
+    // internal aliases: the two key columns may share a name, which
+    // would make the join condition ambiguous
+    left.select(col(leftKey).as("__lk")).distinct()
+      .join(right.select(col(rightKey).as("__rk")).distinct(),
+        col("__lk") === col("__rk"), "left_anti")
       .count()
 
   /** A8: per-column null counts in one pass. */

@@ -113,6 +113,14 @@ class EtlPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(report.getAs[Long]("n_ratings") === 100836L)
     assert(report.getAs[Long]("fk_violations") === 0L)
     assert(report.getAs[Long]("null_imdb_id") === 9742L - 3L)
+    // J5 / A8 / A9 operators directly
+    assert(graft.quality.DataQuality.missingKeyCount(
+      result.movieGenres, "movie_id", result.movies, "movie_id") === 0L)
+    val audit = graft.quality.DataQuality.nullAudit(
+      result.movies, Seq("director", "plot")).head()
+    assert(audit.getAs[Long]("total_rows") === 9742L)
+    assert(graft.quality.DataQuality.histogram(result.genres, "genre_name")
+      .count() === 20L)
   }
 
   test("curated movies round-trip as a typed Dataset[Movie]") {

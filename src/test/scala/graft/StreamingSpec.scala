@@ -1,7 +1,11 @@
 package graft
 
+import graft.functions.ExactNum
 import graft.queries.Registry
+import graft.sources.Tables
 import graft.streaming.EventsStreaming
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming/batch equivalence (SURVEY.md §7.5): the windowed streaming
@@ -48,21 +52,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       spark, EventsStreaming.readEventsStream(spark, sfDir))
       .writeStream.outputMode("update").format("memory")
       .queryName("user_totals_test")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     // update mode emits one row per (user, batch); the last per user is
     // the final state — with a single AvailableNow batch there is one.
     val streamed = spark.table("user_totals_test")
       .groupBy("userId")
-      .agg(org.apache.spark.sql.functions.max("nEvents").as("n"),
-           org.apache.spark.sql.functions.max("valueCents").as("v"))
+      .agg(max("nEvents").as("n"), max("valueCents").as("v"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val batch = graft.sources.Tables.events(spark, sfDir)
-      .groupBy(org.apache.spark.sql.functions.col("user_id"))
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
-           org.apache.spark.sql.functions.sum(
-             graft.functions.ExactNum.cents(org.apache.spark.sql.functions.col("value"))).as("v"))
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(ExactNum.cents(col("value"))).as("v"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed === batch)
   }
