@@ -148,6 +148,33 @@ object EventsStreaming {
       }
   }
 
+  /** flatMapGroupsWithState: zero-or-more outputs per group per batch —
+    * here, an alert row the first time a user's running spend crosses
+    * the threshold (state remembers both the total and whether the
+    * alert already fired, so re-deliveries emit nothing). */
+  case class SpendState(totalCents: Long, alerted: Boolean)
+  case class SpendAlert(userId: Long, totalCents: Long)
+
+  def spendAlerts(spark: SparkSession, events: DataFrame,
+                  thresholdCents: Long): org.apache.spark.sql.Dataset[SpendAlert] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").as("userId"),
+        graft.functions.ExactNum.cents(col("value")).as("valueCents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SpendState, SpendAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[SpendState]) =>
+          val prev = state.getOption.getOrElse(SpendState(0L, alerted = false))
+          val total = prev.totalCents + rows.map(_._2).sum
+          val fire = !prev.alerted && total >= thresholdCents
+          state.update(SpendState(total, prev.alerted || fire))
+          if (fire) Iterator(SpendAlert(uid, total)) else Iterator.empty
+      }
+  }
+
   /** Stateful per-user sessionization via flatMapGroupsWithState-style
     * processing expressed with built-in session windows: events within
     * `gap` of each other form one session (custom state without custom

@@ -104,6 +104,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       graft.sources.Tables.events(spark, sfDir).count())
   }
 
+  test("flatMapGroupsWithState emits one alert per user crossing the threshold") {
+    val threshold = 300000L // $3k in cents — splits the sf0.001 users
+    val q = EventsStreaming.spendAlerts(
+      spark, EventsStreaming.readEventsStream(spark, sfDir), threshold)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spend_alerts_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val alerts = spark.table("spend_alerts_test")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch truth: users whose total spend crosses the threshold
+    val totals = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(ExactNum.cents(col("value"))).as("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = totals.filter(_._2 >= threshold).keySet
+    assert(alerts.keySet === expected)
+    assert(alerts.nonEmpty)
+    alerts.foreach { case (u, t) => assert(t >= threshold && t <= totals(u)) }
+  }
+
   test("session windows produce bounded, ordered sessions") {
     val sessions = EventsStreaming.userSessions(
       graft.sources.Tables.events(spark, sfDir), "10 minutes")
