@@ -96,7 +96,7 @@ object Similarity {
     * baseline — at corpus scale swap the candidate stage for annLsh
     * buckets and keep the same scoring/ranking tail. */
   def topSimilarPairs(emb: DataFrame, topN: Int,
-                      minCos: Double = -1.0): DataFrame = {
+                      minCos: Double = Double.NegativeInfinity): DataFrame = {
     val a = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
       .withColumn("n1", norm2E12(col("e1")))
     val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
@@ -117,8 +117,10 @@ object Similarity {
     val b = index.assigned.select(col("cell_id"),
       col("vec_id").as("v2"), col("embedding").as("e2"))
       .withColumn("n2", norm2E12(col("e2")))
+    // -Inf = no similarity filter: an IEEE cosine of an anti-parallel
+    // pair can land a hair below -1.0 and must not be dropped
     rankTopPairs(a.join(b, Seq("cell_id")).filter(col("v1") < col("v2")),
-      topN, minCos = -1.0)
+      topN, minCos = Double.NegativeInfinity)
   }
 
   /** Deterministic ±1 hyperplane component for (plane, dim): parity of
@@ -157,10 +159,12 @@ object Similarity {
         array((col("bucket") +: (0 until planes)
           .map(p => col("bucket").bitwiseXOR(lit(1 << p)))): _*)
       else array(col("bucket"))
+    // qn computed BEFORE the probe explode — once per query, not once
+    // per probed bucket
     val q = bucketed.filter(queryFilter)
+      .withColumn("qn", norm2E12(col("embedding")))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(probes).as("bucket"))
-      .withColumn("qn", norm2E12(col("qe")))
+        col("qn"), explode(probes).as("bucket"))
     val c = bucketed
       .select(col("vec_id").as("vid"), col("embedding").as("ce"), col("bucket"))
       .withColumn("cn", norm2E12(col("ce")))

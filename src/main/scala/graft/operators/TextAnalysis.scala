@@ -38,9 +38,13 @@ object TextAnalysis {
     stopwordCount(text, stops).cast("double") / tokenCount(text).cast("double")
 
   /** Whitespace collapse + trim + lowercase: the canonical form for
-    * exact deduplication. */
+    * exact deduplication. Collapse BEFORE trim (not
+    * TextFunctions.collapseWhitespace, which trims first): Spark trim
+    * strips only 0x20 spaces, so collapsing first guarantees edge
+    * tabs/newlines become plain spaces that trim removes — keeps the
+    * form idempotent and byte-identical to the DuckDB oracle mirrors. */
   def normalizeText(text: Column): Column =
-    lower(graft.functions.TextFunctions.collapseWhitespace(text))
+    lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /** Exact-dedup key: md5 of the canonical form. */
   def textHash(text: Column): Column = md5(normalizeText(text))

@@ -113,8 +113,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val alerts = spark.table("spend_alerts_test")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alertRows = spark.table("spend_alerts_test").collect()
+    val alerts = alertRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alertRows.length === alerts.size, "duplicate alerts for a user")
     // batch truth: users whose total spend crosses the threshold
     val totals = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
