@@ -21,9 +21,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     // a failed query records -1 (not a plausible-looking elapsed time)
+    // noop sink: every output column is fully computed and consumed —
+    // count() would let Catalyst prune projections/sorts, benchmarking
+    // projection-heavy queries as bare row-count scans.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

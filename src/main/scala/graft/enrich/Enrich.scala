@@ -128,7 +128,14 @@ object Enrich {
         coalesce(col("genres"), lit("N/A")).as("genres"),
         TextFunctions.yesNo(col("imdb_id_lookup")).as("imdb_id_available"),
         coalesce(col("imdb_id_lookup"), lit("N/A")).as("imdb_id"),
-        lit("title_year,title_only,imdb_id").as("strategies_attempted"),
+        // only the rungs the ladder actually tried (etl1.py:240): the
+        // title_year rung is skipped without a year, imdb_id without a
+        // link row — concat_ws drops the null entries.
+        concat_ws(",",
+          when(col("release_year").isNotNull, lit("title_year")),
+          lit("title_only"),
+          when(col("imdb_id_lookup").isNotNull, lit("imdb_id")))
+          .as("strategies_attempted"),
         col("error_reason"),
         date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss").as("timestamp"))
 }

@@ -29,7 +29,14 @@ object MoviePipeline {
       movieGenres: DataFrame,
       ratings: DataFrame,
       misses: DataFrame,
-      metrics: RunMetrics)
+      metrics: RunMetrics,
+      /** Drops the cached enrichment that `movies`/`misses` are rooted
+        * in. The cache must outlive the Result (the enrichment plan is
+        * side-effecting — uncached re-execution would re-fire the HTTP
+        * ladder once per downstream action and could diverge from the
+        * written curated layer); call this once the frames are no longer
+        * needed. */
+      release: () => Unit = () => ())
 
   def run(spark: SparkSession,
           dataDir: String,
@@ -97,7 +104,10 @@ object MoviePipeline {
       nEnrichSucceeded = strategyHits.values.sum,
       strategyHits = strategyHits)
 
-    enriched.unpersist(blocking = false)
-    Result(validMovies, genres, movieGenres, ratingsClean, misses, metrics)
+    // NOT unpersisted here: Result.movies/misses are lazy plans rooted
+    // in `enriched`; dropping the cache before the caller's actions
+    // would re-execute the side-effecting ladder per action.
+    Result(validMovies, genres, movieGenres, ratingsClean, misses, metrics,
+      release = () => { enriched.unpersist(blocking = false); () })
   }
 }

@@ -29,15 +29,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
-    * long and rebuild a microsecond TimestampType column (floor
-    * division — matches how nanos-truncating engines downscale).
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). An explicit
+    * LongType schema reads the raw nanos without any session-wide
+    * legacy conf (no hidden sticky state for other readers); the
+    * microsecond TimestampType column is rebuilt with floor division —
+    * matches how nanos-truncating engines downscale.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$d/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -34,7 +34,6 @@ object EventsStreaming {
     * out as a single file next to the other tables — so stage a symlink
     * into a scratch directory and stream that. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
     val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream")
     java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)

@@ -140,4 +140,59 @@ class EtlPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(df.columns.toSeq === Seq("movieId", "imdbId", "tmdbId"))
     assert(df.count() === 0L)
   }
+
+  test("persist lifetime: ladder fires once; actions after run() add zero calls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_count").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "movies.csv"),
+      """movieId,title,genres
+        |1,Alpha (1995),Drama
+        |2,Beta,Comedy
+        |3,Gamma (2000),Action
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "links.csv"),
+      """movieId,imdbId,tmdbId
+        |1,113497,862
+        |3,114709,8844
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "ratings.csv"),
+      """userId,movieId,rating,timestamp
+        |1,1,4.0,828124615
+        |""".stripMargin)
+    CountingStub.calls.set(0)
+    val r = MoviePipeline.run(spark, dir, new CountingStub, cap = 3)
+    // every rung misses: movie 1 (year+link) 3 calls, movie 2 (neither) 1,
+    // movie 3 (year+link) 3 — exactly once each despite run()'s own
+    // several metric actions, because the enrichment plan is cached.
+    assert(CountingStub.calls.get() === 7)
+    r.movies.count(); r.misses.collect(); r.movies.collect()
+    assert(CountingStub.calls.get() === 7) // zero re-fires after run()
+    // only the rungs actually tried appear in the misses log
+    val att = r.misses.orderBy(col("movie_id"))
+      .select("movie_id", "strategies_attempted")
+      .collect().map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(att(1) === "title_year,title_only,imdb_id")
+    assert(att(2) === "title_only")
+    assert(att(3) === "title_year,title_only,imdb_id")
+    r.release()
+  }
+}
+
+/** All-miss client counting every rung invocation. The counter is
+  * JVM-static (companion), not instance state: local-mode closures are
+  * serialized/deserialized, so an instance field would count into a
+  * detached copy. */
+class CountingStub extends graft.enrich.EnrichmentClient {
+  import CountingStub.calls
+  override def byTitleYear(t: String, y: Int): Option[graft.enrich.OmdbRecord] = {
+    calls.incrementAndGet(); None
+  }
+  override def byTitle(t: String): Option[graft.enrich.OmdbRecord] = {
+    calls.incrementAndGet(); None
+  }
+  override def byImdbId(id: String): Option[graft.enrich.OmdbRecord] = {
+    calls.incrementAndGet(); None
+  }
+}
+object CountingStub {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
