@@ -122,12 +122,33 @@ object Dedup {
 
   /** Pairwise Jaccard over shingle sets, restricted to pairs sharing at
     * least one shingle (inverted-index join — never all-pairs). Returns
-    * exact intersection/union counts plus a rounded similarity. */
-  def jaccardPairs(shingleDf: DataFrame, threshold: Double): DataFrame = {
+    * exact intersection/union counts plus a rounded similarity.
+    *
+    * `maxDocFreq` caps hot-shingle fan-out: a shingle appearing in d
+    * documents emits O(d²) candidate pairs, so one corpus-common
+    * shingle is a single-key shuffle explosion at 100 TB. Shingles
+    * above the cap are dropped from the universe — from BOTH the
+    * intersections and the cardinalities, so the result is the exact
+    * Jaccard over the capped shingle universe (consistent set
+    * semantics, mirrored verbatim in the d07 oracle). The trade: a
+    * pair whose every shared shingle is corpus-hot scores lower —
+    * acceptable for near-dup mining, where corpus-hot shingles carry
+    * no dedup signal anyway. */
+  def jaccardPairs(shingleDf: DataFrame, threshold: Double,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // Pre-partition the inverted index on the shingle: the self-join's
     // two sides then share one identical Exchange (planned once, reused
     // via ReusedExchange) and the join itself needs no further shuffle.
-    val sh = shingleDf.repartition(col("s"))
+    val sh0 = shingleDf.repartition(col("s"))
+    // df-cap via a window over the same partitioning — the Exchange
+    // above already satisfies the window's distribution, so capping
+    // adds a sort but no extra shuffle.
+    val sh =
+      if (maxDocFreq == Int.MaxValue) sh0
+      else sh0
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
     // card reads from the repartitioned branch too: its groupBy re-shuffles
     // on doc_id either way, but sourcing from `sh` reuses the same
     // materialized exchange instead of re-running the shingle transform.

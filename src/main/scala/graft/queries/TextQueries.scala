@@ -142,17 +142,23 @@ object TextQueries {
   }
 
   /** n-gram Jaccard near-dup pairs >= 0.6 (d07): inverted-index join on
-    * shingles — cost scales with collisions, never all-pairs. */
+    * shingles — cost scales with collisions, never all-pairs. The
+    * df-cap (drop shingles in >100 docs) bounds per-shingle pair
+    * fan-out at scale; the oracle mirrors the capped universe exactly. */
   private def d07(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
-    Dedup.jaccardPairs(sh, 0.6).orderBy(col("doc_id1"), col("doc_id2"))
+    Dedup.jaccardPairs(sh, 0.6, maxDocFreq = 100)
+      .orderBy(col("doc_id1"), col("doc_id2"))
   }
 
   private val d07Sql =
     s"""$shingleCte,
-       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shc AS (SELECT doc_id, s FROM
+       |          (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+       |        WHERE df <= 100),
+       |card AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_inter
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT doc_id1, doc_id2, n_inter,
        |  c1.n + c2.n - n_inter AS n_union,

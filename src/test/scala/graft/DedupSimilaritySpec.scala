@@ -49,6 +49,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.jaccardPairs(sh, 0.5).count() === 1L)
   }
 
+  test("jaccard df-cap bounds hot-shingle pair fan-out") {
+    // 50 docs all share one hot shingle ("hot hot hot") and otherwise
+    // have unique shingles; docs 100/101 additionally share a rare one.
+    val hot = (1L to 50L).map(i => (i, s"hot hot hot uniq$i"))
+    val rare = Seq((100L, "alpha beta gamma x"), (101L, "alpha beta gamma y"))
+    val sh = Dedup.shingles((hot ++ rare).toDF("doc_id", "text"), "doc_id", "text", 3)
+    // uncapped: the hot shingle alone fans out to C(50,2) pairs
+    assert(Dedup.jaccardPairs(sh, 0.0).count() === 50L * 49L / 2L + 1L)
+    // capped: the hot shingle is dropped, so only the rare-shingle pair
+    // survives — per-shingle pair fan-out is bounded by maxDocFreq²
+    val capped = Dedup.jaccardPairs(sh, 0.0, maxDocFreq = 10).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((100L, 101L)))
+  }
+
   test("simhash: identical docs share a fingerprint; pairs respect hamming") {
     val sim = Dedup.simhash16(docs, "doc_id", "text")
     val byId = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
