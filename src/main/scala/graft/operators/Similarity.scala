@@ -124,8 +124,9 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane component for (plane, dim): parity of
-    * the first hex digit of md5("p<plane>_d<dim>"). */
-  private def hyperplane(plane: Int, dims: Int): Array[Double] = {
+    * the first hex digit of md5("p<plane>_d<dim>"). Exposed package-wide
+    * so the e02 oracle can inline the identical signs as SQL literals. */
+  private[graft] def hyperplane(plane: Int, dims: Int): Array[Double] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     (0 until dims).map { d =>
       val h = mdig.digest(s"p${plane}_d$d".getBytes("UTF-8"))
