@@ -1,91 +1,126 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-flat approximate nearest neighbor — the second scale path next
-  * to LSH (builder prompt: "an IVF or LSH-bucketed variant"). Pure
-  * DataFrame ops end to end:
+  * to LSH (builder prompt: "an IVF or LSH-bucketed variant"). The
+  * centroid set is index METADATA (k × dims floats — a few KB), so it
+  * is materialized on the driver at build time and re-enters every
+  * plan as an exploded literal array:
   *
-  *  - build: deterministic seed centroids (k vectors with the smallest
-  *    md5(vec_id) — reproducible, no RNG state), refined with Lloyd
-  *    iterations where assignment is a broadcast cross join against the
-  *    k centroids (k ≪ N, so the join is N×k with a tiny broadcast
-  *    side) and recomputation is a posexplode → per-dimension mean →
-  *    re-assembled array.
-  *  - search: score queries against centroids, take the top `nprobe`
-  *    cells per query, and scan only those cells' vectors — the
-  *    candidate set shrinks ~k/nprobe-fold vs brute force while the
-  *    exact native dot product re-ranks candidates.
+  *  - build: deterministic seed centroids (the k vectors with the
+  *    smallest md5(vec_id) — reproducible, no RNG state), refined with
+  *    Lloyd iterations. Assignment scores each vector against the k
+  *    literal centroids via a Generate (narrow, codegen — no join of
+  *    any kind) and keeps the argmax with a map-side-combining
+  *    `max_by`; the recompute is an exact scaled-integer per-dimension
+  *    mean collected back to the driver.
+  *  - search: queries score against the same literal centroids, probe
+  *    their top `nprobe` cells, and scan only those cells' vectors —
+  *    ~k/nprobe-fold fewer candidates than brute force, re-ranked by
+  *    the exact native dot product.
   *
-  * At corpus scale the assigned table is written bucketed by cell id,
-  * so a probe reads only its cells' buckets.
+  * Why literals instead of a broadcast-DataFrame cross join: a lazy
+  * centroid plan nests one full assignment subtree per Lloyd iteration
+  * (plan size doubles per iteration, and every consumer of `assigned`
+  * re-executes the whole chain), and the k-row cross join plans as a
+  * BroadcastNestedLoopJoin. Materializing k×dims floats per iteration
+  * costs one tiny collect and makes every downstream plan start from a
+  * plain scan — the shape that survives a 100 TB corpus, where the
+  * assigned table is additionally written bucketed by cell id so a
+  * probe reads only its cells' buckets.
+  *
+  * Determinism contract: the driver-side mean (s12/n/1e12 → float) is
+  * the same IEEE expression the in-plan aggregation computed, so cell
+  * assignments — and the e04/e05 DuckDB mirrors — are bit-identical.
   */
 object Ivf {
 
-  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+  /** `centroids` is driver-local index metadata; `assigned` the
+    * (vec_id, embedding, cell_id) cell map. */
+  final case class IvfIndex(centroids: Seq[(Int, Array[Float])], assigned: DataFrame)
 
-  private def bestCell(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val sim = Similarity.cosineFromE12(
-      Similarity.dotE12(col("embedding"), col("centroid")),
-      Similarity.norm2E12(col("embedding")),
-      Similarity.norm2E12(col("centroid")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__sim").desc, col("cell_id").asc)
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("__sim", sim)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-  }
+  /** (cell_id, centroid) literal — Generate fan-out, no join. */
+  private def centroidLit(cents: Seq[(Int, Array[Float])]): Column =
+    array(cents.map { case (id, c) =>
+      struct(lit(id).as("cell_id"),
+        typedLit(c.toSeq).as("centroid"))
+    }: _*)
+
+  private def simToCentroid: Column = Similarity.cosineFromE12(
+    Similarity.dotE12(col("embedding"), col("centroid")),
+    Similarity.norm2E12(col("embedding")),
+    Similarity.norm2E12(col("centroid")))
+
+  private def scored(vectors: DataFrame, cents: Seq[(Int, Array[Float])]): DataFrame =
+    vectors
+      .select(col("vec_id"), col("embedding"), explode(centroidLit(cents)).as("x"))
+      .select(col("vec_id"), col("embedding"),
+        col("x.cell_id").as("cell_id"), col("x.centroid").as("centroid"))
+      .withColumn("__sim", simToCentroid)
+
+  private def bestCell(vectors: DataFrame, cents: Seq[(Int, Array[Float])]): DataFrame =
+    // argmax via max_by, not a row_number window: the aggregate combines
+    // map-side, so the N×k scored rows reduce to one row per vector per
+    // partition before any shuffle. Ties break to the smallest cell_id
+    // (the -cell_id struct field), keeping assignment deterministic.
+    scored(vectors, cents)
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("cell_id")),
+        struct(col("__sim"), (-col("cell_id")).as("__tie"))).as("__best"))
+      .select(col("vec_id"),
+        col("__best.embedding").as("embedding"),
+        col("__best.cell_id").as("cell_id"))
 
   /** Build an index with k cells and `iters` Lloyd refinements. */
   def build(emb: DataFrame, k: Int, iters: Int = 2): IvfIndex = {
-    val seedW = Window.orderBy(col("__h"))
-    var centroids = emb
+    // deterministic seeds: k smallest md5(vec_id), cell ids in md5 order
+    var cents: Seq[(Int, Array[Float])] = emb
       .withColumn("__h", md5(col("vec_id").cast("string")))
       .orderBy(col("__h")).limit(k)
-      .withColumn("cell_id", row_number().over(seedW).cast("int"))
-      .select(col("cell_id"), col("embedding").as("centroid"))
+      .select(col("embedding"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](0).toArray) }
+      .toSeq
 
     for (_ <- 0 until iters) {
-      val assigned = bestCell(emb, centroids)
       // exact scaled-integer mean (sum of e12 longs / count): avg() on
       // doubles is reduction-order dependent, which would make centroids
       // — and therefore cell assignments — vary with partitioning,
       // breaking the module's determinism contract.
-      centroids = assigned
+      val means = bestCell(emb, cents)
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("cell_id"), col("pos"),
           round(col("v").cast("double") * lit(1.0e12), 0).cast("long").as("v12"))
         .groupBy(col("cell_id"), col("pos"))
         .agg(sum(col("v12")).as("s12"), count(lit(1)).as("n"))
-        .withColumn("m",
-          col("s12").cast("double") / col("n").cast("double") / lit(1.0e12))
-        .groupBy(col("cell_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast("float")).as("centroid"))
+        .collect()
+      cents = means
+        .groupBy(_.getInt(0))
+        .toSeq.sortBy(_._1)
+        .map { case (cell, rows) =>
+          val arr = rows.sortBy(_.getInt(1)).map { r =>
+            // same IEEE ops as the in-plan form: (s12 / n) / 1e12 → float
+            (r.getLong(2).toDouble / r.getLong(3).toDouble / 1.0e12).toFloat
+          }.toArray
+          (cell, arr)
+        }
     }
-    IvfIndex(centroids, bestCell(emb, centroids))
+    IvfIndex(cents, bestCell(emb, cents))
   }
 
   /** Top-k per query scanning only the `nprobe` best cells. */
   def search(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val qSim = Similarity.cosineFromE12(
-      Similarity.dotE12(col("qe"), col("centroid")),
-      Similarity.norm2E12(col("qe")),
-      Similarity.norm2E12(col("centroid")))
-    val probeW = Window.partitionBy(col("qid"))
+    val probeW = Window.partitionBy(col("vec_id"))
       .orderBy(col("__sim").desc, col("cell_id").asc)
-    val probes = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .crossJoin(broadcast(index.centroids))
-      .withColumn("__sim", qSim)
+    val probes = scored(queries.select(col("vec_id"), col("embedding")), index.centroids)
       .withColumn("__rn", row_number().over(probeW))
       .filter(col("__rn") <= nprobe)
-      .select(col("qid"), col("qe"), col("cell_id"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell_id"))
 
     val candidates = probes
       .withColumn("qn", Similarity.norm2E12(col("qe")))
