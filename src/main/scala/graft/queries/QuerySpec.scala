@@ -24,7 +24,7 @@ final case class QuerySpec(
 object Registry {
   def specs: Seq[QuerySpec] =
     Relational.specs ++ Functional.specs ++ Events.specs ++
-      TextQueries.specs ++ VectorQueries.specs
+      TextQueries.specs ++ VectorQueries.specs ++ MultimodalQueries.specs
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(q => q.name -> q.run).toMap
   def oracleSql: Map[String, String] =
