@@ -64,7 +64,16 @@ object TextAnalysis {
 
   /** Polynomial rolling-hash fingerprint (Karp-Rabin style): per char
     * h = (h*31 + code) mod 1e9+7. Order-sensitive — complements the
-    * order-invariant bagFingerprint. Pure integer folds: engine-exact. */
+    * order-invariant bagFingerprint. Pure integer folds: engine-exact.
+    *
+    * Domain note: equivalent to the native `graft_rolling_hash`
+    * expression (the production path, graft.plans.RollingHashExpr) on
+    * the FULL Unicode domain — Spark 4's `split(text, "")` yields
+    * codepoint-wise pieces and `ascii()` returns the first codepoint,
+    * matching the native expression's codePointAt walk even for
+    * supplementary characters (pinned in RollingHashExprSpec's non-BMP
+    * test). Kept only as the equivalence baseline: the native form is
+    * the hot-path implementation (no per-char array allocation). */
   def rollingHash(text: Column): Column =
     aggregate(
       transform(filter(split(text, ""), c => length(c) > 0),

@@ -36,6 +36,26 @@ class RollingHashExprSpec extends AnyFunSuite with SparkTestSession {
       (97L * 31 + 98) % 1000000007L)
   }
 
+  test("non-BMP input: both forms fold full codepoints (equivalence domain = all Unicode)") {
+    GraftFunctions.register(spark)
+    // 🎼 (U+1D11E, musical G clef) is a supplementary character: one
+    // codepoint, two UTF-16 code units. The native expression folds the
+    // codepoint (0x1D11E = 119070) — and so does the declarative twin,
+    // because Spark 4's split(text, "") yields codepoint-wise pieces
+    // and ascii() returns the first codepoint (not a UTF-16 unit or
+    // byte). DuckDB's ascii() is codepoint-wise too, so all three
+    // agree on the full Unicode domain, not just BMP/ASCII.
+    val clef = new String(Character.toChars(0x1D11E))
+    val docs = Seq(s"a${clef}b", "plain ascii", clef).toDF("t")
+    val expected = ((97L * 31 + 0x1D11E) * 31 + 98) % 1000000007L
+    val rows = docs.select(
+      expr("graft_rolling_hash(t)").as("native"),
+      TextAnalysis.rollingHash(col("t")).as("decl"))
+      .collect()
+    assert(rows(0).getLong(0) === expected)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("native dot product == declarative HOF fold on real embeddings") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
