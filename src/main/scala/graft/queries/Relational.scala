@@ -341,6 +341,41 @@ object Relational {
           .as("approx_median_price"))
       .orderBy(col("l_returnflag"))
 
+  /** KMV distinct-count sketch (q28): the deterministic, mergeable,
+    * bounded-state complement to q21's HLL++ — k smallest distinct
+    * md5-derived 32-bit hashes per group, estimate (k-1)·2³²/v_k.
+    * Unlike HLL internals, every step is engine-independent, so this
+    * sketch family member carries a full DuckDB oracle. Hashing stays
+    * in codegen'd built-ins; only the bounded min-k state lives in the
+    * custom Aggregator (graft.operators.KmvDistinct). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.operators.KmvDistinct(256))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("v"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(kmv(col("v")), 2).as("kmv_distinct_r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q28Sql =
+    """WITH h AS (
+      | SELECT DISTINCT l_returnflag,
+      |   CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS v
+      | FROM lineitem),
+      |ranked AS (
+      | SELECT l_returnflag, v,
+      |   row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+      |   COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+      | FROM h)
+      |SELECT l_returnflag,
+      |  round(CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+      |             ELSE 255.0 * 4294967296.0 / CAST(v AS DOUBLE) END, 2) AS kmv_distinct_r2
+      |FROM ranked
+      |WHERE rn = least(nd, CAST(256 AS BIGINT)) AND (rn = 256 OR nd < 256)
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Pivot / crosstab (q22): order counts by status × priority. Spark's
     * pivot relational operator; the oracle mirrors with conditional
     * aggregation under the same column aliases. */
@@ -500,5 +535,6 @@ object Relational {
     QuerySpec("q24_order_gaps_lag", q24, Some(q24Sql)),
     QuerySpec("q25_exact_moments", q25, Some(q25Sql)),
     QuerySpec("q26_orders_by_month", q26, Some(q26Sql)),
-    QuerySpec("q27_string_functions", q27, Some(q27Sql)))
+    QuerySpec("q27_string_functions", q27, Some(q27Sql)),
+    QuerySpec("q28_kmv_distinct", q28, Some(q28Sql)))
 }

@@ -24,6 +24,32 @@ class SketchAndSqlTwinSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q28 KMV sketch: near exact counts, partition-invariant, exact under k") {
+    import spark.implicits._
+    // accuracy: within 5% of exact per group at k=256
+    val kmvByFlag = Registry.queries("q28_kmv_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      assert(math.abs(kmvByFlag(flag) - n) / n < 0.05, s"$flag: ${kmvByFlag(flag)} vs $n")
+    }
+    // determinism: the estimate is a pure function of the hash set, so
+    // any partitioning (merge order) yields the identical double
+    val kmv = udaf(new graft.operators.KmvDistinct(64))
+    def est(parts: Int): Double = spark.range(10000)
+      .select(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("v"))
+      .repartition(parts)
+      .agg(kmv(col("v"))).head().getDouble(0)
+    assert(est(1) === est(13))
+    // under k distinct values the sketch IS the distinct set (exact),
+    // duplicates and all
+    val small = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("v").agg(kmv(col("v")))
+    assert(small.head().getDouble(0) === 3.0)
+  }
+
   test("SQL-text twins over registered temp views match the DSL results") {
     Tables.registerAll(spark, sfDir)
     val sqlHist = spark.sql(
