@@ -122,6 +122,16 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     overlap.foreach(k => assert(exact(k) === blocked(k))) // exact re-rank
   }
 
+  test("e05 plan is cartesian-free (the point of blocking)") {
+    // the registered scale-safe near-dup must never plan an all-pairs
+    // join: pairing is an equi-join on cell_id, centroid scoring a
+    // literal-explode Generate
+    val plan = graft.queries.Registry.queries("e05_neardup_blocked")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in e05 plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in e05 plan:\n$plan")
+  }
+
   test("multimodal: binary plumbing with stubbed decode") {
     val bin = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
