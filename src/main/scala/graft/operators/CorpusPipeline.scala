@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composition a 100 TB corpus
+  * actually runs, as ONE lazy plan —
+  *
+  *   exact dedup (canonical-hash survivor)
+  *     → fuzzy near-dup drop (df-capped shingle Jaccard)
+  *     → language + quality gate
+  *     → deterministic train/val/test split
+  *
+  * Every stage is an existing operator (Dedup / TextAnalysis), so the
+  * whole pass inherits their scale properties: narrow per-row
+  * transforms, one hash shuffle for exact dedup, a bounded
+  * inverted-index join for near-dups (never all-pairs, hot shingles
+  * capped), zero RNG state anywhere. Catalyst sees the full pipeline
+  * and prunes/pushes across stage boundaries — the reason this is a
+  * plan composition and not a sequence of materialized steps.
+  *
+  * Near-dup drop policy: a document is dropped iff it is Jaccard-similar
+  * (≥ threshold over the capped shingle universe) to ANY surviving
+  * smaller-id document — the deterministic keep-first rule
+  * (doc_id2-side of every pair), not transitive clustering, so the
+  * result is order-independent and exactly mirrorable in SQL.
+  */
+object CorpusPipeline {
+
+  def curate(docs: DataFrame,
+             jaccardThreshold: Double = 0.6,
+             maxDocFreq: Int = 100,
+             lang: String = "en",
+             minQuality: Double = 0.3): DataFrame = {
+    val exact = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    val nearDupIds = Dedup
+      .jaccardPairs(Dedup.shingles(exact, "doc_id", "text", 3),
+        jaccardThreshold, maxDocFreq)
+      .select(col("doc_id2").as("doc_id"))
+      .distinct()
+    exact
+      .join(nearDupIds, Seq("doc_id"), "left_anti")
+      .filter(TextAnalysis.langIdHeuristic(col("text")) === lang)
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .withColumn("split",
+        TextAnalysis.hashSplit(TextAnalysis.textHash(col("text"))))
+  }
+}

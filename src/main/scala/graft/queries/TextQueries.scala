@@ -250,6 +250,69 @@ object TextQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** End-to-end corpus curation (d12): exact dedup → capped-Jaccard
+    * near-dup drop → lang/quality gate → hash split, as ONE lazy plan
+    * (operators.CorpusPipeline), reported as per-split doc/token
+    * counts. The oracle replays the full composition stage by stage —
+    * the same fragments d05/d07/d03/d04/d11 pinned individually. */
+  private def d12(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusPipeline.curate(Tables.documents(s, dir))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+      .orderBy(col("split"))
+
+  private val d12Sql =
+    s"""WITH exact AS (
+       | SELECT doc_id, text FROM (
+       |   SELECT doc_id, text,
+       |     row_number() OVER (
+       |       PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |       ORDER BY doc_id) AS rn
+       |   FROM documents) WHERE rn = 1),
+       |sh AS (
+       | SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
+       |         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s
+       | FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM exact)),
+       |shc AS (SELECT doc_id, s FROM
+       |          (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+       |        WHERE df <= 100),
+       |card AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |dropped AS (SELECT DISTINCT d2 AS doc_id
+       |            FROM inter
+       |            JOIN card c1 ON d1 = c1.doc_id
+       |            JOIN card c2 ON d2 = c2.doc_id
+       |            WHERE CAST(ni AS DOUBLE) / CAST(c1.n + c2.n - ni AS DOUBLE) >= 0.6),
+       |scored AS (
+       | SELECT doc_id, text,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |   CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t IN $stopsSqlList)) AS BIGINT) AS n_stop
+       | FROM exact
+       | WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |gated AS (
+       | SELECT text, n_tokens FROM scored
+       | WHERE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+       |   AND CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.7
+       |       + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 >= 0.3)
+       |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM (SELECT n_tokens,
+       |        CASE WHEN bucket < 25 THEN 'val'
+       |             WHEN bucket < 50 THEN 'test'
+       |             ELSE 'train' END AS split
+       |      FROM (SELECT n_tokens,
+       |              (strpos('0123456789abcdef', h[1]) - 1) * 16 +
+       |              (strpos('0123456789abcdef', h[2]) - 1) AS bucket
+       |            FROM (SELECT n_tokens,
+       |                    substr(md5(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))), 1, 2) AS h
+       |                  FROM gated)))
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -261,5 +324,6 @@ object TextQueries {
     QuerySpec("d08_simhash", d08, Some(d08Sql)),
     QuerySpec("d09_rolling_hash", d09, Some(d09Sql)),
     QuerySpec("d10_bpeish_tokens", d10, Some(d10Sql)),
-    QuerySpec("d11_hash_split", d11, Some(d11Sql)))
+    QuerySpec("d11_hash_split", d11, Some(d11Sql)),
+    QuerySpec("d12_corpus_curation", d12, Some(d12Sql)))
 }

@@ -122,6 +122,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     overlap.foreach(k => assert(exact(k) === blocked(k))) // exact re-rank
   }
 
+  test("corpus curation composes dedup, near-dup drop, gates, and split") {
+    import graft.operators.CorpusPipeline
+    // doc 2 = exact dup of 1 (dropped by canonical hash); doc 3 = near
+    // dup of 1 (jaccard 0.4 < 0.6 survives at default threshold, but a
+    // 0.35 threshold drops it); doc 4 has no stopwords (fails lang
+    // gate). minQuality lowered: 9-token toy docs score ~0.13 on the
+    // length-saturating quality formula.
+    val curated = CorpusPipeline.curate(docs, minQuality = 0.1)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(curated.keySet === Set(1L, 3L))
+    assert(curated.values.forall(Set("train", "val", "test")))
+    val strict = CorpusPipeline
+      .curate(docs, jaccardThreshold = 0.35, minQuality = 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict === Set(1L)) // keep-first: smaller id 1 survives, 3 drops
+  }
+
   test("e05 plan is cartesian-free (the point of blocking)") {
     // the registered scale-safe near-dup must never plan an all-pairs
     // join: pairing is an equi-join on cell_id, centroid scoring a
