@@ -45,6 +45,32 @@ class LayoutSaltingAsOfSpec extends AnyFunSuite with SparkTestSession {
     assert(pruned.count() === full.filter(col("order_year") === 1996).count())
   }
 
+  test("IVF assigned table bucketed by cell_id: near-dup pair join has no Exchange") {
+    // the at-scale layout the Ivf scaladoc promises: persist the cell
+    // map bucketed on cell_id, and the e05-style pair self-join runs
+    // straight over the bucketed scans — zero shuffles however large
+    // the corpus
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val index = graft.operators.Ivf.build(emb, k = 8, iters = 1)
+    Layout.writeBucketed(
+      index.assigned.select("vec_id", "cell_id"), "ivf_assigned_b", "cell_id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = Layout.readTable(spark, "ivf_assigned_b")
+      val pairs = t.as("a").join(t.as("b"),
+        col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free pair join:\n$plan")
+      // same pairs as the unbucketed join
+      val plain = index.assigned.select("vec_id", "cell_id")
+      assert(pairs.count() ===
+        plain.as("a").join(plain.as("b"),
+          col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
+          .count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join returns exactly the unsalted result under skew") {
     // skewed fact: 10k rows on one hot key, a few on others
     val large = (Seq.fill(10000)(1) ++ Seq(2, 2, 3)).toDF("k")
