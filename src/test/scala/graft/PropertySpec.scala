@@ -77,4 +77,31 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(once.select(graft.operators.TextAnalysis.textHash(col("text"))).distinct().count()
       === once.count())
   }
+
+  test("curation invariant: result is independent of input partitioning/order") {
+    // generated docs with planted exact dups; the curated doc_id set and
+    // split assignment must be identical however the input is sharded —
+    // the no-RNG / hash-everything design under test
+    val base = samples(plainTitle, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, s"the $t and it is that") } // pass lang gate
+    val withDups = base ++ base.take(15).map { case (id, t) => (id + 1000L, t) }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.CorpusPipeline.curate(df, minQuality = 0.05)
+        .select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    val a = run(withDups.toDF("doc_id", "text").repartition(1))
+    val b = run(withDups.toDF("doc_id", "text").repartition(17).sortWithinPartitions(col("text")))
+    assert(a === b)
+    assert(a.nonEmpty)
+    // planted exact dups never survive (their originals have smaller ids)
+    assert(a.forall(_._1 < 1000L))
+  }
+
+  test("KMV invariant: estimate is exact below k for arbitrary inputs") {
+    val kmv = udaf(new graft.operators.KmvDistinct(256))
+    val values = samples(Gen.chooseNum(0L, (1L << 32) - 1), 400)
+    assert(values.distinct.size < 256) // seeded gen stays in the exact regime
+    val est = values.toDF("v").agg(kmv(col("v"))).head().getDouble(0)
+    assert(est === values.distinct.size.toDouble)
+  }
 }
