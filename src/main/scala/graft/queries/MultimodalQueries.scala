@@ -43,6 +43,63 @@ object MultimodalQueries {
       |      FROM documents)
       |ORDER BY media_id""".stripMargin
 
+  /** REAL feature extraction (m02): 16-bin high-nibble byte histogram
+    * per payload via the mapPartitions tight loop — no stub anywhere in
+    * this path, so the oracle pins actual byte-level computation. Empty
+    * bins are filtered so both engines emit the same sparse rows. */
+  private def m02(s: SparkSession, dir: String): DataFrame =
+    Multimodal.byteHistogram(
+      s,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
+      .toDF()
+      .select(col("media_id"), posexplode(col("hist")).as(Seq("bin", "n_bytes")))
+      .filter(col("n_bytes") > 0)
+      .orderBy(col("media_id"), col("bin"))
+
+  private val m02Sql =
+    """SELECT doc_id AS media_id, CAST(ascii(ch) // 16 AS INTEGER) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bytes
+      |FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Metadata resize (m03): decoded dims fit-within 256×256 by pure
+    * integer floor arithmetic — the whole resize is Column expressions
+    * in codegen, mirrored arm-for-arm in the oracle's CASE. */
+  private def m03(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMeta(
+      Multimodal.extractMeta(
+        s,
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", kind = "text"),
+      maxW = 256, maxH = 256)
+      .orderBy(col("media_id"))
+
+  private val m03Sql =
+    """WITH meta AS (
+      | SELECT doc_id AS media_id,
+      |   CAST(64 + u % 1024 AS BIGINT) AS w,
+      |   CAST(64 + (u // 1024) % 1024 AS BIGINT) AS h
+      | FROM (SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |           list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
+      |           (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
+      |       FROM documents))
+      |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN w
+      |            WHEN h * 256 <= w * 256 THEN 256
+      |            ELSE greatest(1, w * 256 // h) END AS INTEGER) AS out_width,
+      |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN h
+      |            WHEN h * 256 <= w * 256 THEN greatest(1, h * 256 // w)
+      |            ELSE 256 END AS INTEGER) AS out_height
+      |FROM meta
+      |ORDER BY media_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
-    QuerySpec("m01_media_meta", m01, Some(m01Sql)))
+    QuerySpec("m01_media_meta", m01, Some(m01Sql)),
+    QuerySpec("m02_byte_histogram", m02, Some(m02Sql)),
+    QuerySpec("m03_resize_meta", m03, Some(m03Sql)))
 }

@@ -150,6 +150,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("CartesianProduct"), s"cartesian in e05 plan:\n$plan")
   }
 
+  test("multimodal resize: fit-within integer scaling incl. 1px clamp") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaMeta
+    def m(id: Long, w: Int, h: Int) = MediaMeta(id, "img", 0L, w, h, 1, "f")
+    val meta = Seq(
+      m(1, 100, 50),   // fits → unchanged
+      m(2, 512, 256),  // wider → clamp width
+      m(3, 300, 600),  // taller → clamp height
+      m(4, 2000, 1)    // extreme aspect → floor hits 0, clamps to 1
+    ).toDS()
+    val out = Multimodal.resizeMeta(meta, 256, 256)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) === (100, 50))
+    assert(out(2L) === (256, 128))
+    assert(out(3L) === (128, 256))
+    assert(out(4L) === (256, 1))
+  }
+
   test("multimodal: binary plumbing with stubbed decode") {
     val bin = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
