@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *  - MinHash + LSH: shingle → k minhashes → band buckets → bucket join.
   *    The candidate join is on band keys, so cost is proportional to
   *    actual collisions, never all-pairs.
-  *  - SimHash: 16-bit weighted bit-vote fingerprint; near-dup = small
-  *    hamming distance.
+  *  - SimHash: 64-bit weighted bit-vote fingerprint; near-dup = small
+  *    hamming distance, candidates blocked on 8-bit byte bands.
   *  - n-gram Jaccard: inverted-index join on shingles (pairs that share
   *    at least one shingle), again never all-pairs.
   *
@@ -170,40 +170,65 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 16-bit SimHash: per token take 16 bits of md5, per bit position sum
-    * ±1 votes across tokens (with multiplicity), bit = sign of the sum.
-    * Cross-engine exact: integer votes, no floats.
+  /** 64-bit SimHash: per token take the first 64 bits of md5 (16 hex
+    * chars), per bit position sum ±1 votes across tokens (with
+    * multiplicity), bit = sign of the sum. Cross-engine exact: integer
+    * votes, no floats. The fingerprint is returned as one signed long
+    * (bit 63 set → negative — harmless: banding masks after the shift
+    * and hamming uses xor+bit_count, both sign-agnostic).
+    *
+    * 64 bits (not 16): at corpus scale a 16-bit space has only 65,536
+    * distinct fingerprints, so banding buckets degenerate into mega-keys
+    * and the candidate join trends toward all-pairs. 64 bits gives
+    * `simhashPairs` 8×8-bit bands = 2,048 bucket keys and collision
+    * probability that actually reflects similarity.
     */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // first 4 hex chars of md5 → 16-bit int, materialized ONCE before
-    // the aggregation — the 16 vote aggregates would otherwise each
-    // re-evaluate the md5 (Spark does no CSE across aggregate exprs).
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // The 64-bit digest prefix is carried as two 32-bit words (hi = hex
+    // chars 1-8, lo = chars 9-16): conv() of 8 hex chars always fits a
+    // long, avoiding unsigned-64 overflow, and the words are
+    // materialized ONCE before the aggregation — the 64 vote aggregates
+    // would otherwise each re-evaluate the md5 (Spark does no CSE
+    // across aggregate exprs).
     val tok = df.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), substring(md5(col("t")), 1, 16).as("h"))
       .select(col("doc_id"),
-        conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int").as("v"))
-    val votes = (0 until 16).map(b =>
-      sum(shiftright(col("v"), b).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("vhi"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("vlo"))
+    val votes = (0 until 64).map { b =>
+      val word = if (b < 32) col("vlo") else col("vhi")
+      sum(shiftright(word, b % 32).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
+    }
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 16).map(b =>
+    // reduce is left-associative over b = 0..63, so partial sums stay in
+    // [0, 2^63-1] until the final (possibly negative) bit-63 term — no
+    // overflow under ANSI mode.
+    val sim = (0 until 64).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select(col("doc_id"), sim.cast("long").as("simhash"))
   }
 
   /** SimHash near-dup pairs within a hamming radius. Scale path: block on
-    * nibble bands (a pair within hamming r<=3 of 16 bits shares at least
-    * one of 4 nibbles), then verify with bit_count on candidates only. */
+    * 8-bit byte bands (pigeonhole: a pair within hamming r<=7 of 64 bits
+    * shares at least one of the 8 bytes untouched), then verify with
+    * bit_count on candidates only. 8 bands × 256 byte values = 2,048
+    * distinct bucket keys, and — unlike banding a 16-bit fingerprint —
+    * bucket occupancy tracks true signature agreement, so no mega-key
+    * skew bomb at corpus scale. */
   def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // pigeonhole: 4 nibble bands guarantee a shared band only for
-    // hamming <= 3; larger radii would silently lose qualifying pairs.
-    require(maxHamming <= 3, s"nibble blocking is complete only for hamming <= 3, got $maxHamming")
-    val nibbles = (0 until 4).map { nb =>
+    // pigeonhole: 8 byte bands guarantee a shared band only for
+    // hamming <= 7; larger radii would silently lose qualifying pairs.
+    require(maxHamming <= 7, s"byte blocking is complete only for hamming <= 7, got $maxHamming")
+    val bands = (0 until 8).map { nb =>
+      // arithmetic shift on a negative long is fine: the &255 mask
+      // discards the sign-extended high bits.
       struct(lit(nb).as("band"),
-        shiftright(col("simhash"), nb * 4).bitwiseAND(lit(15)).as("bk"))
+        shiftright(col("simhash"), nb * 8).bitwiseAND(lit(255L)).as("bk"))
     }
     val banded = sim
-      .select(col("doc_id"), col("simhash"), explode(array(nibbles: _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
       .repartition(col("band"), col("bk")) // shared Exchange for the self-join
     val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")

@@ -169,20 +169,29 @@ object TextQueries {
        |WHERE CAST(n_inter AS DOUBLE) / CAST(c1.n + c2.n - n_inter AS DOUBLE) >= 0.6
        |ORDER BY doc_id1, doc_id2""".stripMargin
 
-  /** 16-bit SimHash fingerprints (d08) — integer bit votes, exact. */
+  /** 64-bit SimHash fingerprints (d08) — integer bit votes, exact.
+    * Mirror carries the digest as two 32-bit words (vhi = md5 hex chars
+    * 1-8, vlo = chars 9-16) exactly like Dedup.simhash64; the bit-63
+    * term's Scala literal renders negative, which DuckDB widens to
+    * HUGEINT before the final BIGINT cast — same two's-complement
+    * value as Spark's long. */
   private def d08(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.simhash64(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private val d08Sql = {
-    def hexpos(i: Int) = s"(strpos('0123456789abcdef', h[$i]) - 1)"
-    val v = s"${hexpos(1)} * 4096 + ${hexpos(2)} * 256 + ${hexpos(3)} * 16 + ${hexpos(4)}"
-    val sums = (0 until 16).map(b => s"SUM(((v >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
-    val sim  = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val sums = (0 until 64).map { b =>
+      val word = if (b < 32) "vlo" else "vhi"
+      s"SUM((($word >> ${b % 32}) & 1) * 2 - 1) AS s$b"
+    }.mkString(", ")
+    val sim = (0 until 64).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""SELECT doc_id, CAST($sim AS BIGINT) AS simhash
        |FROM (SELECT doc_id, $sums
-       |      FROM (SELECT doc_id, $v AS v
-       |            FROM (SELECT doc_id, substr(md5(t), 1, 4) AS h
+       |      FROM (SELECT doc_id,
+       |              CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) AS vhi,
+       |              CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS vlo
+       |            FROM (SELECT doc_id, substr(md5(t), 1, 16) AS h
        |                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
        |                        FROM documents)))
        |      GROUP BY doc_id)

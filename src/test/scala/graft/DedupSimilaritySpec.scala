@@ -64,13 +64,39 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("simhash: identical docs share a fingerprint; pairs respect hamming") {
-    val sim = Dedup.simhash16(docs, "doc_id", "text")
+    val sim = Dedup.simhash64(docs, "doc_id", "text")
     val byId = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byId(1L) === byId(2L))
     val pairs = Dedup.simhashPairs(sim, maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(pairs((1L, 2L)) === 0L)
     pairs.values.foreach(h => assert(h <= 3L))
+  }
+
+  test("simhash byte banding is pigeonhole-complete for hamming <= 7") {
+    // Synthetic fingerprints that stress every band INCLUDING the sign
+    // byte (band 7): base, flips of 1..7 bits spread across different
+    // bytes, a bit-63 flip (negative long), and an 8-bit flip that a
+    // complete blocking must NOT return at maxHamming=7.
+    val base = 0x0123456789abcdefL
+    val all = Seq(
+      10L -> base,
+      11L -> (base ^ 1L),                                    // hamming 1
+      12L -> (base ^ (1L << 8) ^ (1L << 16) ^ (1L << 24)),   // hamming 3
+      13L -> (base ^ 0x7fL),                                 // 7 bits in one byte
+      14L -> (base ^ (1L << 63)),                            // sign byte flip
+      15L -> (base ^ ((1L << 56) | (1L << 48) | (1L << 40) | (1L << 32) |
+                      (1L << 20) | (1L << 12) | (1L << 4))), // 7 bits, 7 bytes
+      16L -> (base ^ 0xff00L))                               // hamming 8: excluded
+    val got = Dedup.simhashPairs(all.toDF("doc_id", "simhash"), maxHamming = 7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute-force ground truth over all pairs
+    val want = (for {
+      (i, a) <- all; (j, b) <- all if i < j
+      h = java.lang.Long.bitCount(a ^ b) if h <= 7
+    } yield ((i, j), h.toLong)).toMap
+    assert(got === want, "banded pairs must equal brute-force hamming<=7 pairs")
+    assert(!got.contains((10L, 16L))) // hamming 8 correctly outside radius
   }
 
   test("ANN recall vs exact kNN on real embeddings (sf0.001)") {
@@ -138,6 +164,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       .curate(docs, jaccardThreshold = 0.35, minQuality = 0.1)
       .select("doc_id").as[Long].collect().toSet
     assert(strict === Set(1L)) // keep-first: smaller id 1 survives, 3 drops
+  }
+
+  test("curation persists the exact-dedup survivor set (computed once)") {
+    import graft.operators.CorpusPipeline
+    // the survivor set feeds two consumers (shingle pipeline + anti-join
+    // left side); the persist boundary must surface as InMemoryTableScan
+    // on BOTH reads so the full-corpus dedup window runs exactly once
+    val plan = CorpusPipeline.curate(docs, minQuality = 0.1)
+      .queryExecution.executedPlan.toString
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 2, s"expected both consumers to read the cache, got $scans:\n$plan")
   }
 
   test("e05 plan is cartesian-free (the point of blocking)") {
