@@ -25,4 +25,30 @@ object ExactNum {
 
   /** 4-implied-decimal fixed point (e.g. price * (1 - discount)). */
   def e4(c: Column): Column = round(c * 10000, 0).cast("long")
+
+  /** Exact Σx² aggregate for integer inputs, accumulated as
+    * DECIMAL(38,0). A long accumulator overflows at ~3e7 rows per group
+    * for 5e5-magnitude values — far below 100 TB group sizes — so the
+    * square is computed in decimal (inputs up to 18 digits, no per-row
+    * overflow) and summed exactly: decimal sums are associative,
+    * partial-aggregate-friendly, and 38 digits keep ~1e15 headroom over
+    * a 100 TB corpus's worst-case ~1e23 total. Overflow past 38 digits
+    * errors under ANSI mode rather than wrapping silently. */
+  def sumSq(c: Column): Column = {
+    val d = c.cast("decimal(18,0)")
+    sum((d * d).cast("decimal(38,0)"))
+  }
+
+  private val wordBase = lit(2147483648L) // 2^31
+
+  /** Decompose a non-negative decimal accumulator into two portable
+    * BIGINT words (value = hi·2³¹ + lo) for engines/consumers whose
+    * widest exact integer is 64-bit. hi is computed as the exact
+    * integer quotient (subtract the remainder BEFORE dividing — decimal
+    * division rounds to a fixed scale, so flooring a rounded quotient
+    * could misassign values within 5e-7 of the next integer). */
+  def hiWord(s: Column): Column = ((s - s % wordBase) / wordBase).cast("long")
+
+  /** Low word of [[hiWord]]'s decomposition: value mod 2³¹. */
+  def loWord(s: Column): Column = (s % wordBase).cast("long")
 }

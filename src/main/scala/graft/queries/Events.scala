@@ -88,8 +88,27 @@ object Events {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** Streaming runtime end-to-end (q29): run the Structured Streaming
+    * pipeline — file-stream source, 30-minute watermark, tumbling-window
+    * aggregation, foreachBatch parquet sink — to completion with an
+    * AvailableNow trigger, then read the sink back as the result. The
+    * aggregation is the streaming twin of q16, so q16's SQL is an exact
+    * oracle for what the STREAMING RUNTIME produced (not just the
+    * logical aggregation shape, which q16 already pins). Complete mode
+    * recomputes every window per micro-batch, so the bounded-source run
+    * converges to the batch answer regardless of how the source splits
+    * into micro-batches. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val sink = java.nio.file.Files.createTempDirectory("graft_q29_sink").toString
+    graft.streaming.EventsStreaming.runToParquetSink(s, dir, sink)
+      .awaitTermination()
+    s.read.parquet(sink)
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q16_events_hourly", q16, Some(q16Sql)),
     QuerySpec("q17_json_props", q17, Some(q17Sql)),
-    QuerySpec("q20_asof_prior_error", q20, Some(q20Sql)))
+    QuerySpec("q20_asof_prior_error", q20, Some(q20Sql)),
+    QuerySpec("q29_events_stream_sink", q29, Some(q16Sql)))
 }

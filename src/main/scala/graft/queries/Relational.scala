@@ -447,10 +447,12 @@ object Relational {
     * aggregation carried as exact integer moments (Σx, Σx², n over
     * whole dollars) — derived statistics are one deterministic
     * expression away, and the moments themselves are bit-exact at any
-    * partition count (stddev()/corr() on doubles would not be). Whole
-    * dollars, not cents: x² of a 5e5-magnitude value keeps ~3e7 rows
-    * of long headroom per group; at larger scale split Σx² into
-    * hi/lo words. */
+    * partition count (stddev()/corr() on doubles would not be). Σx² is
+    * accumulated as DECIMAL(38,0) (ExactNum.sumSq — a long accumulator
+    * overflows at ~3e7 rows per group for 5e5-magnitude dollars) and
+    * surfaced as two BIGINT words (hi·2³¹ + lo) so the output stays in
+    * portable 64-bit integers. The oracle mirrors with a HUGEINT
+    * accumulator and the same decomposition. */
   private def q25(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(col("o_orderstatus"),
@@ -459,17 +461,23 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(col("d")).as("sum_dollars"),
-        sum(col("d") * col("d")).as("sum_sq_dollars"))
+        graft.functions.ExactNum.sumSq(col("d")).as("ssq"))
+      .select(col("o_orderstatus"), col("n"), col("sum_dollars"),
+        graft.functions.ExactNum.hiWord(col("ssq")).as("sum_sq_hi"),
+        graft.functions.ExactNum.loWord(col("ssq")).as("sum_sq_lo"))
       .orderBy(col("o_orderstatus"))
 
   private val q25Sql =
-    """SELECT o_orderstatus, COUNT(*) AS n,
-      |  CAST(SUM(d) AS BIGINT) AS sum_dollars,
-      |  CAST(SUM(d * d) AS BIGINT) AS sum_sq_dollars
-      |FROM (SELECT o_orderstatus,
-      |        CAST(ROUND(o_totalprice, 0) AS BIGINT) AS d
-      |      FROM orders)
-      |GROUP BY o_orderstatus
+    """SELECT o_orderstatus, n, sum_dollars,
+      |  CAST(ssq // 2147483648 AS BIGINT) AS sum_sq_hi,
+      |  CAST(ssq % 2147483648 AS BIGINT) AS sum_sq_lo
+      |FROM (SELECT o_orderstatus, COUNT(*) AS n,
+      |        CAST(SUM(d) AS BIGINT) AS sum_dollars,
+      |        SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS ssq
+      |      FROM (SELECT o_orderstatus,
+      |              CAST(ROUND(o_totalprice, 0) AS BIGINT) AS d
+      |            FROM orders)
+      |      GROUP BY o_orderstatus)
       |ORDER BY o_orderstatus""".stripMargin
 
   /** Date-part extraction (q26): orders per (year, month) — calendar

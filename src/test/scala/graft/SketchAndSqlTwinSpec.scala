@@ -9,6 +9,30 @@ class SketchAndSqlTwinSpec extends AnyFunSuite with SparkTestSession {
 
   private val sfDir = "/root/testdata/sf0.01"
 
+  test("exact sum-of-squares survives past long-accumulator overflow") {
+    import spark.implicits._
+    import graft.functions.ExactNum
+    // 5 rows of 4e9: Σx² = 8e19 > Long.MaxValue (9.2e18) — a long
+    // accumulator wraps (or errors under ANSI); the decimal path and
+    // its two-word decomposition must stay exact.
+    val d = 4_000_000_000L
+    val rows = Seq.fill(5)(d).toDF("d")
+    val got = rows.agg(
+      ExactNum.hiWord(ExactNum.sumSq(col("d"))).as("hi"),
+      ExactNum.loWord(ExactNum.sumSq(col("d"))).as("lo"))
+      .collect().head
+    val want = BigInt(d) * BigInt(d) * 5
+    assert(BigInt(got.getLong(0)) * BigInt(2147483648L) + BigInt(got.getLong(1)) === want)
+    // remainder-before-divide guard: a value within 5e-7 of the next
+    // 2^31 multiple must not round its hi word up
+    val edge = Seq(2147483647L).toDF("x") // x² = (2^31-1)² = hi (2^31-2), lo 1
+    val e = edge.agg(
+      ExactNum.hiWord(ExactNum.sumSq(col("x"))).as("hi"),
+      ExactNum.loWord(ExactNum.sumSq(col("x"))).as("lo"))
+      .collect().head
+    assert(e.getLong(0) === 2147483646L && e.getLong(1) === 1L)
+  }
+
   test("q21 sketches are within tolerance of exact values") {
     val approx = Registry.queries("q21_sketches")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
