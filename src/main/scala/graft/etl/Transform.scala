@@ -24,13 +24,15 @@ object Transform {
     * sorted insert (etl1.py:437-442). The sentinel `(no genres listed)`
     * is kept as a genre like any other (etl1.py:432 does not
     * special-case it). distinct() is the distributed part; the window
-    * only ever sees ≤ #genres rows.
+    * only ever sees ≤ #genres rows (size guard: [[graft.functions.DenseId]]).
     */
   def genreDim(movies: DataFrame): DataFrame =
-    movies
-      .select(explode(TextFunctions.splitGenres(col("genres"))).as("genre_name"))
-      .distinct()
-      .withColumn("genre_id", row_number().over(Window.orderBy(col("genre_name"))))
+    graft.functions.DenseId
+      .assign(
+        movies
+          .select(explode(TextFunctions.splitGenres(col("genres"))).as("genre_name"))
+          .distinct(),
+        orderCol = "genre_name", idCol = "genre_id")
       .select(col("genre_id"), col("genre_name"))
 
   /** A3: movie→genre junction via explode + broadcast join on the dim —

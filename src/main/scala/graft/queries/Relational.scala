@@ -258,13 +258,14 @@ object Relational {
   /** A1+A2-class dense-id assignment (reference genre dim AUTO_INCREMENT,
     * `etl1.py:437-442` / SURVEY.md A2): distinct values → row_number over
     * sorted order. The distinct is distributed; only the tiny result
-    * passes through the single-partition window (≤ #brands rows).
+    * (≤ #brands rows) passes through DenseId's single-partition window —
+    * see [[graft.functions.DenseId]] for the size guard.
     */
   private def q12(s: SparkSession, dir: String): DataFrame =
-    Tables.part(s, dir)
-      .select(col("p_brand")).distinct()
-      .withColumn("brand_id",
-        row_number().over(Window.orderBy(col("p_brand"))).cast("long"))
+    graft.functions.DenseId
+      .assign(Tables.part(s, dir).select(col("p_brand")).distinct(),
+        orderCol = "p_brand", idCol = "brand_id")
+      .withColumn("brand_id", col("brand_id").cast("long"))
       .orderBy(col("brand_id"))
 
   private val q12Sql =
