@@ -5,12 +5,24 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
-  * A warm-up action runs first so query timings measure the queries,
-  * not session/codegen initialization. */
+  *
+  * Measurement protocol (single-shot timing proved untrustworthy —
+  * round-4 showed 2x swings on queries with zero code delta):
+  *   - a warm-up action runs first so timings measure the queries,
+  *     not session/codegen initialization;
+  *   - each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and
+  *     the MEDIAN is reported, so one contended run can't masquerade
+  *     as a regression;
+  *   - spark.catalog.clearCache() runs before every timed execution,
+  *     so a persist inside one query can neither leak speed into its
+  *     own repeats nor squat in executor memory during later queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,21 +32,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
-    // a failed query records -1 (not a plausible-looking elapsed time)
     // noop sink: every output column is fully computed and consumed —
     // count() would let Catalyst prune projections/sorts, benchmarking
     // projection-heavy queries as bare row-count scans.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      // a failed query records -1 (not a plausible-looking elapsed time)
+      val times = (1 to runs).flatMap { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+        }
+      }
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply((times.size - 1) / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -128,9 +128,13 @@ object Enrich {
         coalesce(col("genres"), lit("N/A")).as("genres"),
         TextFunctions.yesNo(col("imdb_id_lookup")).as("imdb_id_available"),
         coalesce(col("imdb_id_lookup"), lit("N/A")).as("imdb_id"),
-        // only the rungs the ladder actually tried (etl1.py:240): the
-        // title_year rung is skipped without a year, imdb_id without a
-        // link row — concat_ws drops the null entries.
+        // only the rungs the ladder actually tried — concat_ws drops the
+        // null entries. Pinned deviation: the reference labels the FIRST
+        // request 'Title+Year' even when no year exists (it just omits
+        // the y param, etl1.py:188-196), so its no-year misses log
+        // 'Title+Year' and never 'Title Only' (that rung requires a
+        // year, etl1.py:210). Here the labels follow what was actually
+        // sent: a no-year first request is title_only.
         concat_ws(",",
           when(col("release_year").isNotNull, lit("title_year")),
           lit("title_only"),

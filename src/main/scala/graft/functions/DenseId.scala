@@ -27,8 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object DenseId {
 
+  /** NULL policy: NULL order values receive NO id and are absent from
+    * the output — made explicit by the isNotNull filter below rather
+    * than left to collect_list's silent NULL-dropping. This matches the
+    * replicated semantics (an AUTO_INCREMENT key column is NOT NULL;
+    * the reference inserts only real genre/brand values) but differs
+    * from `row_number() over (order by ...)`, which would rank NULLs
+    * first — callers needing ids for NULLs must map them to a sentinel
+    * value beforehand. */
   def assign(df: DataFrame, orderCol: String, idCol: String): DataFrame =
     df.select(col(orderCol))
+      .filter(col(orderCol).isNotNull)
       .agg(sort_array(collect_list(col(orderCol))).as("__vals"))
       .select(posexplode(col("__vals")).as(Seq("__pos", orderCol)))
       .select((col("__pos") + 1).as(idCol), col(orderCol))

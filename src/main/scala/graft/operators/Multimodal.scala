@@ -98,10 +98,13 @@ object Multimodal {
   }
 
   /** Aspect-preserving downscale of decoded dimensions to fit within
-    * maxW × maxH — pure integer Column arithmetic (floor division, no
-    * floats, no UDF), so the resize plan stays in whole-stage codegen
-    * and the result is engine-exact. Payloads already inside the box
-    * are untouched; output dims never drop below 1. */
+    * maxW × maxH — pure integer Column arithmetic (Catalyst
+    * IntegralDivide, not `/`-which-is-double-division, no UDF), so the
+    * resize plan stays in whole-stage codegen and the result is
+    * engine-exact for ALL int32 dims: products stay ≤ 2^62, and `div`
+    * truncates in long arithmetic with no 2^53 double-mantissa cliff.
+    * Payloads already inside the box are untouched; output dims never
+    * drop below 1. */
   def resizeMeta(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): DataFrame = {
     val w = col("width").cast("long")
     val h = col("height").cast("long")
@@ -109,8 +112,8 @@ object Multimodal {
     // wider-than-tall relative to the box → clamp width, scale height
     val wider = h * maxW <= w * maxH
     val outW = when(fits, w).when(wider, lit(maxW.toLong))
-      .otherwise(greatest(lit(1L), w * maxH / h))
-    val outH = when(fits, h).when(wider, greatest(lit(1L), h * maxW / w))
+      .otherwise(greatest(lit(1L), call_function("div", w * maxH, h)))
+    val outH = when(fits, h).when(wider, greatest(lit(1L), call_function("div", h * maxW, w)))
       .otherwise(lit(maxH.toLong))
     meta.toDF().select(
       col("media_id"), col("width"), col("height"),

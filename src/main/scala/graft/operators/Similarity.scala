@@ -104,13 +104,28 @@ object Similarity {
     rankTopPairs(a.join(b, col("v1") < col("v2")), topN, minCos)
   }
 
+  /** Cell-count sizing rule: c ≈ √N minimizes total work — the IVF
+    * build/assignment scores N·c vector-centroid pairs while the
+    * blocked self-join scores ~N²/c candidate pairs (uniform
+    * occupancy), and N·c + N²/c is minimized at c = √N. Real
+    * embeddings cluster, so treat √N as the FLOOR: raise cells until
+    * the hottest cell's pair fan-out (occupancy²) fits an executor's
+    * budget — recall decays gracefully as cells grow (measured in
+    * DedupSimilaritySpec), cost decays as 1/c. */
+  def cellsFor(n: Long): Int =
+    math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+
   /** Scale path for near-dup: candidate pairs must share an IVF cell
     * (vectors cluster, so near-duplicates co-locate), exact re-rank on
     * candidates only — N²/cells pair evaluations instead of N².
     * Approximate: a pair split across cells is missed; measure recall
-    * against topSimilarPairs on a sample (DedupSimilaritySpec). */
-  def nearDupBlocked(emb: DataFrame, topN: Int, cells: Int = 16): DataFrame = {
-    val index = Ivf.build(emb, cells, iters = 2)
+    * against topSimilarPairs on a sample (DedupSimilaritySpec).
+    * `cells <= 0` (the default) derives √N from a metadata-cheap
+    * count per the sizing rule above; pass an explicit count to pin
+    * reproducible cell assignments across differently-sized corpora. */
+  def nearDupBlocked(emb: DataFrame, topN: Int, cells: Int = 0): DataFrame = {
+    val nCells = if (cells > 0) cells else cellsFor(emb.count())
+    val index = Ivf.build(emb, nCells, iters = 2)
     val a = index.assigned.select(col("cell_id"),
       col("vec_id").as("v1"), col("embedding").as("e1"))
       .withColumn("n1", norm2E12(col("e1")))

@@ -99,7 +99,8 @@ object Events {
     * converges to the batch answer regardless of how the source splits
     * into micro-batches. */
   private def q29(s: SparkSession, dir: String): DataFrame = {
-    val sink = java.nio.file.Files.createTempDirectory("graft_q29_sink").toString
+    val sink = graft.streaming.EventsStreaming
+      .tempDirDeletedOnExit("graft_q29_sink").toString
     graft.streaming.EventsStreaming.runToParquetSink(s, dir, sink)
       .awaitTermination()
     s.read.parquet(sink)

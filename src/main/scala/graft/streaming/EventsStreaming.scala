@@ -28,6 +28,26 @@ object EventsStreaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Scratch directory removed recursively at JVM exit — the staging
+    * symlink dir and the q29 sink cannot accumulate across repeated
+    * bench/verify runs (each round is its own JVM; within a JVM the
+    * sink dir is still live when the lazy read-back executes, so
+    * eager deletion is not an option). */
+  def tempDirDeletedOnExit(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(dir)) {
+        val walk = Files.walk(dir)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    dir
+  }
+
   /** Streaming source over the events parquet (file-stream source; in
     * production this is Kafka/rate — same DataFrame downstream). The
     * FileStreamSource requires a directory, but the harness lays events
@@ -35,7 +55,7 @@ object EventsStreaming {
     * into a scratch directory and stream that. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    val streamDir = tempDirDeletedOnExit("graft_events_stream")
     java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
     spark.readStream
       .schema(eventsRawSchema)

@@ -99,6 +99,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(!got.contains((10L, 16L))) // hamming 8 correctly outside radius
   }
 
+  test("simhash default r=3 banding (4×16-bit) is pigeonhole-complete") {
+    // worst case for 16-bit bands: 3 flipped bits landing in 3 DIFFERENT
+    // bands (only one band survives untouched), plus a sign-band flip,
+    // plus a hamming-4 pair that must be excluded at r=3
+    val base = 0x0123456789abcdefL
+    val all = Seq(
+      20L -> base,
+      21L -> (base ^ (1L << 0) ^ (1L << 16) ^ (1L << 32)),   // 3 bits, 3 bands
+      22L -> (base ^ (1L << 63) ^ (1L << 47) ^ (1L << 31)),  // incl. sign band
+      23L -> (base ^ (1L << 1) ^ (1L << 17) ^ (1L << 33) ^ (1L << 49))) // hamming 4
+    val got = Dedup.simhashPairs(all.toDF("doc_id", "simhash"), maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = (for {
+      (i, a) <- all; (j, b) <- all if i < j
+      h = java.lang.Long.bitCount(a ^ b) if h <= 3
+    } yield ((i, j), h.toLong)).toMap
+    assert(got === want, "banded pairs must equal brute-force hamming<=3 pairs")
+    assert(!got.keySet.exists { case (i, j) => i == 23L || j == 23L },
+      "hamming-4 fingerprint must pair with nothing at r=3")
+  }
+
   test("ANN recall vs exact kNN on real embeddings (sf0.001)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnExact(emb, col("vec_id") < 10, 5)
@@ -137,6 +158,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(r1 > 0.0)
   }
 
+  test("near-dup cells sizing: √N default + recall at two cell counts") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    assert(Similarity.cellsFor(n) === math.round(math.sqrt(n.toDouble)).toInt)
+    assert(Similarity.cellsFor(1L) === 1)
+    val exactTop = Similarity.topSimilarPairs(emb, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cells: Int): Double = {
+      val got = Similarity.nearDupBlocked(emb, 20, cells)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactTop intersect got).size.toDouble / exactTop.size
+    }
+    val atSqrtN = recall(Similarity.cellsFor(n)) // ~√500 ≈ 22
+    val atCoarse = recall(4)                     // 5× fewer cells, ~5× cost
+    info(f"recall@sqrtN=$atSqrtN%.2f recall@4=$atCoarse%.2f")
+    // the documented trade, measured: recall falls as cells rise. True
+    // near-dups (cos→1) co-locate almost surely at any cell count; the
+    // GLOBAL top-20 pairs here include merely-similar pairs (cos≈0.8 on
+    // this synthetic corpus) that split across fine cells — measured
+    // 0.15 @ √N=22 vs 0.55 @ 4 cells. √N prices cost; the caller buys
+    // recall back with coarser cells where the corpus demands it.
+    assert(atCoarse >= atSqrtN,
+      "coarser blocking (more candidates) must not lose recall on this corpus")
+    assert(atSqrtN >= 0.05, f"√N-cell recall collapsed: $atSqrtN%.2f")
+    assert(atCoarse >= 0.4, f"coarse-cell recall collapsed: $atCoarse%.2f")
+  }
+
   test("blocked near-dup overlaps exact top pairs with exact cosines") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.topSimilarPairs(emb, 20)
@@ -166,15 +214,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(strict === Set(1L)) // keep-first: smaller id 1 survives, 3 drops
   }
 
-  test("curation persists the exact-dedup survivor set (computed once)") {
+  test("curation persist is opt-in: default plan is cache-free, opt-in " +
+       "plan reads the survivor cache from both consumers and releases it") {
     import graft.operators.CorpusPipeline
-    // the survivor set feeds two consumers (shingle pipeline + anti-join
-    // left side); the persist boundary must surface as InMemoryTableScan
-    // on BOTH reads so the full-corpus dedup window runs exactly once
-    val plan = CorpusPipeline.curate(docs, minQuality = 0.1)
+    import org.apache.spark.storage.StorageLevel
+    // default: no cache boundary — recompute beats the InMemoryRelation
+    // build at every scale measured (see CorpusPipeline scaladoc)
+    val defaultPlan = CorpusPipeline.curate(docs, minQuality = 0.1)
       .queryExecution.executedPlan.toString
-    val scans = "InMemoryTableScan".r.findAllIn(plan).size
-    assert(scans >= 2, s"expected both consumers to read the cache, got $scans:\n$plan")
+    assert(!defaultPlan.contains("InMemoryTableScan"),
+      s"default curate must not cache:\n$defaultPlan")
+    // opt-in: the survivor set feeds two consumers (shingle pipeline +
+    // anti-join left side); the boundary must surface as
+    // InMemoryTableScan on BOTH reads so the dedup window runs once
+    val (curated, release) = CorpusPipeline.curateManaged(docs,
+      minQuality = 0.1,
+      persistSurvivors = Some(StorageLevel.MEMORY_AND_DISK))
+    try {
+      val plan = curated.queryExecution.executedPlan.toString
+      val scans = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(scans >= 2, s"expected both consumers to read the cache, got $scans:\n$plan")
+    } finally release()
+    // the cache manager matches by logical plan, so if release() leaked
+    // the cache a fresh default curate would silently pick it up
+    val after = CorpusPipeline.curate(docs, minQuality = 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!after.contains("InMemoryTableScan"),
+      s"release() must drop the survivor cache:\n$after")
   }
 
   test("e05 plan is cartesian-free (the point of blocking)") {
@@ -203,6 +269,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(out(2L) === (256, 128))
     assert(out(3L) === (128, 256))
     assert(out(4L) === (256, 1))
+  }
+
+  test("resizeMeta is exact past the 2^53 double-mantissa boundary") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaMeta
+    // w*maxH = 36028794854703104 = q*h - 1 with h = 2^31-1 (constructed
+    // via w ≡ -inv(2^24) mod h): exact integral division yields q-1 =
+    // 16777214, while the pre-fix double division rounds the 2^55-sized
+    // product and truncates to q = 16777215 — off by one. Pins that the
+    // plan uses IntegralDivide, not Divide-then-cast.
+    val meta = Seq(MediaMeta(1L, "img", 0L, 2147483519, 2147483647, 1, "f")).toDS()
+    val out = Multimodal.resizeMeta(meta, 16777216, 16777216)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) === (16777214, 16777216))
   }
 
   test("multimodal: binary plumbing with stubbed decode") {

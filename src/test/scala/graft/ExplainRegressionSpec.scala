@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.Registry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate: pins the physical-plan properties the
+  * 100 TB story depends on, so a refactor that silently un-pushes a
+  * filter, de-broadcasts a dim join, or splits a shared Exchange fails
+  * CI instead of surfacing as a bench regression three rounds later.
+  */
+class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Initial physical plan (pre-execution) — where static properties
+    * (pushdown, pruning, broadcast hints, top-k fusion) live. */
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  /** Post-execution plan — AQE rewrites (exchange reuse surfaces as
+    * reused query stages) only exist in the finalized adaptive plan. */
+  private def executedPlan(name: String): String = {
+    val df = Registry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate predicate is pushed to the parquet scan; unused columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"l_shipdate filter not pushed:\n$p")
+    assert(!p.contains("l_comment"), s"scan reads pruned column l_comment:\n$p")
+  }
+
+  test("q02: ORDER BY + LIMIT fuses into TakeOrderedAndProject (no global sort)") {
+    val p = plan("q02_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fusion lost:\n$p")
+  }
+
+  test("q04: nation and region dims join as broadcasts") {
+    val p = plan("q04_nation_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast dim joins, got $broadcasts:\n$p")
+  }
+
+  test("d06: minhash band self-join computes the signature subtree once") {
+    val p = executedPlan("d06_minhash_candidates")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no exchange reuse in d06 final plan:\n$p")
+  }
+
+  test("d07: inverted-index self-join reuses the shingle Exchange") {
+    val p = executedPlan("d07_jaccard_pairs")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no exchange reuse in d07 final plan:\n$p")
+  }
+}
