@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator: replicates a testdata SF directory `factor`× so
+  * an sf1-class bench point exists (the driver ships sf <= 0.1 only; 17
+  * MB of parquet never spills and never trips AQE skew handling, so the
+  * scaling story needs one empirically bigger rung).
+  *
+  * Replication policy — volume with realistic structure, not just
+  * row-copies:
+  *  - every table's keys are bumped by `rep * 10^9` per replica, so key
+  *    uniqueness and FK joins (orders⋈customer) survive;
+  *  - `documents` replicas get a deterministic 2-token suffix: each
+  *    replica is a NEAR-dup of its base (high shingle-Jaccard, never
+  *    exact) — the hard case for d06/d07/d12, multiplying both corpus
+  *    size and candidate-pair pressure like a real crawl would;
+  *  - `embeddings` replicas get a per-(replica, dimension) relative
+  *    perturbation of up to ~1%: replicas cluster tightly around their
+  *    base vector, loading e05's cell-blocked join the way duplicated
+  *    content loads a real ANN index;
+  *  - dims (nation/region) copy unchanged; everything is deterministic
+  *    (no RNG), so the generated data is reproducible bit-for-bit.
+  *
+  * Usage: runMain graft.GenScale [srcDir] [outDir] [factor]
+  */
+object GenScale {
+
+  private val Off = 1000000000L // key-space stride per replica
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/root/repo/benchdata/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
+
+    /** factor× replicas with `keys` bumped by rep*Off (cast back to the
+      * column's original type so schemas stay identical); keeps the
+      * `rep` column for per-replica mutation. */
+    def replicated(df: DataFrame, keys: Seq[String]): DataFrame =
+      keys.foldLeft(df.crossJoin(broadcast(reps))) { (d, k) =>
+        val t = df.schema(k).dataType
+        d.withColumn(k, (col(k).cast("long") + col("rep") * Off).cast(t))
+      }
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[genscale] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    // facts: key bumps only
+    write(replicated(spark.read.parquet(s"$src/lineitem.parquet"),
+      Seq("l_orderkey")).drop("rep"), "lineitem")
+    write(replicated(spark.read.parquet(s"$src/orders.parquet"),
+      Seq("o_orderkey", "o_custkey")).drop("rep"), "orders")
+    write(replicated(spark.read.parquet(s"$src/customer.parquet"),
+      Seq("c_custkey")).drop("rep"), "customer")
+
+    // dims + tables the scaled bench subset never joins through keys
+    Seq("nation", "region", "supplier", "part").foreach { t =>
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
+    }
+
+    // events: raw long-nanos read (the vectorized reader rejects
+    // TIMESTAMP(NANOS)); replicas add load inside the SAME hour windows
+    val eventsRaw = spark.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$src/events.parquet")
+    write(replicated(eventsRaw, Seq("event_id", "user_id")).drop("rep"), "events")
+
+    // documents: replica 0 verbatim; replicas 1.. append " v<rep> <hash6>"
+    // → shingle-Jaccard vs the base stays near 1 (near-dup), never exact
+    val docs = replicated(spark.read.parquet(s"$src/documents.parquet"), Seq("doc_id"))
+      .withColumn("text",
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v"), col("rep").cast("string"), lit(" "),
+            substring(md5(concat_ws("_", col("doc_id"), col("rep"))), 1, 6))))
+      .drop("rep")
+    write(docs, "documents")
+
+    // embeddings: replica 0 verbatim; replicas 1.. scale each dimension
+    // by 1 + ((31i + 7·rep) mod 97 − 48)·2e-4 ∈ [1−9.6e-3, 1+9.6e-3] —
+    // deterministic, replica clusters stay ~cos 0.9999 around the base
+    val emb = replicated(spark.read.parquet(s"$src/embeddings.parquet"), Seq("vec_id"))
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x.cast("double") *
+              (lit(1.0) +
+                (pmod(i * 31 + col("rep") * 7, lit(97)) - lit(48)).cast("double")
+                  * lit(2.0e-4))).cast("float"))))
+      .drop("rep")
+    write(emb, "embeddings")
+
+    spark.stop()
+  }
+}

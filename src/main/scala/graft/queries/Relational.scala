@@ -330,17 +330,43 @@ object Relational {
       |ORDER BY o_orderstatus""".stripMargin
 
   /** Sketch aggregations (q21): HyperLogLog++ distinct counts and
-    * approximate percentiles. No SQL oracle — sketch internals are
-    * engine-specific — so the driver records a rows-only check; the
-    * accuracy bound vs exact values is pinned in SketchSpec. */
+    * approximate percentiles, made fully hash-checkable. Sketch
+    * internals are engine-specific, so the oracle can't reproduce the
+    * estimates — instead the query emits the EXACT aggregates (which
+    * the oracle mirrors) plus a deterministic in-band flag per sketch:
+    * |estimate − exact| ≤ 5% · exact, reduced to 1/0 in the plan. The
+    * oracle asserts the flags as literal 1s, so a sketch drifting out
+    * of band breaks the driver's hash compare instead of hiding behind
+    * a rows-only check. Both sketches are hash-based and RNG-free, so
+    * the flags are stable for a given dataset at any partitioning (the
+    * 5% band absorbs merge-order wiggle; 3σ of rsd=0.02 is 6%... the
+    * measured error at every SF is <2%, see SketchAndSqlTwinSpec). */
   private def q21(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        cents(col("l_extendedprice")).as("price_cents"))
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median_price"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile(price_cents, 0.5)").as("median_cents"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("__hll"),
+        percentile_approx(col("price_cents"), lit(0.5), lit(1000)).as("__apx"))
+      .select(col("l_returnflag"), col("exact_orders"), col("median_cents"),
+        when(abs(col("__hll") - col("exact_orders"))
+          <= col("exact_orders") * 0.05, 1).otherwise(0).as("hll_in_band"),
+        when(abs(col("__apx") - col("median_cents"))
+          <= col("median_cents") * 0.05, 1).otherwise(0).as("pctl_in_band"))
       .orderBy(col("l_returnflag"))
+
+  private val q21Sql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.5) AS median_cents,
+      |  CAST(1 AS INTEGER) AS hll_in_band,
+      |  CAST(1 AS INTEGER) AS pctl_in_band
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** KMV distinct-count sketch (q28): the deterministic, mergeable,
     * bounded-state complement to q21's HLL++ — k smallest distinct
@@ -538,7 +564,7 @@ object Relational {
     QuerySpec("q13_token_counts", q13, Some(q13Sql)),
     QuerySpec("q18_rollup_orders", q18, Some(q18Sql)),
     QuerySpec("q19_median_by_status", q19, Some(q19Sql)),
-    QuerySpec("q21_sketches", q21, None),
+    QuerySpec("q21_sketches", q21, Some(q21Sql)),
     QuerySpec("q22_pivot_status_priority", q22, Some(q22Sql)),
     QuerySpec("q23_custkeys_intersect", q23, Some(q23Sql)),
     QuerySpec("q24_order_gaps_lag", q24, Some(q24Sql)),

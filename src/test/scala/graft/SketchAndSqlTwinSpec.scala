@@ -34,17 +34,23 @@ class SketchAndSqlTwinSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("q21 sketches are within tolerance of exact values") {
-    val approx = Registry.queries("q21_sketches")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the in-band flags ARE the tolerance check, computed in-plan so the
+    // driver's hash compare enforces them; here additionally cross-check
+    // the exact columns against an independent computation
+    val rows = Registry.queries("q21_sketches")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toMap
     val exact = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("n"),
-           expr("percentile(l_extendedprice, 0.5)").as("m"))
+           expr("percentile(cast(round(l_extendedprice * 100) as long), 0.5)").as("m"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     exact.foreach { case (flag, (n, m)) =>
-      val (an, am) = approx(flag)
-      assert(math.abs(an - n).toDouble / n < 0.05, s"$flag distinct: $an vs $n")
-      assert(math.abs(am - m) / m < 0.05, s"$flag median: $am vs $m")
+      val (qn, qm, hllOk, pctlOk) = rows(flag)
+      assert(qn === n, s"$flag exact distinct mismatch")
+      assert(qm === m, s"$flag exact median mismatch")
+      assert(hllOk === 1, s"$flag HLL estimate out of 5% band")
+      assert(pctlOk === 1, s"$flag percentile estimate out of 5% band")
     }
   }
 
