@@ -168,6 +168,86 @@ object Dedup {
         round(jac, 4).as("jaccard_r4"))
   }
 
+  // ---------------- incremental (batch-vs-corpus) ----------------
+
+  /** Cross-corpus Jaccard pairs: (incoming doc, corpus doc) pairs that
+    * share at least one shingle, scored over the df-capped shingle
+    * universe of the COMBINED corpus (a corpus-hot shingle carries no
+    * dedup signal whichever side it comes from — same rationale and
+    * same windowed cap as `jaccardPairs`, mirrored in the d13 oracle).
+    *
+    * Scale shape: both sides union into ONE Exchange partitioned on
+    * the shingle; the df-cap window and the incoming×corpus equi-join
+    * all ride that partitioning, so the incremental pass costs one
+    * shuffle of the combined shingle index — never all-pairs, and no
+    * per-side re-shingling. */
+  def crossJaccardPairs(shIncoming: DataFrame, shCorpus: DataFrame,
+                        threshold: Double,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val tagged = shIncoming.select(col("doc_id"), col("s"), lit(1).as("__side"))
+      .unionByName(shCorpus.select(col("doc_id"), col("s"), lit(0).as("__side")))
+      .repartition(col("s"))
+    val capped =
+      if (maxDocFreq == Int.MaxValue) tagged
+      else tagged
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
+    val card = capped.groupBy(col("__side"), col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = capped.filter(col("__side") === 1).as("a")
+      .join(capped.filter(col("__side") === 0).as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("inc_id"), col("b.doc_id").as("cor_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") / col("n_union").cast("double")
+    inter
+      .join(card.filter(col("__side") === 1).select(col("doc_id"), col("n").as("n1")),
+        col("inc_id") === col("doc_id")).drop("doc_id")
+      .join(card.filter(col("__side") === 0).select(col("doc_id"), col("n").as("n2")),
+        col("cor_id") === col("doc_id")).drop("doc_id")
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .filter(jac >= threshold)
+      .select(col("inc_id"), col("cor_id"), col("n_inter"), col("n_union"),
+        round(jac, 4).as("jaccard_r4"))
+  }
+
+  /** Incremental dedup — the daily-crawl workflow at corpus scale: a
+    * new batch is deduplicated against an EXISTING corpus without
+    * re-deduplicating the corpus itself. Survivors of `incoming` are
+    * returned; `corpus` is only read (its canonical hashes and its
+    * shingle index — at 100 TB both are the precomputed artifacts an
+    * incremental pipeline maintains between runs).
+    *
+    * Contract, in order:
+    *  1. exact dedup WITHIN the batch (keep smallest id);
+    *  2. drop batch docs whose canonical hash exists in the corpus
+    *     (anti-join on the hash — one shuffle, or broadcast when the
+    *     corpus hash set is small);
+    *  3. drop batch docs Jaccard-similar (≥ threshold over the
+    *     df-capped combined shingle universe) to ANY corpus doc.
+    * Near-dups WITHIN the batch are deliberately retained — that's
+    * `CorpusPipeline.curate`'s job on the batch beforehand if wanted;
+    * keeping the two policies separate keeps both oracle-exact. */
+  def dedupIncrement(corpus: DataFrame, incoming: DataFrame,
+                     idCol: String, textCol: String,
+                     jaccardThreshold: Double = 0.6,
+                     maxDocFreq: Int = 100,
+                     shingleK: Int = 3): DataFrame = {
+    val batch = dropExactDuplicates(incoming, idCol, textCol)
+    val corpusHashes = corpus
+      .select(TextAnalysis.textHash(col(textCol)).as("__h")).distinct()
+    val fresh = batch
+      .withColumn("__h", TextAnalysis.textHash(col(textCol)))
+      .join(corpusHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+    val nearIds = crossJaccardPairs(
+        shingles(fresh, idCol, textCol, shingleK),
+        shingles(corpus, idCol, textCol, shingleK),
+        jaccardThreshold, maxDocFreq)
+      .select(col("inc_id").as(idCol))
+      .distinct()
+    fresh.join(nearIds, Seq(idCol), "left_anti")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash: per token take the first 64 bits of md5 (16 hex

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing: keep each row with
+  * a per-source probability, decided by a hash coin on the row's id —
+  * not by `rand()`. The properties that matter when building a corpus:
+  *
+  *  - reproducible: the same document survives or not regardless of
+  *    run, partitioning, cluster size, or execution order (no RNG
+  *    state, no seed plumbing);
+  *  - stable under corpus growth: adding documents never flips the
+  *    keep/drop decision of an existing one (each coin depends only on
+  *    that row's id), so repeated pipeline runs converge;
+  *  - exact to an external oracle: the coin is an md5 prefix, the
+  *    comparison integer arithmetic.
+  *
+  * Coin: first 24 bits of md5(id) as a uniform draw in [0, 2^24); keep
+  * iff draw < weight·2^24. Per-source weights express mixing ratios
+  * ("2 parts web, 1 part wiki"): the expected kept volume per source is
+  * weight × source volume, which is how corpus mixing recipes are
+  * specified (sampling rates, not output quotas — quota-exact variants
+  * need a global sort and are not partition-stable).
+  */
+object Sampling {
+
+  /** 24-bit uniform hash coin on the id column. */
+  def hashCoin(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** Per-source keep probability as a Column (unlisted sources get
+    * `defaultWeight`). Weights are sorted for a deterministic
+    * expression tree. */
+  def sourceWeight(source: Column, weights: Map[String, Double],
+                   defaultWeight: Double): Column =
+    weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight): Column) {
+      case (e, (s, p)) => when(source === lit(s), lit(p)).otherwise(e)
+    }
+
+  /** Filter `df` down to the mixed sample. Pure narrow per-row filter:
+    * no shuffle, no state — runs at scan speed over 100 TB and pushes
+    * nothing onto the driver. */
+  def sampleBySource(df: DataFrame, sourceCol: String, idCol: String,
+                     weights: Map[String, Double],
+                     defaultWeight: Double = 1.0): DataFrame =
+    df.filter(hashCoin(col(idCol)).cast("double") <
+      sourceWeight(col(sourceCol), weights, defaultWeight) * 16777216.0)
+}

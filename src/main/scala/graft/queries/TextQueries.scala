@@ -322,6 +322,93 @@ object TextQueries {
        |GROUP BY split
        |ORDER BY split""".stripMargin
 
+  /** Incremental dedup (d13): the daily-crawl workflow — a new batch
+    * (here doc_id % 5 == 0) deduplicated against the standing corpus
+    * (the other 80%) without re-deduplicating the corpus: within-batch
+    * exact dedup → anti-join on corpus canonical hashes → cross-corpus
+    * df-capped-Jaccard near-dup drop (operators.Dedup.dedupIncrement).
+    * The oracle replays all three stages. */
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.dedupIncrement(
+        corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d13Sql =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |incoming AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |batch AS (
+      | SELECT doc_id, text FROM (
+      |   SELECT doc_id, text,
+      |     row_number() OVER (
+      |       PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |       ORDER BY doc_id) AS rn
+      |   FROM incoming) WHERE rn = 1),
+      |fresh AS (
+      | SELECT doc_id, text FROM batch
+      | WHERE md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN
+      |   (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) FROM corpus)),
+      |shu AS (
+      | SELECT 1 AS side, doc_id, s FROM (
+      |   SELECT DISTINCT doc_id,
+      |     unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
+      |            i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s
+      |   FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM fresh))
+      | UNION ALL
+      | SELECT 0 AS side, doc_id, s FROM (
+      |   SELECT DISTINCT doc_id,
+      |     unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
+      |            i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s
+      |   FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus))),
+      |shc AS (SELECT side, doc_id, s FROM
+      |          (SELECT side, doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM shu)
+      |        WHERE df <= 100),
+      |card AS (SELECT side, doc_id, count(*) AS n FROM shc GROUP BY 1, 2),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+      |          FROM shc a JOIN shc b ON a.s = b.s AND a.side = 1 AND b.side = 0
+      |          GROUP BY 1, 2),
+      |nears AS (SELECT DISTINCT d1 AS doc_id FROM inter
+      |          JOIN card c1 ON c1.side = 1 AND c1.doc_id = d1
+      |          JOIN card c2 ON c2.side = 0 AND c2.doc_id = d2
+      |          WHERE CAST(ni AS DOUBLE) / CAST(c1.n + c2.n - ni AS DOUBLE) >= 0.6)
+      |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |FROM fresh
+      |WHERE doc_id NOT IN (SELECT doc_id FROM nears)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic source mixing (d14): hash-coin sampling at
+    * per-source rates (operators.Sampling) — the "2 parts web, 1 part
+    * wiki" corpus-mixing step, RNG-free so the kept set is identical
+    * at any partitioning and in the oracle. Reported as per-source
+    * kept-doc/token counts. */
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.sampleBySource(
+        Tables.documents(s, dir), "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultWeight = 0.1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+      .orderBy(col("source"))
+
+  private val d14Sql =
+    """SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      |FROM (SELECT source, text,
+      |        CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE) AS coin,
+      |        CASE source WHEN 'src0' THEN CAST(1.0 AS DOUBLE)
+      |                    WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+      |                    WHEN 'src2' THEN CAST(0.25 AS DOUBLE)
+      |                    ELSE CAST(0.1 AS DOUBLE) END AS w
+      |      FROM documents)
+      |WHERE coin < w * 16777216.0
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -334,5 +421,7 @@ object TextQueries {
     QuerySpec("d09_rolling_hash", d09, Some(d09Sql)),
     QuerySpec("d10_bpeish_tokens", d10, Some(d10Sql)),
     QuerySpec("d11_hash_split", d11, Some(d11Sql)),
-    QuerySpec("d12_corpus_curation", d12, Some(d12Sql)))
+    QuerySpec("d12_corpus_curation", d12, Some(d12Sql)),
+    QuerySpec("d13_incremental_dedup", d13, Some(d13Sql)),
+    QuerySpec("d14_source_mixing", d14, Some(d14Sql)))
 }

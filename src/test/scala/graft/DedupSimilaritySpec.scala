@@ -120,6 +120,56 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       "hamming-4 fingerprint must pair with nothing at r=3")
   }
 
+  test("incremental dedup: batch survivors vs a standing corpus") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely separate corpus document about databases"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "THE quick brown fox jumps over the lazy  dog"), // exact dup of corpus 1 (canonical form)
+      (11L, "the quick brown fox leaps over the lazy dog"),  // near dup of corpus 1 (jaccard 0.4)
+      (12L, "brand new content that matches nothing else at all"),
+      (13L, "brand new content that matches nothing else at all"), // within-batch exact dup of 12
+      (14L, "the quick brown fox leaps over the lazy dog"))  // within-batch exact dup of 11
+      .toDF("doc_id", "text")
+    // default threshold 0.6: near dup 11 (0.4) survives
+    val keep = Dedup.dedupIncrement(corpus, incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep === Set(11L, 12L))
+    // threshold 0.35 additionally drops the near dup — and its
+    // within-batch twin 14 was already folded into 11 by stage 1
+    val strict = Dedup.dedupIncrement(corpus, incoming, "doc_id", "text",
+      jaccardThreshold = 0.35)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict === Set(12L))
+    // corpus is never modified/returned: survivors are batch rows only
+    assert(!keep.contains(1L) && !keep.contains(2L))
+  }
+
+  test("hash-coin sampling: deterministic, growth-stable, rate-accurate") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val w = Map("src0" -> 1.0, "src1" -> 0.0)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleBySource(df, "source", "doc_id", w, defaultWeight = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    val full = kept(docs)
+    // weight 1.0 keeps everything, 0.0 keeps nothing
+    val bySource = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bySource.collect { case (id, "src0") => id }.forall(full.contains))
+    assert(!bySource.exists { case (id, s) => s == "src1" && full.contains(id) })
+    // growth-stable: decisions on a subset are the subset of decisions
+    // (each coin depends only on the row's id — adding docs flips nothing)
+    val subset = kept(docs.filter(col("doc_id") % 2 === 0))
+    assert(subset === full.filter(_ % 2 == 0))
+    // rate-accurate: default-weight sources keep ~50% (binomial band)
+    val defaultIds = bySource.collect { case (id, s) if s != "src0" && s != "src1" => id }
+    val rate = defaultIds.count(full.contains).toDouble / defaultIds.size
+    assert(rate > 0.4 && rate < 0.6, f"default 0.5 rate off: $rate%.3f")
+  }
+
   test("ANN recall vs exact kNN on real embeddings (sf0.001)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnExact(emb, col("vec_id") < 10, 5)

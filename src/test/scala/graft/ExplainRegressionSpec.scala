@@ -54,4 +54,12 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
       s"no exchange reuse in d07 final plan:\n$p")
   }
+
+  test("d13: incremental cross-join is an equi-join sharing the union Exchange") {
+    val p = executedPlan("d13_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in d13 plan:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"incoming/corpus sides don't share the shingle-union Exchange:\n$p")
+  }
 }
