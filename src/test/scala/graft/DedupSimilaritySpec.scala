@@ -147,6 +147,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(!keep.contains(1L) && !keep.contains(2L))
   }
 
+  test("incremental dedup is idempotent once survivors merge into the corpus") {
+    import graft.operators.Dedup
+    // the daily-pipeline invariant: after a batch's survivors are
+    // appended to the corpus, re-presenting the SAME batch must yield
+    // zero survivors — exact dups of their own prior selves (or of the
+    // docs that shadowed them on the first pass)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely separate corpus document about databases"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "THE quick brown fox jumps over the lazy  dog"),
+      (11L, "the quick brown fox leaps over the lazy dog"),
+      (12L, "brand new content that matches nothing else at all"),
+      (13L, "brand new content that matches nothing else at all"),
+      (14L, "the quick brown fox leaps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.dedupIncrement(corpus, incoming, "doc_id", "text")
+    val merged = corpus.unionByName(survivors)
+    assert(Dedup.dedupIncrement(merged, incoming, "doc_id", "text").count() === 0L)
+  }
+
   test("hash-coin sampling: deterministic, growth-stable, rate-accurate") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
