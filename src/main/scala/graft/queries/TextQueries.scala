@@ -409,6 +409,35 @@ object TextQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Token-budget shard packing (d15): per-source, id-ordered documents
+    * accumulate tokens; shard = floor(exclusive-prefix-sum / budget)
+    * (operators.Packing). Reported as per-(source, shard) doc/token
+    * totals — the manifest a shard writer would consume. */
+  private def d15(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.assignShards(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        partitionCol = "source", orderCol = "doc_id",
+        tokensCol = "n_tokens", budgetTokens = 2000L)
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("shard"))
+
+  private val d15Sql =
+    """SELECT source, shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM (SELECT source,
+      |        COALESCE(SUM(n_tokens) OVER (
+      |          PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard,
+      |        n_tokens
+      |      FROM (SELECT doc_id, source,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |            FROM documents))
+      |GROUP BY source, shard
+      |ORDER BY source, shard""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -423,5 +452,6 @@ object TextQueries {
     QuerySpec("d11_hash_split", d11, Some(d11Sql)),
     QuerySpec("d12_corpus_curation", d12, Some(d12Sql)),
     QuerySpec("d13_incremental_dedup", d13, Some(d13Sql)),
-    QuerySpec("d14_source_mixing", d14, Some(d14Sql)))
+    QuerySpec("d14_source_mixing", d14, Some(d14Sql)),
+    QuerySpec("d15_token_shards", d15, Some(d15Sql)))
 }

@@ -169,6 +169,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.dedupIncrement(merged, incoming, "doc_id", "text").count() === 0L)
   }
 
+  test("token-budget shard packing: exclusive prefix sum, append-stable") {
+    import graft.operators.Packing
+    val docs = Seq(
+      ("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 4L), // prefixes 0,4,8 → shard 0
+      ("a", 4L, 4L),                               // prefix 12 → shard 1
+      ("b", 1L, 25L),                              // prefix 0 → shard 0 (oversized doc still starts a shard)
+      ("b", 2L, 1L))                               // prefix 25 → shard 2
+      .toDF("source", "doc_id", "n_tokens")
+    def shards(df: org.apache.spark.sql.DataFrame) =
+      Packing.assignShards(df, "source", "doc_id", "n_tokens", 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val got = shards(docs)
+    assert(got === Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 0L,
+      ("a", 4L) -> 1L, ("b", 1L) -> 0L, ("b", 2L) -> 2L))
+    // append-stable: adding higher-id docs never moves existing shards
+    val more = docs.unionByName(Seq(("a", 9L, 7L), ("b", 9L, 7L))
+      .toDF("source", "doc_id", "n_tokens"))
+    val grown = shards(more)
+    assert(got.forall { case (k, v) => grown(k) == v })
+  }
+
   test("hash-coin sampling: deterministic, growth-stable, rate-accurate") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
