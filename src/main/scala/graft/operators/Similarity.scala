@@ -138,6 +138,35 @@ object Similarity {
       topN, minCos = Double.NegativeInfinity)
   }
 
+  /** Int8 scalar quantization: per-vector scale = max |x_i|, code
+    * q_i = round(x_i / scale · 127) ∈ [-127, 127] — 4× smaller at rest,
+    * which at 100 TB of embeddings is the difference between fitting
+    * the ANN working set in cluster memory or not. Deterministic (no
+    * codebook training, no RNG), so quantize→reconstruct→search has an
+    * exact external mirror; recall loss vs full precision is pinned in
+    * the test suite. All-zero vectors pass through unquantized. */
+  def quantScale(emb: Column): Column =
+    array_max(transform(emb, x => abs(x)))
+
+  /** Reconstructed (dequantized) vector: round-trips each component
+    * through its int8 code in one expression — q/127·scale as float.
+    * The narrow per-row transform is storage-side; pairwise scoring on
+    * the reconstructed arrays still runs the native codegen dot. */
+  def dequantized(emb: Column, scale: Column): Column =
+    when(scale === 0.0f, emb)
+      .otherwise(transform(emb, x =>
+        (round(x.cast("double") / scale.cast("double") * 127.0, 0)
+          / 127.0 * scale.cast("double")).cast("float")))
+
+  /** kNN over int8-quantized embeddings: same contract as `knnExact`,
+    * scoring the reconstructed vectors. */
+  def knnInt8(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val recon = emb.withColumn("__s", quantScale(col("embedding")))
+      .withColumn("embedding", dequantized(col("embedding"), col("__s")))
+      .drop("__s")
+    knnExact(recon, queryFilter, k)
+  }
+
   /** Deterministic ±1 hyperplane component for (plane, dim): parity of
     * the first hex digit of md5("p<plane>_d<dim>"). Exposed package-wide
     * so the e02 oracle can inline the identical signs as SQL literals. */

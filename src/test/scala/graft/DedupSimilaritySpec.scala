@@ -251,6 +251,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(r1 > 0.0)
   }
 
+  test("int8 quantized kNN: high top-k agreement with full precision") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(Similarity.knnExact(emb, col("vec_id") < 10, 5))
+    val int8 = topk(Similarity.knnInt8(emb, col("vec_id") < 10, 5))
+    val recall = exact.map { case (q, s) => (s intersect int8(q)).size }.sum.toDouble /
+      exact.values.map(_.size).sum
+    info(f"int8 recall@5 = $recall%.2f")
+    // ~0.4% max per-component error (1/254 of max-abs) barely perturbs
+    // cosines: near-perfect neighbor agreement expected
+    assert(recall >= 0.9, f"int8 quantization lost too much recall: $recall%.2f")
+    // all-zero vector guard: dequantized passes it through unchanged
+    import graft.operators.Similarity.{dequantized, quantScale}
+    val z = Seq((1L, Array.fill(4)(0.0f)), (2L, Array(1.0f, -2.0f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        dequantized(col("embedding"), quantScale(col("embedding"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(z(1L).forall(_ == 0.0f))
+    assert(math.abs(z(2L)(1) - (-2.0f)) < 1e-6) // max component exact
+  }
+
   test("near-dup cells sizing: √N default + recall at two cell counts") {
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
