@@ -97,6 +97,28 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(a.forall(_._1 < 1000L))
   }
 
+  test("incremental dedup invariant: result independent of partitioning") {
+    // the incremental pass inherits the no-RNG design: survivors of a
+    // batch against a corpus must be the same set however either side
+    // is sharded or ordered
+    val corpusRows = samples(plainTitle, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, s"the corpus $t entry") }
+    val batchRows = samples(plainTitle, 40).zipWithIndex
+      .map { case (t, i) => (i + 5000L, s"the batch $t entry") } ++
+      corpusRows.take(10).map { case (id, t) => (id + 9000L, t) } // planted corpus dups
+    def run(cp: Int, bp: Int) = graft.operators.Dedup.dedupIncrement(
+        corpusRows.toDF("doc_id", "text").repartition(cp),
+        batchRows.toDF("doc_id", "text").repartition(bp),
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val a = run(1, 1)
+    val b = run(13, 7)
+    assert(a === b)
+    assert(a.nonEmpty)
+    // planted exact copies of corpus docs never survive
+    assert(a.forall(_ < 9000L))
+  }
+
   test("KMV invariant: estimate is exact below k for arbitrary inputs") {
     val kmv = udaf(new graft.operators.KmvDistinct(256))
     val values = samples(Gen.chooseNum(0L, (1L << 32) - 1), 400)
