@@ -55,6 +55,23 @@ object TextAnalysis {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Adjacent token bigrams (with multiplicity — repetition is the
+    * signal here, unlike the deduplication shingles which are
+    * per-document distinct). Empty for single-token docs. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    transform(
+      when(n >= 2, sequence(lit(1), n - 1)).otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+  }
+
+  /** Duplicate-token fraction 1 − unique/total: the simplest
+    * repetitive-document signal (a high value means the doc repeats
+    * its vocabulary; quality filters threshold it). */
+  def dupTokenFraction(text: Column): Column =
+    lit(1.0) - uniqueTokenCount(text).cast("double") / tokenCount(text).cast("double")
+
   /** BPE-ish subword-unit count: letter runs, digit runs, and single
     * punctuation marks each count as one unit — the regex shape of a
     * byte-pair pre-tokenizer, cheap enough to run inline over a corpus. */

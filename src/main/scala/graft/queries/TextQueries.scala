@@ -438,6 +438,46 @@ object TextQueries {
       |GROUP BY source, shard
       |ORDER BY source, shard""".stripMargin
 
+  /** Repetition signals (d16): the classic repetitive-document quality
+    * filters — duplicate-token fraction and the most-frequent-bigram
+    * share. Bigram mode via explode → (doc, bigram) count → per-doc
+    * max: proper distributed shape (two partial-aggregated shuffles),
+    * not a per-row quadratic HOF scan. */
+  private def d16(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.dupTokenFraction(col("text")).as("dup_tok"),
+        explode(TextAnalysis.bigrams(col("text"))).as("bg"))
+      .groupBy(col("doc_id"), col("dup_tok"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("dup_tok"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+      .select(col("doc_id"),
+        round(col("dup_tok"), 4).as("dup_token_frac_r4"),
+        col("n_bigrams"), col("top_bigram_n"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("top_bigram_frac_r4"))
+      .orderBy(col("doc_id"))
+
+  private val d16Sql =
+    """SELECT doc_id,
+      |  round(dup_tok, 4) AS dup_token_frac_r4,
+      |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |  CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+      |  round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 4) AS top_bigram_frac_r4
+      |FROM (
+      |  SELECT doc_id, dup_tok, bg, COUNT(*) AS n
+      |  FROM (
+      |    SELECT doc_id,
+      |      1.0 - CAST(len(list_distinct(tokens)) AS DOUBLE)
+      |          / CAST(len(tokens) AS DOUBLE) AS dup_tok,
+      |      unnest(list_transform(range(1, greatest(len(tokens), 1)),
+      |             i -> tokens[i] || ' ' || tokens[i+1])) AS bg
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents))
+      |  GROUP BY 1, 2, 3)
+      |GROUP BY doc_id, dup_tok
+      |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -453,5 +493,6 @@ object TextQueries {
     QuerySpec("d12_corpus_curation", d12, Some(d12Sql)),
     QuerySpec("d13_incremental_dedup", d13, Some(d13Sql)),
     QuerySpec("d14_source_mixing", d14, Some(d14Sql)),
-    QuerySpec("d15_token_shards", d15, Some(d15Sql)))
+    QuerySpec("d15_token_shards", d15, Some(d15Sql)),
+    QuerySpec("d16_repetition_signals", d16, Some(d16Sql)))
 }

@@ -120,6 +120,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       "hamming-4 fingerprint must pair with nothing at r=3")
   }
 
+  test("repetition signals: bigrams with multiplicity, dup-token fraction") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // dup 0.75; "spam spam" x3 -> top frac 1.0
+      (2L, "all tokens here are different"), // dup 0; every bigram unique -> 0.25
+      (3L, "one"))                           // single token: no bigrams
+      .toDF("doc_id", "text")
+    val bg = df.select(col("doc_id"), TextAnalysis.bigrams(col("text")).as("b"),
+        TextAnalysis.dupTokenFraction(col("text")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getDouble(2))).toMap
+    assert(bg(1L)._1 === Seq("spam spam", "spam spam", "spam spam"))
+    assert(bg(1L)._2 === 0.75)
+    assert(bg(2L)._1.distinct.size === 4 && bg(2L)._2 === 0.0)
+    assert(bg(3L)._1.isEmpty)
+  }
+
   test("incremental dedup: batch survivors vs a standing corpus") {
     import graft.operators.Dedup
     val corpus = Seq(
