@@ -168,6 +168,41 @@ object Dedup {
         round(jac, 4).as("jaccard_r4"))
   }
 
+  // ---------------- winnowing ----------------
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS algorithm): hash every k-gram, slide a window of `w`
+    * hashes, keep each window's minimum — guarantees any match of
+    * length ≥ w+k−1 tokens between two documents shares a fingerprint,
+    * while storing only ~2/(w+1) of the hashes. The standard machinery
+    * for benchmark-contamination detection over a training corpus:
+    * winnow both sides, join on the fingerprint (d06-style bucket
+    * join), verify candidates exactly.
+    *
+    * Deterministic md5-derived hashes (oracle-exact, no seed state);
+    * selection is per-row array work (narrow, no shuffle) — the
+    * output (doc_id, fingerprint) index is what gets joined at scale.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    val grams = transform(
+      when(n >= k, sequence(lit(1), n - (k - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    val hashes = transform(grams, g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val nh = size(hashes)
+    // fewer than w hashes: the whole doc is one window
+    val mins = when(nh === 0, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(nh - (w - 1), lit(1))),
+        j => array_min(slice(hashes, j, least(lit(w), nh)))))
+    df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(mins)).as("fingerprint"))
+  }
+
   // ---------------- incremental (batch-vs-corpus) ----------------
 
   /** Cross-corpus Jaccard pairs: (incoming doc, corpus doc) pairs that

@@ -478,6 +478,35 @@ object TextQueries {
       |GROUP BY doc_id, dup_tok
       |ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprints (d17): the MOSS fingerprint-selection
+    * algorithm (hash k-grams, keep each sliding window's minimum) —
+    * the contamination-detection index: any ≥ w+k−1-token match
+    * between two docs is guaranteed to share a fingerprint while only
+    * ~2/(w+1) of hashes are stored. Output is the full (doc,
+    * fingerprint) index, so the oracle pins the selection itself. */
+  private def d17(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("fingerprint"))
+
+  private val d17Sql =
+    """WITH hashes AS (
+      | SELECT doc_id,
+      |   list_transform(
+      |     list_transform(range(1, greatest(len(tokens) - 1, 1)),
+      |                    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]),
+      |     g -> CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)) AS h
+      | FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+      |wins AS (
+      | SELECT doc_id,
+      |   CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+      |        ELSE list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+      |               j -> list_min(h[j : j + least(4, len(h)) - 1]))
+      |   END AS mins
+      | FROM hashes)
+      |SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint
+      |FROM wins
+      |ORDER BY 1, 2""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -494,5 +523,6 @@ object TextQueries {
     QuerySpec("d13_incremental_dedup", d13, Some(d13Sql)),
     QuerySpec("d14_source_mixing", d14, Some(d14Sql)),
     QuerySpec("d15_token_shards", d15, Some(d15Sql)),
-    QuerySpec("d16_repetition_signals", d16, Some(d16Sql)))
+    QuerySpec("d16_repetition_signals", d16, Some(d16Sql)),
+    QuerySpec("d17_winnow_fingerprints", d17, Some(d17Sql)))
 }

@@ -120,6 +120,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       "hamming-4 fingerprint must pair with nothing at r=3")
   }
 
+  test("winnowing: shared runs >= w+k-1 share a fingerprint; compression holds") {
+    import graft.operators.Dedup
+    // k=3, w=4: any common run of >= 6 tokens guarantees a shared
+    // fingerprint (the windows over the run select the same minimum)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two three $shared four five six seven eight"),
+      (2L, s"nine ten eleven twelve $shared thirteen fourteen"),
+      (3L, "totally disjoint vocabulary with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty, "6-token shared run must collide")
+    assert((fp(1L) intersect fp(3L)).isEmpty, "no shared 3-gram -> no shared fingerprint")
+    assert((fp(2L) intersect fp(3L)).isEmpty)
+    // selection stores far fewer than all k-gram hashes (~2/(w+1))
+    val doc1Kgrams = Dedup.shingles(df.filter(col("doc_id") === 1), "doc_id", "text", 3).count()
+    assert(fp(1L).size < doc1Kgrams,
+      s"winnowing must compress: ${fp(1L).size} fingerprints vs $doc1Kgrams k-grams")
+  }
+
   test("repetition signals: bigrams with multiplicity, dup-token fraction") {
     import graft.operators.TextAnalysis
     val df = Seq(
