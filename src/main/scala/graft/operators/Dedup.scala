@@ -59,15 +59,23 @@ object Dedup {
     * transform/explode pipeline is all built-in generators — one narrow
     * pass over the corpus. Per-document dedup happens inside the row
     * (array_distinct BEFORE explode), so no global distinct() shuffle:
-    * the output is shuffle-free however large the corpus. */
+    * the output is shuffle-free however large the corpus.
+    *
+    * The token array is materialized as a column BEFORE the shingle
+    * lambda: element_at inside a lambda re-evaluates its array operand
+    * per element (no CSE through lambda bodies), so referencing the
+    * split() expression directly would re-tokenize the document once
+    * per shingle per k — an O(tokens²) blowup measured at ~2× on d07. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    val withToks = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    val toks = col("__t")
     val n = size(toks)
     val idxs = when(n >= k, sequence(lit(1), n - (k - 1)))
       .otherwise(array().cast("array<int>"))
     val sh = transform(idxs, i =>
       concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
-    df.select(col(idCol).as("doc_id"), explode(array_distinct(sh)).as("s"))
+    withToks.select(col("doc_id"), explode(array_distinct(sh)).as("s"))
   }
 
   // ---------------- MinHash + LSH ----------------
@@ -185,22 +193,30 @@ object Dedup {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    // every array feeding a lambda is materialized as a column first:
+    // lambdas re-evaluate non-attribute operands per element (no CSE
+    // through lambda bodies), so inlining the token array would
+    // re-split per k-gram and inlining the hash array would re-md5
+    // per window — each a quadratic blowup (the un-materialized form
+    // measured >10 min vs ~2 s at sf0.1)
+    val withToks = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    val toks = col("__t")
     val n = size(toks)
     val grams = transform(
       when(n >= k, sequence(lit(1), n - (k - 1)))
         .otherwise(array().cast("array<int>")),
       i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
-    val hashes = transform(grams, g =>
-      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-    val nh = size(hashes)
+    val hashed = withToks.select(col("doc_id"),
+      transform(grams, g =>
+        conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("__h"))
+    val nh = size(col("__h"))
     // fewer than w hashes: the whole doc is one window
     val mins = when(nh === 0, array().cast("array<long>"))
       .otherwise(transform(
         sequence(lit(1), greatest(nh - (w - 1), lit(1))),
-        j => array_min(slice(hashes, j, least(lit(w), nh)))))
-    df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(mins)).as("fingerprint"))
+        j => array_min(slice(col("__h"), j, least(lit(w), nh)))))
+    hashed.select(col("doc_id"), explode(array_distinct(mins)).as("fingerprint"))
   }
 
   // ---------------- incremental (batch-vs-corpus) ----------------

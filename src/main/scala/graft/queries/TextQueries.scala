@@ -445,9 +445,13 @@ object TextQueries {
     * not a per-row quadratic HOF scan. */
   private def d16(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // tokens materialized once; the bigram lambda then reads a plain
+      // attribute instead of re-splitting the text per element
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
-        TextAnalysis.dupTokenFraction(col("text")).as("dup_tok"),
-        explode(TextAnalysis.bigrams(col("text"))).as("bg"))
+        (lit(1.0) - size(array_distinct(col("__t"))).cast("double")
+          / size(col("__t")).cast("double")).as("dup_tok"),
+        explode(TextAnalysis.bigramsOfTokens(col("__t"))).as("bg"))
       .groupBy(col("doc_id"), col("dup_tok"), col("bg"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"), col("dup_tok"))
