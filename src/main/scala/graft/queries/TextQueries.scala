@@ -428,9 +428,12 @@ object TextQueries {
     """SELECT source, shard, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
       |FROM (SELECT source,
-      |        COALESCE(SUM(n_tokens) OVER (
+      |        -- window SUM(BIGINT) is HUGEINT in DuckDB; cast back so the
+      |        -- driver's pandas bridge keeps shard integral like Spark's LONG
+      |        CAST(COALESCE(SUM(n_tokens) OVER (
       |          PARTITION BY source ORDER BY doc_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard,
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+      |          AS BIGINT) AS shard,
       |        n_tokens
       |      FROM (SELECT doc_id, source,
       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
