@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the "cluster the near-dup
+  * pairs, keep one document per cluster" step that follows MinHash /
+  * Jaccard / SimHash candidate generation in corpus dedup (pairwise
+  * drop rules like CorpusPipeline's are order-independent but can drop
+  * both endpoints of a chain; cluster-then-keep-representative retains
+  * exactly one per group).
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labeled with itself; each round a vertex takes the minimum label
+  * among itself and its neighbors; fixpoint = each component uniformly
+  * carries its minimum vertex id. Rounds needed = graph diameter,
+  * and dedup graphs are near-cliques (a duplicated document pairs with
+  * most of its copies), so 2-4 rounds are typical. Each round is one
+  * shuffle-join on the vertex id plus a partial-aggregated min — no
+  * driver-side graph state, no vertex ever holds more than its label.
+  *
+  * Lineage is truncated with an eager `localCheckpoint` per round:
+  * without it the iterated self-join doubles the plan each round and
+  * the convergence check re-executes the whole history. On a real
+  * cluster with executor loss concerns, swap for reliable
+  * `checkpoint()` against a checkpoint dir — same contract.
+  *
+  * For adversarial long-chain graphs (diameter ~ vertices, e.g.
+  * paragraph-overlap chains) the O(diameter) bound degrades; the
+  * known remedy is alternating large-star/small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14), which
+  * converges in O(log^2 n) rounds with the same per-round shuffle
+  * shape. Not implemented: dedup-pair graphs don't produce such
+  * chains, and maxIter makes the degradation loud (require fails)
+  * rather than silent.
+  */
+object Components {
+
+  /** (v, lbl) for every vertex appearing in `edges`, where lbl is the
+    * minimum vertex id of v's component. Vertices with no edges are
+    * absent (a singleton is its own representative — union them in if
+    * needed). Deterministic for any partitioning of the input. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .unionByName(edges
+        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = sym.as("e")
+        .join(labels.as("l"), col("e.src") === col("l.v"))
+        .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
+        .unionByName(labels)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // labels only ever decrease, so "no label dropped" = fixpoint
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") < col("o.lbl"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "pathological chain graph; use large-star/small-star instead")
+    labels
+  }
+}

@@ -514,6 +514,48 @@ object TextQueries {
       |FROM wins
       |ORDER BY 1, 2""".stripMargin
 
+  /** Duplicate-cluster assignment (d18): near-dup pairs (d07's capped
+    * jaccard universe) → connected components → one representative per
+    * cluster — the cluster-then-keep step of corpus dedup
+    * (operators.Components). The oracle computes the same components
+    * via a recursive transitive-closure CTE + min-per-vertex. */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+    val pairs = Dedup.jaccardPairs(sh, 0.6, maxDocFreq = 100)
+    val cc = graft.operators.Components
+      .connectedComponents(pairs, "doc_id1", "doc_id2")
+    cc.join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d18Sql =
+    s"""${shingleCte.replaceFirst("WITH sh", "WITH RECURSIVE sh")},
+       |shc AS (SELECT doc_id, s FROM
+       |          (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+       |        WHERE df <= 100),
+       |card AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_inter
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+       |          JOIN card c1 ON doc_id1 = c1.doc_id
+       |          JOIN card c2 ON doc_id2 = c2.doc_id
+       |          WHERE CAST(n_inter AS DOUBLE)
+       |                / CAST(c1.n + c2.n - n_inter AS DOUBLE) >= 0.6),
+       |sym AS (SELECT doc_id1 AS src, doc_id2 AS dst FROM pairs
+       |        UNION SELECT doc_id2, doc_id1 FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src),
+       |lbl AS (SELECT v AS doc_id, MIN(u) AS cluster_rep FROM reach GROUP BY v)
+       |SELECT doc_id, cluster_rep,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+       |FROM lbl
+       |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -531,5 +573,6 @@ object TextQueries {
     QuerySpec("d14_source_mixing", d14, Some(d14Sql)),
     QuerySpec("d15_token_shards", d15, Some(d15Sql)),
     QuerySpec("d16_repetition_signals", d16, Some(d16Sql)),
-    QuerySpec("d17_winnow_fingerprints", d17, Some(d17Sql)))
+    QuerySpec("d17_winnow_fingerprints", d17, Some(d17Sql)),
+    QuerySpec("d18_dup_clusters", d18, Some(d18Sql)))
 }
