@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-unigram language-model scoring — the CCNet-style quality
+  * signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data", 2020, uses a KenLM; the unigram
+  * variant keeps the same cross-entropy contract with no external
+  * model): score each document by its mean negative log-probability
+  * under the corpus's own unigram distribution. Natural prose made of
+  * common tokens scores low; rare-token gibberish, encoding junk, and
+  * boilerplate-free ID strings score high — a standard
+  * filter-by-threshold or sort-into-quality-buckets input.
+  *
+  * Scale shape: two passes. Pass 1 builds the vocabulary —
+  * explode(tokens) → partial-aggregated count per token — one shuffle
+  * whose output is the DISTINCT vocabulary, vastly smaller than the
+  * corpus (Heaps' law), so pass 2 broadcasts it back onto the exploded
+  * tokens (no second shuffle of the corpus; the per-doc regroup is the
+  * only other shuffle). The global token total rides along as a
+  * broadcast single-row cross join, never a driver collect.
+  *
+  * Determinism contract: per-token cost is pre-scaled to integer
+  * micro-nats (round(ln(total/cnt) * 1e6) as long) BEFORE the per-doc
+  * sum, so aggregation is associative integer math — partition- and
+  * engine-order-proof; only the final display average divides doubles,
+  * from exactly equal integer inputs.
+  */
+object LmScore {
+
+  /** Vocabulary with integer micro-nat costs: (tok, cnt, nlp_micro)
+    * where nlp_micro = round(1e6 * ln(total / cnt)). */
+  def unigramCosts(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("tok"), col("cnt"),
+        round(log(col("total").cast("double") / col("cnt").cast("double")) * 1e6)
+          .cast("long").as("nlp_micro"))
+  }
+
+  /** Per-document LM score: (doc_id, n_tokens, sum_nlp_micro,
+    * avg_neglogp_r4). sum_nlp_micro is exact; the average is the one
+    * derived double, rounded to 4 decimals. */
+  def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    toks.join(broadcast(unigramCosts(docs, textCol)), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nlp_micro")).as("sum_nlp_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_nlp_micro"),
+        round(col("sum_nlp_micro").cast("double")
+          / (col("n_tokens").cast("double") * 1e6), 4).as("avg_neglogp_r4"))
+  }
+}

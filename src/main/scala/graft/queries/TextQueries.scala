@@ -556,6 +556,32 @@ object TextQueries {
        |FROM lbl
        |ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM quality scores (d19): mean negative log-probability of
+    * each document under the corpus's own unigram distribution
+    * (operators.LmScore) — the CCNet-style perplexity-bucket signal.
+    * Integer micro-nat costs make the sums exactly mirrorable. */
+  private def d19(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.score(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val d19Sql =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+      |nlp AS (SELECT tok,
+      |          CAST(round(ln(CAST(t AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000)
+      |               AS BIGINT) AS nlp_micro
+      |        FROM cnt, tot)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(nlp_micro) AS BIGINT) AS sum_nlp_micro,
+      |  round(CAST(SUM(nlp_micro) AS DOUBLE) / (count(*) * 1000000.0), 4)
+      |    AS avg_neglogp_r4
+      |FROM toks JOIN nlp USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -574,5 +600,6 @@ object TextQueries {
     QuerySpec("d15_token_shards", d15, Some(d15Sql)),
     QuerySpec("d16_repetition_signals", d16, Some(d16Sql)),
     QuerySpec("d17_winnow_fingerprints", d17, Some(d17Sql)),
-    QuerySpec("d18_dup_clusters", d18, Some(d18Sql)))
+    QuerySpec("d18_dup_clusters", d18, Some(d18Sql)),
+    QuerySpec("d19_lm_quality", d19, Some(d19Sql)))
 }
