@@ -114,6 +114,33 @@ object TextAnalysis {
     when(stopwordRatio(text, stops) >= threshold, lit("en"))
       .otherwise(lit("unknown"))
 
+  /** PII redaction patterns — the Stack/StarCoder-style scrub step
+    * before text ships into a training corpus. Deliberately
+    * lookaround-free and backreference-free so the same patterns run
+    * identically under Java regex (Spark, backtracking) and RE2-family
+    * engines (leftmost-longest): for pure greedy quantifiers with no
+    * ambiguous alternation the two match the same spans. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe: String = "\\+\\d[\\d ]{7,}\\d"
+
+  /** Replace emails, IPv4s, and international-format phone numbers
+    * with typed placeholder tags. Order matters and is part of the
+    * contract: emails first (their local part could contain digit runs
+    * a later pass would chew on), then IPs (dotted quads must not be
+    * half-eaten as phone digits), then phones. Narrow per-row
+    * transform — no shuffle, codegen-friendly. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Matches of `re` in `text` as a count (full-match group). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
   /** Deterministic dataset splitting for training pipelines: assign
     * each document to train/val/test by a content-hash bucket —
     * reproducible across runs, engines, and partitionings (no RNG, no

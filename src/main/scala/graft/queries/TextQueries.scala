@@ -582,6 +582,57 @@ object TextQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** PII redaction signals (d20): the testdata corpus is PII-free word
+    * salad, so the query INJECTS deterministic doc_id-derived PII
+    * (email, dotted-quad IP, +-format phone) into each document, then
+    * runs the real redaction machinery (TextAnalysis.redactPii) and
+    * reports per-type match counts plus the md5 and length of the
+    * redacted text — end-to-end verification of replace-all semantics
+    * and pattern ordering on every row, not a no-op pass. */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis._
+    val inj = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 call +1 415 555 "),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), inj.as("__inj"))
+      .select(col("doc_id"),
+        piiCount(col("__inj"), EmailRe).as("n_emails"),
+        piiCount(col("__inj"), Ipv4Re).as("n_ips"),
+        piiCount(col("__inj"), PhoneRe).as("n_phones"),
+        md5(redactPii(col("__inj"))).as("redacted_md5"),
+        length(redactPii(col("__inj"))).cast("long").as("redacted_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d20Sql =
+    """WITH inj AS (
+      | SELECT doc_id,
+      |   text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |        || '.7 call +1 415 555 '
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      | FROM documents),
+      |red AS (
+      | SELECT doc_id, t,
+      |   regexp_replace(
+      |     regexp_replace(
+      |       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |                      '<EMAIL>', 'g'),
+      |       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |     '\+\d[\d ]{7,}\d', '<PHONE>', 'g') AS r
+      | FROM inj)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(t, '\+\d[\d ]{7,}\d')) AS BIGINT) AS n_phones,
+      |  md5(r) AS redacted_md5,
+      |  CAST(len(r) AS BIGINT) AS redacted_len
+      |FROM red
+      |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -601,5 +652,6 @@ object TextQueries {
     QuerySpec("d16_repetition_signals", d16, Some(d16Sql)),
     QuerySpec("d17_winnow_fingerprints", d17, Some(d17Sql)),
     QuerySpec("d18_dup_clusters", d18, Some(d18Sql)),
-    QuerySpec("d19_lm_quality", d19, Some(d19Sql)))
+    QuerySpec("d19_lm_quality", d19, Some(d19Sql)),
+    QuerySpec("d20_pii_redaction", d20, Some(d20Sql)))
 }
