@@ -42,10 +42,14 @@ object Components {
     * needed). Deterministic for any partitioning of the input. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
+    // materialize the edge list once: every round (and every convergence
+    // check) joins against it, and without the checkpoint the upstream
+    // pair-generation pipeline would lazily re-execute per round
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .unionByName(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
       .localCheckpoint()
