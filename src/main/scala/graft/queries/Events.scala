@@ -107,9 +107,55 @@ object Events {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Batch sessionization (q30): gap-based sessions per user — a new
+    * session starts when >30 min separates consecutive events. The
+    * batch twin of the streaming session windows, and the classic
+    * lag-then-running-sum window composition. All session math runs on
+    * integer microseconds (unix_micros here, epoch_ns//1000 in the
+    * oracle) so the nanos→micros read truncation can never flip a gap
+    * comparison between engines.
+    *
+    * Scale shape: both windows and the final regroup partition by
+    * user_id — sessions parallelize across users, no global window
+    * funnels the event log through one task. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.assign(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id")),
+        col("user_id"), col("ts_us"), col("event_id"),
+        gap = 30L * 60 * 1000000)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  private val q30Sql =
+    """WITH ev AS (
+      | SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id FROM events),
+      |marked AS (
+      | SELECT user_id, ts_us, event_id,
+      |   CASE WHEN lag(ts_us) OVER w IS NULL
+      |          OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+      | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      | SELECT user_id, ts_us,
+      |   CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        AS BIGINT) AS session_seq
+      | FROM marked)
+      |SELECT user_id, session_seq,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |  MAX(ts_us) - MIN(ts_us) AS dur_us
+      |FROM sess
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q16_events_hourly", q16, Some(q16Sql)),
     QuerySpec("q17_json_props", q17, Some(q17Sql)),
     QuerySpec("q20_asof_prior_error", q20, Some(q20Sql)),
-    QuerySpec("q29_events_stream_sink", q29, Some(q16Sql)))
+    QuerySpec("q29_events_stream_sink", q29, Some(q16Sql)),
+    QuerySpec("q30_sessionization", q30, Some(q30Sql)))
 }
