@@ -62,4 +62,19 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
       s"incoming/corpus sides don't share the shingle-union Exchange:\n$p")
   }
+
+  test("d19: vocabulary joins back as a broadcast — the corpus is never re-shuffled") {
+    val p = plan("d19_lm_quality")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept into d19:\n$p")
+  }
+
+  test("q30: session windows and the regroup share one user_id Exchange") {
+    val p = plan("q30_sessionization")
+    // both lag/sum windows and the final (user_id, session_seq) aggregate
+    // are satisfied by hash(user_id): exactly one shuffle in the plan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
+  }
 }
