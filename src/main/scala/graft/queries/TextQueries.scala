@@ -633,6 +633,86 @@ object TextQueries {
       |FROM red
       |ORDER BY doc_id""".stripMargin
 
+  /** Cluster-aware curation (d21): the end-to-end "keep ONE good copy"
+    * policy — near-dup pairs → connected components (d18's machinery)
+    * → keep the best LM-quality document per cluster (d19's score,
+    * lowest mean neg-log-prob wins, doc_id tie-break) → union the
+    * untouched singletons. Composes three operators into the step that
+    * actually ships a deduplicated corpus; the oracle mirrors the full
+    * composition (recursive-CTE components + unigram scores + a
+    * row_number pick). */
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), 0.6, maxDocFreq = 100)
+    val cc = graft.operators.Components
+      .connectedComponents(pairs, "doc_id1", "doc_id2")
+    val scores = graft.operators.LmScore.score(docs, "doc_id", "text")
+      .select(col("doc_id"), (col("sum_nlp_micro").cast("double")
+        / col("n_tokens").cast("double")).as("__score"))
+    val sized = cc.join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
+    val best = sized.join(scores, sized("v") === scores("doc_id"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("lbl")).orderBy(col("__score"), col("v"))))
+      .filter(col("__rk") === 1)
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"), lit("best_in_cluster").as("kept_reason"))
+    val singletons = docs.select(col("doc_id"))
+      .join(cc, docs("doc_id") === cc("v"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"),
+        lit(1L).as("cluster_size"), lit("singleton").as("kept_reason"))
+    best.unionByName(singletons).orderBy(col("doc_id"))
+  }
+
+  private val d21Sql =
+    s"""${shingleCte.replaceFirst("WITH sh", "WITH RECURSIVE sh")},
+       |shc AS (SELECT doc_id, s FROM
+       |          (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+       |        WHERE df <= 100),
+       |card AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_inter
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+       |          JOIN card c1 ON doc_id1 = c1.doc_id
+       |          JOIN card c2 ON doc_id2 = c2.doc_id
+       |          WHERE CAST(n_inter AS DOUBLE)
+       |                / CAST(c1.n + c2.n - n_inter AS DOUBLE) >= 0.6),
+       |sym AS (SELECT doc_id1 AS src, doc_id2 AS dst FROM pairs
+       |        UNION SELECT doc_id2, doc_id1 FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src),
+       |cc AS (SELECT v, MIN(u) AS lbl FROM reach GROUP BY v),
+       |csize AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cluster_size
+       |          FROM cc GROUP BY lbl),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+       |nlp AS (SELECT tok,
+       |          CAST(round(ln(CAST(t AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000)
+       |               AS BIGINT) AS nlp_micro
+       |        FROM cnt, tot),
+       |score AS (SELECT doc_id,
+       |            CAST(SUM(nlp_micro) AS DOUBLE) / count(*) AS sc
+       |          FROM toks JOIN nlp USING (tok) GROUP BY doc_id),
+       |best AS (SELECT v AS doc_id, lbl AS cluster_rep, cluster_size,
+       |           'best_in_cluster' AS kept_reason
+       |         FROM (SELECT cc.v, cc.lbl, csize.cluster_size,
+       |                 row_number() OVER (PARTITION BY cc.lbl
+       |                                    ORDER BY score.sc, cc.v) AS rk
+       |               FROM cc JOIN csize USING (lbl)
+       |               JOIN score ON cc.v = score.doc_id)
+       |         WHERE rk = 1),
+       |singles AS (SELECT doc_id, doc_id AS cluster_rep,
+       |              CAST(1 AS BIGINT) AS cluster_size,
+       |              'singleton' AS kept_reason
+       |            FROM documents WHERE doc_id NOT IN (SELECT v FROM cc))
+       |SELECT * FROM best UNION ALL SELECT * FROM singles
+       |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -653,5 +733,6 @@ object TextQueries {
     QuerySpec("d17_winnow_fingerprints", d17, Some(d17Sql)),
     QuerySpec("d18_dup_clusters", d18, Some(d18Sql)),
     QuerySpec("d19_lm_quality", d19, Some(d19Sql)),
-    QuerySpec("d20_pii_redaction", d20, Some(d20Sql)))
+    QuerySpec("d20_pii_redaction", d20, Some(d20Sql)),
+    QuerySpec("d21_cluster_curation", d21, Some(d21Sql)))
 }
