@@ -127,6 +127,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     alerts.foreach { case (u, t) => assert(t >= threshold && t <= totals(u)) }
   }
 
+  test("session_window assignment == batch Sessionize twin (per-user session sizes)") {
+    // session_window merges on diff < gap (an event at exactly
+    // last+gap falls outside [start, last+gap)); Sessionize merges on
+    // diff <= gap — so the batch twin runs with gap-1µs.
+    val gapUs = 10L * 60 * 1000000
+    val streamed = EventsStreaming.userSessions(
+        Tables.events(spark, sfDir), "10 minutes")
+      .collect()
+      .groupBy(_.getLong(2))
+      .map { case (u, rs) => u -> rs.map(_.getLong(3)).sorted.toSeq }
+    val batch = graft.operators.Sessionize.assign(
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id")),
+        col("user_id"), col("ts_us"), col("event_id"), gapUs - 1)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getLong(2)).sorted.toSeq }
+    assert(streamed === batch)
+  }
+
   test("session windows produce bounded, ordered sessions") {
     val sessions = EventsStreaming.userSessions(
       graft.sources.Tables.events(spark, sfDir), "10 minutes")
