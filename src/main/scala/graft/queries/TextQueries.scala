@@ -713,6 +713,38 @@ object TextQueries {
        |SELECT * FROM best UNION ALL SELECT * FROM singles
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic training-order shuffle manifest (d22): a global
+    * pseudo-random permutation without a global sort — order by
+    * md5(doc_id), shard by hash mod N (narrow, no shuffle), then dense
+    * per-shard positions via a per-shard window. Reproducible across
+    * runs/engines/partitionings (no RNG), and the per-shard windows
+    * parallelize — the one global ordering a data loader needs,
+    * computed without funneling the corpus through one task. */
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(8)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d22Sql =
+    """SELECT doc_id,
+      |  CAST(h % 8 AS INTEGER) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+      |       AS BIGINT) AS pos
+      |FROM (SELECT doc_id,
+      |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |             AS BIGINT) AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -734,5 +766,6 @@ object TextQueries {
     QuerySpec("d18_dup_clusters", d18, Some(d18Sql)),
     QuerySpec("d19_lm_quality", d19, Some(d19Sql)),
     QuerySpec("d20_pii_redaction", d20, Some(d20Sql)),
-    QuerySpec("d21_cluster_curation", d21, Some(d21Sql)))
+    QuerySpec("d21_cluster_curation", d21, Some(d21Sql)),
+    QuerySpec("d22_shuffle_manifest", d22, Some(d22Sql)))
 }
