@@ -53,6 +53,14 @@ object Components {
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
       .localCheckpoint()
+    // convergence via the label-sum invariant: labels only ever
+    // decrease elementwise over a fixed vertex set, so an unchanged sum
+    // IS the fixpoint — one cheap aggregate per round instead of a
+    // change-detection join. Decimal sum: immune to overflow at any
+    // vertex-id scale.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = lblSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -62,11 +70,9 @@ object Components {
         .unionByName(labels)
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      // labels only ever decrease, so "no label dropped" = fixpoint
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") < col("o.lbl"))
-        .isEmpty
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
