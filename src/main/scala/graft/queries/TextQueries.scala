@@ -745,6 +745,62 @@ object TextQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** tf-idf keyword extraction (d23): top-3 terms per document by
+    * tf · idf — the classic indexing/tagging step. idf is pre-scaled
+    * to integer micro-nats (round(ln(N/df)·1e6)), so the score
+    * tf · idf_micro is EXACT integer math and the per-doc ranking
+    * (score desc, token asc) is deterministic across engines — no
+    * double comparisons anywhere near the ordering.
+    *
+    * Scale shape: per-doc term counts and the document-frequency table
+    * are both partial-aggregated shuffles; df (the distinct
+    * vocabulary) broadcasts back like d19's costs, and only the
+    * per-doc top-k window re-shuffles on doc_id. */
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double")) * 1e6)
+          .cast("long").as("idf_micro"))
+    tf.join(broadcast(idf), "tok")
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score_micro").desc, col("tok")))
+        .cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("score_micro"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val d23Sql =
+    """WITH tf AS (
+      | SELECT doc_id, tok, count(*) AS tf
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      | GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |idf AS (SELECT tok,
+      |          CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000)
+      |               AS BIGINT) AS idf_micro
+      |        FROM dfreq, nd),
+      |scored AS (
+      | SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+      |   CAST(tf * idf_micro AS BIGINT) AS score_micro,
+      |   CAST(row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY tf * idf_micro DESC, tok) AS BIGINT) AS rank
+      | FROM tf JOIN idf USING (tok))
+      |SELECT doc_id, rank, tok, tf, score_micro
+      |FROM scored
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -767,5 +823,6 @@ object TextQueries {
     QuerySpec("d19_lm_quality", d19, Some(d19Sql)),
     QuerySpec("d20_pii_redaction", d20, Some(d20Sql)),
     QuerySpec("d21_cluster_curation", d21, Some(d21Sql)),
-    QuerySpec("d22_shuffle_manifest", d22, Some(d22Sql)))
+    QuerySpec("d22_shuffle_manifest", d22, Some(d22Sql)),
+    QuerySpec("d23_tfidf_keywords", d23, Some(d23Sql)))
 }
