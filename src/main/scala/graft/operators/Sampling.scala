@@ -46,4 +46,42 @@ object Sampling {
                      defaultWeight: Double = 1.0): DataFrame =
     df.filter(hashCoin(col(idCol)).cast("double") <
       sourceWeight(col(sourceCol), weights, defaultWeight) * 16777216.0)
+
+  /** Temperature-scaled mixing weights (the multinomial source
+    * balancing of multilingual/multi-source LM training, e.g. the
+    * alpha-scaled sampling of GPT-3/XLM-R data recipes): source weight
+    * ∝ volume^alpha, flattening the head and lifting the tail as
+    * alpha→0. Fixed alpha = 0.5 here, so the scaling is `sqrt` — a
+    * correctly-rounded IEEE op, identical in every engine.
+    *
+    * Determinism contract: each per-source sqrt is scaled to an
+    * integer micro-weight BEFORE the normalizing sum, so the
+    * denominator is associative integer math; the derived probability
+    * and the integer-floor token budget are then exact functions of
+    * exact inputs. One tiny aggregate (≤ #sources rows) — the volume
+    * counts are the only corpus-wide pass.
+    *
+    * Returns (source, n_tokens, w_micro, p_r4, budget_tokens):
+    * budget_tokens = floor(w_micro · epochBudget / Σ w_micro).
+    * Overflow bound: w_micro · epochBudget must fit a long —
+    * w_micro ≈ sqrt(source tokens)·1e6, so even a 1e14-token source
+    * (~100 TB of text) leaves room for epochBudget up to ~9e5·1e6;
+    * for larger budgets split the multiply (require guards it). */
+  def temperatureMixWeights(df: DataFrame, sourceCol: String,
+                            tokensPerRow: Column,
+                            epochBudget: Long): DataFrame = {
+    require(epochBudget > 0 && epochBudget <= (1L << 40),
+      s"epochBudget out of overflow-safe range: $epochBudget")
+    val perSource = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokensPerRow).as("n_tokens"))
+      .withColumn("w_micro",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val total = perSource.agg(sum(col("w_micro")).as("w_total"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"), col("w_micro"),
+        round(col("w_micro").cast("double") / col("w_total").cast("double"), 4)
+          .as("p_r4"),
+        call_function("div", col("w_micro") * lit(epochBudget), col("w_total"))
+          .as("budget_tokens"))
+  }
 }

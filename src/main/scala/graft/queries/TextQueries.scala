@@ -801,6 +801,32 @@ object TextQueries {
       |WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Temperature-scaled mixing weights (d24): source weight ∝
+    * volume^0.5 with a 100k-token epoch budget split by integer floor
+    * (operators.Sampling.temperatureMixWeights) — the multinomial
+    * source-balancing recipe of multi-source LM training. */
+  private def d24(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMixWeights(
+        Tables.documents(s, dir), "source",
+        TextAnalysis.tokenCount(col("text")), epochBudget = 100000L)
+      .orderBy(col("source"))
+
+  private val d24Sql =
+    """WITH per_source AS (
+      | SELECT source,
+      |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      | FROM documents GROUP BY source),
+      |w AS (SELECT source, n_tokens,
+      |        CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+      |          AS w_micro
+      |      FROM per_source),
+      |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM w)
+      |SELECT source, n_tokens, w_micro,
+      |  round(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE), 4) AS p_r4,
+      |  w_micro * 100000 // w_total AS budget_tokens
+      |FROM w, tot
+      |ORDER BY source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -824,5 +850,6 @@ object TextQueries {
     QuerySpec("d20_pii_redaction", d20, Some(d20Sql)),
     QuerySpec("d21_cluster_curation", d21, Some(d21Sql)),
     QuerySpec("d22_shuffle_manifest", d22, Some(d22Sql)),
-    QuerySpec("d23_tfidf_keywords", d23, Some(d23Sql)))
+    QuerySpec("d23_tfidf_keywords", d23, Some(d23Sql)),
+    QuerySpec("d24_temperature_mix", d24, Some(d24Sql)))
 }

@@ -251,6 +251,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(rate > 0.4 && rate < 0.6, f"default 0.5 rate off: $rate%.3f")
   }
 
+  test("temperature mixing: sqrt flattens the head, budget floors sum within range") {
+    import graft.operators.Sampling
+    val docs = Seq(("big", 1L, 900L), ("big", 2L, 700L),
+                   ("small", 3L, 100L))
+      .toDF("source", "doc_id", "n")
+    val rows = Sampling.temperatureMixWeights(docs, "source", col("n"), 100000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // alpha=0.5 lifts the tail: small's share of the budget (1/5 by
+    // raw volume) exceeds 1/5 under sqrt scaling (sqrt(100)/(sqrt(1600)+sqrt(100)) = 0.2)
+    assert(rows("big")._1 === 1600L && rows("small")._1 === 100L)
+    assert(rows("small")._3 > 100.0 / 1700.0)
+    assert(rows("big")._2 === math.round(math.sqrt(1600.0) * 1e6))
+    // integer floors can undershoot but never overshoot the budget
+    val total = rows.values.map(_._4).sum
+    assert(total <= 100000L && total > 99990L)
+  }
+
   test("ANN recall vs exact kNN on real embeddings (sf0.001)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnExact(emb, col("vec_id") < 10, 5)
