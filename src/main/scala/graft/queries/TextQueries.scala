@@ -495,7 +495,9 @@ object TextQueries {
     Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"), col("fingerprint"))
 
-  private val d17Sql =
+  /** Winnowing CTEs shared by d17 and d25: per-doc k-gram hashes and
+    * window minima, mirroring Dedup.winnowFingerprints. */
+  private val winnowCte =
     """WITH hashes AS (
       | SELECT doc_id,
       |   list_transform(
@@ -509,7 +511,10 @@ object TextQueries {
       |        ELSE list_transform(range(1, greatest(len(h) - 3, 1) + 1),
       |               j -> list_min(h[j : j + least(4, len(h)) - 1]))
       |   END AS mins
-      | FROM hashes)
+      | FROM hashes)""".stripMargin
+
+  private val d17Sql =
+    s"""$winnowCte
       |SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint
       |FROM wins
       |ORDER BY 1, 2""".stripMargin
@@ -827,6 +832,42 @@ object TextQueries {
       |FROM w, tot
       |ORDER BY source""".stripMargin
 
+  /** Cross-source contamination matrix (d25): how many winnowing
+    * fingerprints (≥ w+k−1-token verbatim overlaps, d17's index) each
+    * pair of sources shares — the benchmark-leakage / cross-source
+    * duplication heatmap. The (source, fingerprint) projection is
+    * DISTINCT before the self-join, so per-fingerprint join fan-out is
+    * bounded by #sources² (never docs²) no matter how corpus-hot a
+    * fingerprint is — the skew cap that makes this safe at 100 TB. */
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcFp = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("fingerprint")).distinct()
+      .repartition(col("fingerprint")) // one Exchange shared by both join sides
+    srcFp.as("a")
+      .join(srcFp.as("b"),
+        col("a.fingerprint") === col("b.fingerprint")
+          && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val d25Sql =
+    s"""$winnowCte,
+      |fps AS (
+      | SELECT DISTINCT d.source, w.fingerprint
+      | FROM (SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint
+      |       FROM wins) w
+      | JOIN documents d USING (doc_id))
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared_fps
+      |FROM fps a JOIN fps b
+      |  ON a.fingerprint = b.fingerprint AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -851,5 +892,6 @@ object TextQueries {
     QuerySpec("d21_cluster_curation", d21, Some(d21Sql)),
     QuerySpec("d22_shuffle_manifest", d22, Some(d22Sql)),
     QuerySpec("d23_tfidf_keywords", d23, Some(d23Sql)),
-    QuerySpec("d24_temperature_mix", d24, Some(d24Sql)))
+    QuerySpec("d24_temperature_mix", d24, Some(d24Sql)),
+    QuerySpec("d25_contamination_matrix", d25, Some(d25Sql)))
 }
