@@ -78,6 +78,39 @@ object MultimodalQueries {
       maxW = 256, maxH = 256)
       .orderBy(col("media_id"))
 
+  /** Frame-sample manifest (m04): every 4th frame index per media item
+    * from the decoded n_frames — the generator fan-out a video
+    * pipeline feeds to its frame grabber (Multimodal.sampleFrames;
+    * built-in sequence+explode, no UDTF). Oracle replays the stub
+    * decode's frame count and mirrors the stride with range(). */
+  private def m04(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.extractMeta(
+        s,
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", kind = "text"),
+      stride = 4)
+      .select(col("media_id"), col("kind"),
+        col("frame_idx").cast("long").as("frame_idx"), col("fingerprint"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  private val m04Sql =
+    """WITH meta AS (
+      | SELECT doc_id AS media_id, 'text' AS kind,
+      |   CAST(1 + (u // 1048576) % 32 AS INTEGER) AS n_frames,
+      |   md5(text) AS fingerprint
+      | FROM (SELECT doc_id, text,
+      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |           list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
+      |           (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
+      |       FROM documents))
+      |SELECT media_id, kind,
+      |  CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx,
+      |  fingerprint
+      |FROM meta
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   private val m03Sql =
     """WITH meta AS (
       | SELECT doc_id AS media_id,
@@ -101,5 +134,6 @@ object MultimodalQueries {
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("m01_media_meta", m01, Some(m01Sql)),
     QuerySpec("m02_byte_histogram", m02, Some(m02Sql)),
-    QuerySpec("m03_resize_meta", m03, Some(m03Sql)))
+    QuerySpec("m03_resize_meta", m03, Some(m03Sql)),
+    QuerySpec("m04_frame_sample", m04, Some(m04Sql)))
 }
