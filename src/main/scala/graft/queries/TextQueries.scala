@@ -52,19 +52,37 @@ object TextQueries {
       |ORDER BY source""".stripMargin
 
   /** Per-document stopword + quality scoring (d03). */
-  private def d03(s: SparkSession, dir: String): DataFrame =
+  /** Both r4 ratios are rounded in EXACT integer arithmetic
+    * (half-up on the rational p/q: (2·p·10⁴ + q) div (2·q), then one
+    * exact /10⁴ double division): `round(double, 4)` is a cross-engine
+    * trap on half-boundaries — Spark rounds the shortest decimal
+    * representation via BigDecimal while DuckDB rounds the scaled
+    * double, so a doc with quality exactly 0.37975 (found at sf0.1)
+    * rounds to 0.3798 vs 0.3797. Integer rounding is boundary-proof.
+    * stop_ratio = n_stop/n; quality = 7·min(n,100)·n + 300·n_stop
+    * over 1000·n (≡ min(n,100)/100·0.7 + stop_ratio·0.3 exactly). */
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val n = TextAnalysis.tokenCount(col("text"))
+    val ns = TextAnalysis.stopwordCount(col("text"))
+    def r4(p: org.apache.spark.sql.Column,
+           q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("div", p * lit(20000L) + q, q * lit(2L)).cast("double") / 1e4
     Tables.documents(s, dir).select(
       col("doc_id"),
-      TextAnalysis.stopwordCount(col("text")).as("n_stop"),
-      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio_r4"),
-      round(TextAnalysis.qualityScore(col("text")), 4).as("quality_r4"))
+      ns.as("n_stop"),
+      r4(ns, n).as("stop_ratio_r4"),
+      r4(lit(7L) * least(n, lit(100L)) * n + lit(300L) * ns,
+        lit(1000L) * n).as("quality_r4"))
       .orderBy(col("doc_id"))
+  }
 
   private val d03Sql =
     s"""SELECT doc_id, n_stop,
-       |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio_r4,
-       |  round(CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.7
-       |        + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3, 4) AS quality_r4
+       |  CAST((n_stop * 20000 + n_tokens) // (n_tokens * 2) AS DOUBLE) / 10000.0
+       |    AS stop_ratio_r4,
+       |  CAST(((7 * least(n_tokens, 100) * n_tokens + 300 * n_stop) * 20000
+       |        + 1000 * n_tokens) // (1000 * n_tokens * 2) AS DOUBLE) / 10000.0
+       |    AS quality_r4
        |FROM (SELECT doc_id,
        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |        CAST(len(list_filter(string_split(text, ' '),
