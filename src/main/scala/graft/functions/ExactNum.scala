@@ -51,4 +51,19 @@ object ExactNum {
 
   /** Low word of [[hiWord]]'s decomposition: value mod 2³¹. */
   def loWord(s: Column): Column = (s % wordBase).cast("long")
+
+  /** Exact half-up rounding of the rational p/q (non-negative integer
+    * Columns) to 4 decimals, emitted as the display double. Why not
+    * `round(p/q, 4)`: a true value landing exactly on a half-boundary
+    * (e.g. 0.37975) rounds differently per engine — Spark rounds the
+    * double's shortest DECIMAL representation via BigDecimal HALF_UP,
+    * DuckDB rounds the scaled DOUBLE, and the two disagree whenever
+    * the nearest double sits on the other side of the half. Integer
+    * form: floor((2·p·10⁴ + q) / 2q), then one exact /10⁴ division —
+    * no double is ever rounded. DuckDB mirror:
+    * `CAST((p * 20000 + q) // (q * 2) AS DOUBLE) / 10000.0`.
+    * Overflow bound: p must stay below 2^63/2·10⁴ ≈ 4.6e14. */
+  def roundRatio4(p: Column, q: Column): Column =
+    call_function("div", p * lit(20000L) + q, q * lit(2L))
+      .cast("double") / 1e4
 }

@@ -173,7 +173,10 @@ object Dedup {
       .withColumn("n_union", col("c1.n") + col("c2.n") - col("n_inter"))
       .filter(jac >= threshold)
       .select(col("doc_id1"), col("doc_id2"), col("n_inter"), col("n_union"),
-        round(jac, 4).as("jaccard_r4"))
+        // exact half-up integer rounding: round(double,4) diverges from
+        // the oracle on half-boundary ratios (see ExactNum.roundRatio4)
+        graft.functions.ExactNum.roundRatio4(col("n_inter"), col("n_union"))
+          .as("jaccard_r4"))
   }
 
   // ---------------- winnowing ----------------
@@ -258,7 +261,8 @@ object Dedup {
       .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
       .filter(jac >= threshold)
       .select(col("inc_id"), col("cor_id"), col("n_inter"), col("n_union"),
-        round(jac, 4).as("jaccard_r4"))
+        graft.functions.ExactNum.roundRatio4(col("n_inter"), col("n_union"))
+          .as("jaccard_r4"))
   }
 
   /** Incremental dedup — the daily-crawl workflow at corpus scale: a

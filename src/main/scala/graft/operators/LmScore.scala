@@ -52,7 +52,11 @@ object LmScore {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("nlp_micro")).as("sum_nlp_micro"))
       .select(col("doc_id"), col("n_tokens"), col("sum_nlp_micro"),
-        round(col("sum_nlp_micro").cast("double")
-          / (col("n_tokens").cast("double") * 1e6), 4).as("avg_neglogp_r4"))
+        // exact integer half-up rounding (ExactNum.roundRatio4): the
+        // average is a rational of the exact sums, so round(double, 4)
+        // would be exposed to cross-engine half-boundary divergence
+        graft.functions.ExactNum.roundRatio4(
+          col("sum_nlp_micro"), col("n_tokens") * lit(1000000L))
+          .as("avg_neglogp_r4"))
   }
 }

@@ -79,7 +79,7 @@ object Sampling {
     val total = perSource.agg(sum(col("w_micro")).as("w_total"))
     perSource.crossJoin(broadcast(total))
       .select(col("source"), col("n_tokens"), col("w_micro"),
-        round(col("w_micro").cast("double") / col("w_total").cast("double"), 4)
+        graft.functions.ExactNum.roundRatio4(col("w_micro"), col("w_total"))
           .as("p_r4"),
         call_function("div", col("w_micro") * lit(epochBudget), col("w_total"))
           .as("budget_tokens"))

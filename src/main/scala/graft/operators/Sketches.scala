@@ -41,10 +41,19 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double]
   }
 
   /** < k distinct hashes seen → the buffer IS the distinct set (exact
-    * count); otherwise the KMV estimator (k-1)·2³²/v_k. */
+    * count); otherwise the KMV estimator (k-1)·2³²/v_k, rounded to 2
+    * decimals in exact integer arithmetic (half-up on the rational —
+    * same rationale as ExactNum.roundRatio4: rounding the double
+    * diverges from the oracle on half-boundaries). The consumer
+    * column is already the display value; q28 must NOT re-round. */
   override def finish(buf: Array[Long]): Double =
     if (buf.length < k) buf.length.toDouble
-    else (k - 1).toDouble * 4294967296.0 / buf(k - 1).toDouble
+    else {
+      val vk = buf(k - 1)
+      // floor((2·100·(k-1)·2^32 + vk) / (2·vk)) / 100: k ≤ ~1e6 keeps
+      // the numerator far under 2^63
+      ((200L * (k - 1) * 4294967296L + vk) / (2L * vk)).toDouble / 100.0
+    }
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble

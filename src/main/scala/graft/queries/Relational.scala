@@ -392,7 +392,7 @@ object Relational {
         conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
           .cast("long").as("v"))
       .groupBy(col("l_returnflag"))
-      .agg(round(kmv(col("v")), 2).as("kmv_distinct_r2"))
+      .agg(kmv(col("v")).as("kmv_distinct_r2")) // finish() already rounds exactly
       .orderBy(col("l_returnflag"))
   }
 
@@ -407,8 +407,11 @@ object Relational {
       |   COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
       | FROM h)
       |SELECT l_returnflag,
-      |  round(CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
-      |             ELSE 255.0 * 4294967296.0 / CAST(v AS DOUBLE) END, 2) AS kmv_distinct_r2
+      |  -- 200*255*2^32 = 219043332096000: exact integer half-up at 2
+      |  -- decimals, mirroring KmvDistinct.finish
+      |  CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+      |       ELSE CAST((219043332096000 + v) // (2 * v) AS DOUBLE) / 100.0
+      |  END AS kmv_distinct_r2
       |FROM ranked
       |WHERE rn = least(nd, CAST(256 AS BIGINT)) AND (rn = 256 OR nd < 256)
       |ORDER BY l_returnflag""".stripMargin

@@ -62,16 +62,14 @@ object TextQueries {
     * stop_ratio = n_stop/n; quality = 7·min(n,100)·n + 300·n_stop
     * over 1000·n (≡ min(n,100)/100·0.7 + stop_ratio·0.3 exactly). */
   private def d03(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactNum.roundRatio4
     val n = TextAnalysis.tokenCount(col("text"))
     val ns = TextAnalysis.stopwordCount(col("text"))
-    def r4(p: org.apache.spark.sql.Column,
-           q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      call_function("div", p * lit(20000L) + q, q * lit(2L)).cast("double") / 1e4
     Tables.documents(s, dir).select(
       col("doc_id"),
       ns.as("n_stop"),
-      r4(ns, n).as("stop_ratio_r4"),
-      r4(lit(7L) * least(n, lit(100L)) * n + lit(300L) * ns,
+      roundRatio4(ns, n).as("stop_ratio_r4"),
+      roundRatio4(lit(7L) * least(n, lit(100L)) * n + lit(300L) * ns,
         lit(1000L) * n).as("quality_r4"))
       .orderBy(col("doc_id"))
   }
@@ -180,7 +178,8 @@ object TextQueries {
        |          GROUP BY 1, 2)
        |SELECT doc_id1, doc_id2, n_inter,
        |  c1.n + c2.n - n_inter AS n_union,
-       |  round(CAST(n_inter AS DOUBLE) / CAST(c1.n + c2.n - n_inter AS DOUBLE), 4) AS jaccard_r4
+       |  CAST((n_inter * 20000 + (c1.n + c2.n - n_inter))
+       |       // ((c1.n + c2.n - n_inter) * 2) AS DOUBLE) / 10000.0 AS jaccard_r4
        |FROM inter
        |JOIN card c1 ON doc_id1 = c1.doc_id
        |JOIN card c2 ON doc_id2 = c2.doc_id
@@ -464,43 +463,51 @@ object TextQueries {
     * share. Bigram mode via explode → (doc, bigram) count → per-doc
     * max: proper distributed shape (two partial-aggregated shuffles),
     * not a per-row quadratic HOF scan. */
-  private def d16(s: SparkSession, dir: String): DataFrame =
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactNum.roundRatio4
     Tables.documents(s, dir)
       // tokens materialized once; the bigram lambda then reads a plain
-      // attribute instead of re-splitting the text per element
+      // attribute instead of re-splitting the text per element.
+      // Integer token/distinct counts ride through the aggregation so
+      // both r4 fractions round exactly (ExactNum.roundRatio4) —
+      // 1 - u/n == (n-u)/n as a rational.
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
-        (lit(1.0) - size(array_distinct(col("__t"))).cast("double")
-          / size(col("__t")).cast("double")).as("dup_tok"),
+        size(col("__t")).cast("long").as("n_tok"),
+        size(array_distinct(col("__t"))).cast("long").as("n_uniq"),
         explode(TextAnalysis.bigramsOfTokens(col("__t"))).as("bg"))
-      .groupBy(col("doc_id"), col("dup_tok"), col("bg"))
+      .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"), col("bg"))
       .agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"), col("dup_tok"))
+      .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"))
       .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
       .select(col("doc_id"),
-        round(col("dup_tok"), 4).as("dup_token_frac_r4"),
+        roundRatio4(col("n_tok") - col("n_uniq"), col("n_tok"))
+          .as("dup_token_frac_r4"),
         col("n_bigrams"), col("top_bigram_n"),
-        round(col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"), 4)
+        roundRatio4(col("top_bigram_n"), col("n_bigrams"))
           .as("top_bigram_frac_r4"))
       .orderBy(col("doc_id"))
+  }
 
   private val d16Sql =
     """SELECT doc_id,
-      |  round(dup_tok, 4) AS dup_token_frac_r4,
+      |  CAST(((n_tok - n_uniq) * 20000 + n_tok) // (n_tok * 2) AS DOUBLE)
+      |    / 10000.0 AS dup_token_frac_r4,
       |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
       |  CAST(MAX(n) AS BIGINT) AS top_bigram_n,
-      |  round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 4) AS top_bigram_frac_r4
+      |  CAST((MAX(n) * 20000 + SUM(n)) // (SUM(n) * 2) AS DOUBLE)
+      |    / 10000.0 AS top_bigram_frac_r4
       |FROM (
-      |  SELECT doc_id, dup_tok, bg, COUNT(*) AS n
+      |  SELECT doc_id, n_tok, n_uniq, bg, COUNT(*) AS n
       |  FROM (
       |    SELECT doc_id,
-      |      1.0 - CAST(len(list_distinct(tokens)) AS DOUBLE)
-      |          / CAST(len(tokens) AS DOUBLE) AS dup_tok,
+      |      CAST(len(tokens) AS BIGINT) AS n_tok,
+      |      CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq,
       |      unnest(list_transform(range(1, greatest(len(tokens), 1)),
       |             i -> tokens[i] || ' ' || tokens[i+1])) AS bg
       |    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents))
-      |  GROUP BY 1, 2, 3)
-      |GROUP BY doc_id, dup_tok
+      |  GROUP BY 1, 2, 3, 4)
+      |GROUP BY doc_id, n_tok, n_uniq
       |ORDER BY doc_id""".stripMargin
 
   /** Winnowing fingerprints (d17): the MOSS fingerprint-selection
@@ -599,7 +606,8 @@ object TextQueries {
       |SELECT doc_id,
       |  CAST(count(*) AS BIGINT) AS n_tokens,
       |  CAST(SUM(nlp_micro) AS BIGINT) AS sum_nlp_micro,
-      |  round(CAST(SUM(nlp_micro) AS DOUBLE) / (count(*) * 1000000.0), 4)
+      |  CAST((SUM(nlp_micro) * 20000 + count(*) * 1000000)
+      |       // (count(*) * 1000000 * 2) AS DOUBLE) / 10000.0
       |    AS avg_neglogp_r4
       |FROM toks JOIN nlp USING (tok)
       |GROUP BY doc_id
@@ -845,7 +853,8 @@ object TextQueries {
       |      FROM per_source),
       |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM w)
       |SELECT source, n_tokens, w_micro,
-      |  round(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE), 4) AS p_r4,
+      |  CAST((w_micro * 20000 + w_total) // (w_total * 2) AS DOUBLE) / 10000.0
+      |    AS p_r4,
       |  w_micro * 100000 // w_total AS budget_tokens
       |FROM w, tot
       |ORDER BY source""".stripMargin
