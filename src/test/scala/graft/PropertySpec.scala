@@ -126,4 +126,23 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     val est = values.toDF("v").agg(kmv(col("v"))).head().getDouble(0)
     assert(est === values.distinct.size.toDouble)
   }
+
+  test("roundRatio4 == exact BigDecimal half-up rounding for random rationals") {
+    val cases = samples(for {
+      q <- Gen.chooseNum(1L, 2000000L)
+      p <- Gen.chooseNum(0L, 2000000L)
+    } yield (p, q), 500) ++
+      // forced half-boundary cases: p/q = x.xxxx5 exactly
+      List((18228L, 48000L), (1L, 160L), (3L, 8000L), (5L, 100000L))
+    val out = cases.toDF("p", "q")
+      .select(col("p"), col("q"),
+        graft.functions.ExactNum.roundRatio4(col("p"), col("q")).as("r"))
+      .collect()
+    out.foreach { r =>
+      val (p0, q0) = (r.getLong(0), r.getLong(1))
+      val expect = BigDecimal(p0) / BigDecimal(q0)
+      val exact = expect.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === exact, s"p=$p0 q=$q0")
+    }
+  }
 }
