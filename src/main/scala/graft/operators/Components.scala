@@ -58,8 +58,12 @@ object Components {
     // IS the fixpoint — one cheap aggregate per round instead of a
     // change-detection join. Decimal sum: immune to overflow at any
     // vertex-id scale.
+    // null-safe: sum over an EMPTY label set (no edges at all) is null —
+    // fold it to zero so the first round compares equal and the loop
+    // terminates with the correct empty result instead of an NPE
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
     var iter = 0
     var converged = false

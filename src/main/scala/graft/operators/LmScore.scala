@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * sum, so aggregation is associative integer math — partition- and
   * engine-order-proof; only the final display average divides doubles,
   * from exactly equal integer inputs.
+  *
+  * Known residual assumption: `ln` itself. Math.log is specified to
+  * 1 ulp, not correctly rounded, so an external oracle whose libm
+  * disagrees on a token whose cost lands within 1 ulp of a half
+  * micro-nat could round one unit differently (this environment's
+  * JVM/DuckDB pair agrees — pinned by the gate at three scales). If a
+  * platform ever diverges, materialize `unigramCosts` once and feed
+  * the SAME cost table to both engines; everything downstream is
+  * already exact integer math. Contrast sqrt (used by the mixing
+  * weights), which IEEE 754 requires to be correctly rounded.
   */
 object LmScore {
 

@@ -62,16 +62,15 @@ object Sampling {
     * counts are the only corpus-wide pass.
     *
     * Returns (source, n_tokens, w_micro, p_r4, budget_tokens):
-    * budget_tokens = floor(w_micro · epochBudget / Σ w_micro).
-    * Overflow bound: w_micro · epochBudget must fit a long —
-    * w_micro ≈ sqrt(source tokens)·1e6, so even a 1e14-token source
-    * (~100 TB of text) leaves room for epochBudget up to ~9e5·1e6;
-    * for larger budgets split the multiply (require guards it). */
+    * budget_tokens = floor(w_micro · epochBudget / Σ w_micro), computed
+    * in DECIMAL(38,0) (exact floor via subtract-remainder-then-divide,
+    * same pattern as ExactNum.hiWord) — w_micro · epochBudget can pass
+    * 2^63 for large corpora × large budgets, so the multiply must not
+    * run in long arithmetic. */
   def temperatureMixWeights(df: DataFrame, sourceCol: String,
                             tokensPerRow: Column,
                             epochBudget: Long): DataFrame = {
-    require(epochBudget > 0 && epochBudget <= (1L << 40),
-      s"epochBudget out of overflow-safe range: $epochBudget")
+    require(epochBudget > 0, s"epochBudget must be positive: $epochBudget")
     val perSource = df.groupBy(col(sourceCol).as("source"))
       .agg(sum(tokensPerRow).as("n_tokens"))
       .withColumn("w_micro",
@@ -80,8 +79,10 @@ object Sampling {
     perSource.crossJoin(broadcast(total))
       .select(col("source"), col("n_tokens"), col("w_micro"),
         graft.functions.ExactNum.roundRatio4(col("w_micro"), col("w_total"))
-          .as("p_r4"),
-        call_function("div", col("w_micro") * lit(epochBudget), col("w_total"))
-          .as("budget_tokens"))
+          .as("p_r4"), {
+          val p = col("w_micro").cast("decimal(38,0)") * lit(epochBudget)
+          val q = col("w_total").cast("decimal(38,0)")
+          ((p - p % q) / q).cast("long").as("budget_tokens")
+        })
   }
 }

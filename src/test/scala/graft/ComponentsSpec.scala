@@ -34,6 +34,10 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSession {
     assert(cc(edges, parts = 1) === cc(edges, parts = 7))
   }
 
+  test("an empty edge list yields an empty result, not a crash") {
+    assert(cc(Seq.empty[(Long, Long)]) === Map.empty[Long, Long])
+  }
+
   test("non-convergence within maxIter fails loudly") {
     val edges = (1L to 8L).map(i => (i + 1, i))
     val ex = intercept[IllegalArgumentException] {

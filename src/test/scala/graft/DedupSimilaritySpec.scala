@@ -269,6 +269,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(total <= 100000L && total > 99990L)
   }
 
+  test("temperature mixing survives w_micro*budget past 2^63 (decimal floor)") {
+    import graft.operators.Sampling
+    // 1e10 tokens -> w_micro = 1e11; budget 1e9 -> product 1e20 > Long.Max
+    val docs = Seq(("huge", 1L, 10000000000L), ("tiny", 2L, 1L))
+      .toDF("source", "doc_id", "n")
+    val rows = Sampling.temperatureMixWeights(docs, "source", col("n"), 1000000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val wHuge = math.round(math.sqrt(1e10) * 1e6)  // 1e11
+    val wTiny = math.round(math.sqrt(1.0) * 1e6)   // 1e6
+    val expectHuge = (BigInt(wHuge) * 1000000000L / (BigInt(wHuge) + wTiny)).toLong
+    assert(rows("huge") === expectHuge)
+    assert(rows.values.forall(_ >= 0L), s"long overflow leaked through: $rows")
+  }
+
   test("ANN recall vs exact kNN on real embeddings (sf0.001)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnExact(emb, col("vec_id") < 10, 5)
