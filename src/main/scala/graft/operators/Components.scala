@@ -50,8 +50,13 @@ object Components {
       .unionByName(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+    // initial labels fused with the first propagation round: label0(v) =
+    // min(v, min neighbor) is exactly what round 1 would produce from
+    // the identity labeling, for the cost of the distinct() aggregation
+    // alone — one fewer checkpoint+aggregate cycle per call
+    var labels = sym
+      .select(col("dst").as("v"), least(col("src"), col("dst")).as("lbl"))
+      .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
       .localCheckpoint()
     // convergence via the label-sum invariant: labels only ever
     // decrease elementwise over a fixed vertex set, so an unchanged sum

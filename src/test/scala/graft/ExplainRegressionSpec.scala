@@ -70,6 +70,18 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"corpus-side shuffle join crept into d19:\n$p")
   }
 
+  test("d21/e07: cluster compositions stay equi-join only (no cartesian)") {
+    for (q <- Seq("d21_cluster_curation", "e07_embed_dup_clusters")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      // the only BroadcastNestedLoopJoin allowed is the single-row
+      // total/nDocs cross join (inner, one row); a non-broadcast NLJ
+      // or a second one means a real pair blowup
+      val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(nlj <= 1, s"$nlj nested-loop joins in $q:\n$p")
+    }
+  }
+
   test("q30: session windows and the regroup share one user_id Exchange") {
     val p = plan("q30_sessionization")
     // both lag/sum windows and the final (user_id, session_seq) aggregate
