@@ -78,13 +78,29 @@ object GenScale {
       .parquet(s"$src/events.parquet")
     write(replicated(eventsRaw, Seq("event_id", "user_id")).drop("rep"), "events")
 
-    // documents: replica 0 verbatim; replicas 1.. append " v<rep> <hash6>"
-    // → shingle-Jaccard vs the base stays near 1 (near-dup), never exact
+    // documents: within a GROUP of `groupSize` replicas, replica g·gs is
+    // verbatim-of-mutated-base and the rest append " v<k> <hash6>" →
+    // shingle-Jaccard within the group stays near 1 (near-dup). ACROSS
+    // groups every token gets a "_<g>" suffix, so no shingle is shared
+    // and groups are mutually unrelated. groupSize = factor (the
+    // default) reproduces the single-group behavior; a smaller
+    // groupSize grows the corpus at CONSTANT dup density — the honest
+    // scale model for a second bench decade (otherwise true pair
+    // cardinality, not engine cost, grows quadratically with factor).
+    val groupSize = if (args.length > 3) args(3).toInt else factor
+    require(groupSize > 0 && factor % groupSize == 0,
+      s"groupSize $groupSize must divide factor $factor")
+    val grp = expr(s"rep div $groupSize").cast("int")
+    val inGrp = (col("rep") % groupSize).cast("int")
+    val nearDup = when(inGrp === 0, col("text"))
+      .otherwise(concat(col("text"), lit(" v"), inGrp.cast("string"), lit(" "),
+        substring(md5(concat_ws("_", col("doc_id"), col("rep"))), 1, 6)))
     val docs = replicated(spark.read.parquet(s"$src/documents.parquet"), Seq("doc_id"))
       .withColumn("text",
-        when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" v"), col("rep").cast("string"), lit(" "),
-            substring(md5(concat_ws("_", col("doc_id"), col("rep"))), 1, 6))))
+        when(grp === 0, nearDup)
+          .otherwise(array_join(
+            transform(split(nearDup, " "),
+              t => concat(t, lit("_"), grp.cast("string"))), " ")))
       .drop("rep")
     write(docs, "documents")
 
