@@ -31,8 +31,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata lays each table out as one file; Spark-generated
+        # scale dirs (benchdata/sf*) are directories of part files
+        path = f"{sfdir}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        if t == "events":
+            # Spark-generated scale data stores ts as raw BIGINT nanos
+            # (Spark cannot write TIMESTAMP_NS); rebuild the nanos
+            # timestamp the oracles expect. Micros truncation is safe:
+            # every mirror truncates to micros or coarser downstream.
+            (ts_type,) = [d for d in con.sql(
+                f"DESCRIBE SELECT ts FROM '{pat}'").fetchall()][0][1:2]
+            if ts_type == "BIGINT":
+                con.sql(f"CREATE VIEW {t} AS SELECT * REPLACE ("
+                        f"CAST(make_timestamp(ts // 1000) AS TIMESTAMP_NS) AS ts)"
+                        f" FROM '{pat}'")
+                continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
