@@ -24,7 +24,14 @@ object TextAnalysis {
     * raw text call `normalizeText` first. */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** Native codegen count (plans.TokenCountExpr): spaces+1 in one
+    * allocation-free byte scan — exactly size(split(text,' ')) for all
+    * inputs, without materializing the token array per row. */
+  def tokenCount(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.TokenCountExpr(
+      GraftColumnBridge.expression(text.cast("string"))))
+  }
 
   def uniqueTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")

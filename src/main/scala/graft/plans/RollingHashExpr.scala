@@ -25,6 +25,22 @@ object GraftHash {
     h
   }
 
+  /** Token count for space-separated text: spaces + 1 — EXACTLY
+    * `size(split(text, ' '))` for any string (Java split with -1 limit
+    * keeps empty pieces, so k space bytes always yield k+1 pieces;
+    * "" splits to [""] = 1 = 0+1). Byte scan is UTF-8-safe: 0x20 never
+    * occurs in continuation bytes. */
+  def tokenCount(s: UTF8String): Long = {
+    var c = 1L
+    var i = 0
+    val n = s.numBytes
+    while (i < n) {
+      if (s.getByte(i) == 0x20) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Exact scaled-integer dot product over float arrays:
     * Σ round_half_away(a_i * b_i * 1e12) — the engine-exact cosine
     * building block (see graft.operators.Similarity). Arrays must be
@@ -124,6 +140,39 @@ case class DotE12Expr(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot_e12"
 }
 
+/** Native codegen token counter (SURVEY.md §7.3).
+  *
+  * Why native: the declarative `size(split(text, ' '))` materializes a
+  * per-row string ARRAY just to read its length — one allocation plus
+  * one substring copy PER TOKEN, for every row of a 100 TB corpus, in
+  * d01/d02/d03/d14/d15/d24's hot paths. This walks the UTF8String's
+  * bytes once (spaces+1; 0x20 cannot occur inside a UTF-8 multi-byte
+  * sequence) with zero allocation, inside whole-stage codegen.
+  * Equivalence with size(split) for ALL inputs — including empty
+  * strings and repeated/leading/trailing spaces — is pinned by
+  * RollingHashExprSpec. */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_token_count expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.tokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHash.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_count"
+}
+
 /** Session extensions: registers engine-native SQL functions.
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
@@ -137,6 +186,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_e12"),
       new ExpressionInfo(classOf[DotE12Expr].getName, "graft_dot_e12"),
       (exprs: Seq[Expression]) => DotE12Expr(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCountExpr].getName, "graft_token_count"),
+      (exprs: Seq[Expression]) => TokenCountExpr(exprs.head)))
   }
 }
 
@@ -148,5 +201,7 @@ object GraftFunctions {
       "graft_rolling_hash", exprs => RollingHashExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_e12", exprs => DotE12Expr(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_count", exprs => TokenCountExpr(exprs.head), "built-in")
   }
 }

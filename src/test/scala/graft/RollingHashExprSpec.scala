@@ -71,4 +71,17 @@ class RollingHashExprSpec extends AnyFunSuite with SparkTestSession {
       .count()
     assert(diff === 0L)
   }
+
+  test("native token count == size(split) on the corpus and all edge shapes") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionByName(Seq("", " ", "  ", "a", "a b", " a  b ", "héllo wörld x",
+        "日本 語 テスト", "tab\there no-space").toDF("text"))
+    val diff = docs.select(
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("native"),
+        size(split(col("text"), " ")).cast("long").as("decl"))
+      .filter(col("native") =!= col("decl"))
+    assert(diff.isEmpty, diff.collect().mkString(","))
+  }
 }
