@@ -36,9 +36,14 @@ object TextAnalysis {
   def uniqueTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")
 
-  /** Stopword occurrences (with multiplicity). */
-  def stopwordCount(text: Column, stops: Seq[String] = DefaultStopwords): Column =
-    size(filter(tokens(text), t => t.isin(stops: _*))).cast("long")
+  /** Stopword occurrences (with multiplicity). Native codegen scan
+    * (plans.StopwordCountExpr): the declarative filter() HOF is
+    * interpreted and breaks the codegen span per token. */
+  def stopwordCount(text: Column, stops: Seq[String] = DefaultStopwords): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.StopwordCountExpr(
+      GraftColumnBridge.expression(text.cast("string")), stops))
+  }
 
   /** stop/total as double — exact integer inputs, one IEEE division. */
   def stopwordRatio(text: Column, stops: Seq[String] = DefaultStopwords): Column =

@@ -41,6 +41,37 @@ object GraftHash {
     c
   }
 
+  /** Count space-separated tokens byte-equal to any of `stops` —
+    * `size(filter(split(text,' '), t -> t IN stops))` with multiplicity,
+    * zero allocation (candidate tokens are compared in place against
+    * the stopword byte arrays; no token array, no per-token object). */
+  def countTokensIn(s: UTF8String, stops: Array[Array[Byte]]): Long = {
+    val n = s.numBytes
+    var c = 0L
+    var st = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.getByte(i) == 0x20) {
+        val len = i - st
+        var k = 0
+        var hit = false
+        while (!hit && k < stops.length) {
+          val w = stops(k)
+          if (w.length == len) {
+            var j = 0
+            while (j < len && s.getByte(st + j) == w(j)) j += 1
+            hit = j == len
+          }
+          k += 1
+        }
+        if (hit) c += 1
+        st = i + 1
+      }
+      i += 1
+    }
+    c
+  }
+
   /** Exact scaled-integer dot product over float arrays:
     * Σ round_half_away(a_i * b_i * 1e12) — the engine-exact cosine
     * building block (see graft.operators.Similarity). Arrays must be
@@ -171,6 +202,43 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_token_count"
+}
+
+/** Native codegen stopword counter (SURVEY.md §7.3).
+  *
+  * Why native: `filter(split(text,' '), t -> t.isin(stops))` is an
+  * interpreted higher-order function — per-token lambda dispatch that
+  * BREAKS the whole-stage-codegen span of every quality/lang-ID pass
+  * (d03/d04, the d12 gates). This compares candidate tokens in place
+  * against the stopword byte arrays inside codegen, allocation-free.
+  * Equivalence (with multiplicity, all edge shapes) pinned by
+  * RollingHashExprSpec. */
+case class StopwordCountExpr(child: Expression, stops: Seq[String])
+  extends UnaryExpression {
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stops.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_stopword_count expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.countTokensIn(input.asInstanceOf[UTF8String], stopBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopBytes", stopBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHash.countTokensIn($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordCountExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_stopword_count"
 }
 
 /** Session extensions: registers engine-native SQL functions.

@@ -84,4 +84,19 @@ class RollingHashExprSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("native") =!= col("decl"))
     assert(diff.isEmpty, diff.collect().mkString(","))
   }
+
+  test("native stopword count == interpreted filter(split) on corpus and edges") {
+    import org.apache.spark.sql.functions._
+    val stops = graft.operators.TextAnalysis.DefaultStopwords
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionByName(Seq("", "the", "the the the", "theo a an andy", " the ",
+        "of to in is it that", "THE The", "a  a", "x the\ty").toDF("text"))
+    val diff = docs.select(
+        graft.operators.TextAnalysis.stopwordCount(col("text")).as("native"),
+        size(filter(split(col("text"), " "), t => t.isin(stops: _*)))
+          .cast("long").as("decl"))
+      .filter(col("native") =!= col("decl"))
+    assert(diff.isEmpty, diff.collect().mkString(","))
+  }
 }
