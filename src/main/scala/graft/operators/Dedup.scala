@@ -67,15 +67,13 @@ object Dedup {
     * split() expression directly would re-tokenize the document once
     * per shingle per k — an O(tokens²) blowup measured at ~2× on d07. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val withToks = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("__t"))
-    val toks = col("__t")
-    val n = size(toks)
-    val idxs = when(n >= k, sequence(lit(1), n - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    val sh = transform(idxs, i =>
-      concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
-    withToks.select(col("doc_id"), explode(array_distinct(sh)).as("s"))
+    // native codegen shingle array (plans.ShinglesExpr): the hottest
+    // path of the dedup family — one byte copy per row, zero-copy
+    // shingle windows, no interpreted per-shingle lambda
+    import org.apache.spark.sql.GraftColumnBridge
+    val sh = GraftColumnBridge.column(graft.plans.ShinglesExpr(
+      GraftColumnBridge.expression(col(textCol).cast("string")), k))
+    df.select(col(idCol).as("doc_id"), explode(array_distinct(sh)).as("s"))
   }
 
   // ---------------- MinHash + LSH ----------------
@@ -202,16 +200,12 @@ object Dedup {
     // re-split per k-gram and inlining the hash array would re-md5
     // per window — each a quadratic blowup (the un-materialized form
     // measured >10 min vs ~2 s at sf0.1)
-    val withToks = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("__t"))
-    val toks = col("__t")
-    val n = size(toks)
-    val grams = transform(
-      when(n >= k, sequence(lit(1), n - (k - 1)))
-        .otherwise(array().cast("array<int>")),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
-    val hashed = withToks.select(col("doc_id"),
-      transform(grams, g =>
+    import org.apache.spark.sql.GraftColumnBridge
+    val grams = GraftColumnBridge.column(graft.plans.ShinglesExpr(
+      GraftColumnBridge.expression(col(textCol).cast("string")), k))
+    val withGrams = df.select(col(idCol).as("doc_id"), grams.as("__g"))
+    val hashed = withGrams.select(col("doc_id"),
+      transform(col("__g"), g =>
         conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("__h"))
     val nh = size(col("__h"))
     // fewer than w hashes: the whole doc is one window

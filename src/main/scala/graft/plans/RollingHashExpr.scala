@@ -72,6 +72,43 @@ object GraftHash {
     c
   }
 
+  /** k-token shingle array for single-space-separated text. Because
+    * tokens are the split on single spaces, the k-token shingle joined
+    * by ' ' is EXACTLY the byte span of the text from token i's start
+    * to token i+k-1's end — including empty tokens from repeated
+    * spaces. One byte copy for the whole row; each shingle is a
+    * zero-copy UTF8String window into it. Docs with fewer than k
+    * tokens yield an empty array. */
+  def shingles(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.numBytes
+    var ntok = 1
+    var i = 0
+    while (i < n) { if (s.getByte(i) == 0x20) ntok += 1; i += 1 }
+    val m = ntok - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val bytes = s.getBytes
+    // starts(t) = byte offset of token t; ends(t) = exclusive end
+    val starts = new Array[Int](ntok)
+    val ends = new Array[Int](ntok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = n
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val st = starts(j)
+      out(j) = UTF8String.fromBytes(bytes, st, ends(j + k - 1) - st)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Exact scaled-integer dot product over float arrays:
     * Σ round_half_away(a_i * b_i * 1e12) — the engine-exact cosine
     * building block (see graft.operators.Similarity). Arrays must be
@@ -239,6 +276,40 @@ case class StopwordCountExpr(child: Expression, stops: Seq[String])
     copy(child = newChild)
 
   override def prettyName: String = "graft_stopword_count"
+}
+
+/** Native codegen k-token shingle generator (SURVEY.md §7.3).
+  *
+  * Why native: the declarative
+  * `transform(sequence(...), i -> concat_ws(' ', element_at(toks,i)...))`
+  * is an interpreted HOF — per-shingle lambda dispatch, k element_at
+  * probes, and a concat allocation per shingle, in the hottest path of
+  * the whole dedup family (d06/d07/d12/d13/d17 all start here). The
+  * native form makes one byte copy per row and returns zero-copy
+  * windows into it. Equivalence for all inputs (incl. repeated spaces
+  * and short docs) pinned by RollingHashExprSpec. */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHash.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
 }
 
 /** Session extensions: registers engine-native SQL functions.

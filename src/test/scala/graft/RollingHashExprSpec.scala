@@ -99,4 +99,26 @@ class RollingHashExprSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("native") =!= col("decl"))
     assert(diff.isEmpty, diff.collect().mkString(","))
   }
+
+  test("native shingles == declarative k-gram transform on corpus and edges") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnBridge
+    val k = 3
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionByName(Seq("", "a", "a b", "a b c", "a b c d", "a  b c",
+        " lead b c", "tail b c ", "héllo wörld déjà vu").toDF("text"))
+    val native = GraftColumnBridge.column(graft.plans.ShinglesExpr(
+      GraftColumnBridge.expression(col("text")), k))
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val decl = transform(
+      when(n >= k, sequence(lit(1), n - (k - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    val diff = docs
+      .select(col("text"), native.as("nv"), decl.as("dc"))
+      .filter(col("nv") =!= col("dc"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+  }
 }
