@@ -466,16 +466,20 @@ object TextQueries {
   private def d16(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactNum.roundRatio4
     Tables.documents(s, dir)
-      // tokens materialized once; the bigram lambda then reads a plain
-      // attribute instead of re-splitting the text per element.
-      // Integer token/distinct counts ride through the aggregation so
-      // both r4 fractions round exactly (ExactNum.roundRatio4) —
-      // 1 - u/n == (n-u)/n as a rational.
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+      // bigrams (with multiplicity) = native 2-token shingles
+      // (plans.ShinglesExpr): no interpreted per-bigram lambda, one
+      // byte copy per row. Integer token/distinct counts ride through
+      // the aggregation so both r4 fractions round exactly
+      // (ExactNum.roundRatio4) — 1 - u/n == (n-u)/n as a rational.
       .select(col("doc_id"),
-        size(col("__t")).cast("long").as("n_tok"),
-        size(array_distinct(col("__t"))).cast("long").as("n_uniq"),
-        explode(TextAnalysis.bigramsOfTokens(col("__t"))).as("bg"))
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
+          .as("n_uniq"),
+        explode({
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.plans.ShinglesExpr(
+            GraftColumnBridge.expression(col("text").cast("string")), 2))
+        }).as("bg"))
       .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"), col("bg"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"))
