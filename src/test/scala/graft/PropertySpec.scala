@@ -145,4 +145,36 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       assert(r.getDouble(2) === exact, s"p=$p0 q=$q0")
     }
   }
+
+  test("native text kernels == declarative forms on random space-riddled strings") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val spaceyChar = Gen.frequency(4 -> Gen.alphaLowerChar, 2 -> Gen.const(' '),
+      1 -> Gen.const('t'), 1 -> Gen.oneOf('h', 'e'))
+    val spacey: Gen[String] =
+      Gen.chooseNum(0, 40).flatMap(l => Gen.stringOfN(l, spaceyChar))
+    val rows = samples(spacey, 300)
+    val stops = graft.operators.TextAnalysis.DefaultStopwords
+    val df = rows.toDF("text")
+    def native(k: Int) = GraftColumnBridge.column(graft.plans.ShinglesExpr(
+      GraftColumnBridge.expression(col("text")), k))
+    def decl(k: Int) = {
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      transform(
+        when(n >= k, sequence(lit(1), n - (k - 1)))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    }
+    val diff = df.select(
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("tc_n"),
+        size(split(col("text"), " ")).cast("long").as("tc_d"),
+        graft.operators.TextAnalysis.stopwordCount(col("text")).as("sw_n"),
+        size(filter(split(col("text"), " "), t => t.isin(stops: _*)))
+          .cast("long").as("sw_d"),
+        native(2).as("s2_n"), decl(2).as("s2_d"),
+        native(3).as("s3_n"), decl(3).as("s3_d"))
+      .filter(col("tc_n") =!= col("tc_d") || col("sw_n") =!= col("sw_d")
+        || col("s2_n") =!= col("s2_d") || col("s3_n") =!= col("s3_d"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString("\n"))
+  }
 }
