@@ -177,4 +177,55 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
         || col("s2_n") =!= col("s2_d") || col("s3_n") =!= col("s3_d"))
     assert(diff.isEmpty, diff.collect().take(3).mkString("\n"))
   }
+
+  test("connectedComponents == in-JVM union-find on random graphs") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 60L)
+      b <- Gen.chooseNum(0L, 60L)
+    } yield (a, b)
+    val edges = samples(Gen.chooseNum(5, 40).flatMap(Gen.listOfN(_, edgeGen)), 6)
+    edges.foreach { es =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = graft.operators.Components
+        .connectedComponents(es.toDF("a", "b").repartition(3), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"edges: $es")
+    }
+  }
+
+  test("Sessionize == in-JVM gap scan on random event streams") {
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 5L)
+      ts <- Gen.chooseNum(0L, 400L)
+    } yield (u, ts)
+    val streams = samples(Gen.chooseNum(5, 60).flatMap(Gen.listOfN(_, evGen)), 4)
+    streams.foreach { evs0 =>
+      val evs = evs0.zipWithIndex.map { case ((u, ts), i) => (u, ts, i.toLong) }
+      val gap = 25L
+      val expect = evs.groupBy(_._1).flatMap { case (_, g) =>
+        val sorted = g.sortBy(e => (e._2, e._3))
+        var seq = 0L; var prev = Long.MinValue
+        sorted.map { case (_, ts, id) =>
+          if (prev == Long.MinValue || ts - prev > gap) seq += 1
+          prev = ts
+          id -> seq
+        }
+      }
+      val got = graft.operators.Sessionize.assign(
+          evs.toDF("u", "ts", "id").repartition(3),
+          col("u"), col("ts"), col("id"), gap)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      assert(got === expect, s"events: $evs")
+    }
+  }
 }
