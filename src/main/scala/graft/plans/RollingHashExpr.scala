@@ -109,6 +109,41 @@ object GraftHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Overlapping token-window chunks: windows of `size` tokens at
+    * `stride` steps (stride < size => overlap), the last window
+    * clamped to the text end; every token belongs to >= 1 chunk and
+    * chunk count = 1 + ceil(max(ntok-size,0)/stride). Byte-span
+    * construction like `shingles`. */
+  def chunks(s: UTF8String, size: Int, stride: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.numBytes
+    var ntok = 1
+    var i = 0
+    while (i < n) { if (s.getByte(i) == 0x20) ntok += 1; i += 1 }
+    val bytes = s.getBytes
+    val starts = new Array[Int](ntok)
+    val ends = new Array[Int](ntok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = n
+    val m = 1 + (math.max(ntok - size, 0) + stride - 1) / stride
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val stTok = j * stride
+      val enTok = math.min(stTok + size, ntok) - 1
+      val st = starts(stTok)
+      out(j) = UTF8String.fromBytes(bytes, st, ends(enTok) - st)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Exact scaled-integer dot product over float arrays:
     * Σ round_half_away(a_i * b_i * 1e12) — the engine-exact cosine
     * building block (see graft.operators.Similarity). Arrays must be
@@ -310,6 +345,35 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_shingles"
+}
+
+/** Native codegen token-window chunker — the RAG / context-packing
+  * "split documents into overlapping windows" step, built on the same
+  * byte-span trick as ShinglesExpr (stride generalization). */
+case class ChunksExpr(child: Expression, size: Int, stride: Int)
+  extends UnaryExpression {
+  require(size >= 1 && stride >= 1 && stride <= size,
+    s"need 1 <= stride <= size, got size=$size stride=$stride")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_chunks expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.chunks(input.asInstanceOf[UTF8String], size, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHash.chunks($c, $size, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunksExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_chunks"
 }
 
 /** Session extensions: registers engine-native SQL functions.

@@ -899,6 +899,37 @@ object TextQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Document chunking (d26): overlapping 50-token windows at stride
+    * 40 (10-token overlap) — the RAG / context-window-packing step,
+    * via the native chunker (plans.ChunksExpr: byte-span windows, no
+    * interpreted lambda). Chunk text is reported as md5 so the oracle
+    * pins exact chunk CONTENT without dumping it. */
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val chunksCol = GraftColumnBridge.column(graft.plans.ChunksExpr(
+      GraftColumnBridge.expression(col("text").cast("string")), 50, 40))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(chunksCol).as(Seq("chunk_idx", "__c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        graft.operators.TextAnalysis.tokenCount(col("__c")).as("n_tokens"),
+        md5(col("__c")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val d26Sql =
+    """SELECT doc_id,
+      |  CAST(j AS BIGINT) AS chunk_idx,
+      |  CAST(least(j * 40 + 50, ntok) - j * 40 AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(tokens[j * 40 + 1 : least(j * 40 + 50, ntok)], ' '))
+      |    AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, tokens, ntok,
+      |    unnest(range(0, 1 + (greatest(ntok - 50, 0) + 39) // 40)) AS j
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens,
+      |          len(string_split(text, ' ')) AS ntok
+      |        FROM documents))
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -924,5 +955,6 @@ object TextQueries {
     QuerySpec("d22_shuffle_manifest", d22, Some(d22Sql)),
     QuerySpec("d23_tfidf_keywords", d23, Some(d23Sql)),
     QuerySpec("d24_temperature_mix", d24, Some(d24Sql)),
-    QuerySpec("d25_contamination_matrix", d25, Some(d25Sql)))
+    QuerySpec("d25_contamination_matrix", d25, Some(d25Sql)),
+    QuerySpec("d26_doc_chunks", d26, Some(d26Sql)))
 }

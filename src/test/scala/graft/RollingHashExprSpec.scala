@@ -121,4 +121,28 @@ class RollingHashExprSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("nv") =!= col("dc"))
     assert(diff.isEmpty, diff.collect().take(3).mkString(","))
   }
+
+  test("native chunker: coverage, overlap, tail clamp, short docs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnBridge
+    def chunks(text: String, size: Int, stride: Int): Seq[String] =
+      Seq(text).toDF("t").select(GraftColumnBridge.column(
+        graft.plans.ChunksExpr(GraftColumnBridge.expression(col("t")), size, stride)))
+        .collect().head.getSeq[String](0)
+    val toks = (1 to 13).map(i => s"t$i")
+    val text = toks.mkString(" ")
+    val got = chunks(text, 5, 4)
+    // windows: [0,5) [4,9) [8,13) — 1 + ceil((13-5)/4) = 3 chunks
+    assert(got === Seq(toks.slice(0, 5), toks.slice(4, 9), toks.slice(8, 13))
+      .map(_.mkString(" ")))
+    // every token appears in at least one chunk, in order
+    assert(got.flatMap(_.split(" ")).distinct.sorted === toks.sorted)
+    // short doc: one chunk, verbatim
+    assert(chunks("a b", 5, 4) === Seq("a b"))
+    assert(chunks("", 5, 4) === Seq(""))
+    // stride == size: disjoint cover
+    assert(chunks(text, 4, 4) ===
+      Seq(toks.slice(0, 4), toks.slice(4, 8), toks.slice(8, 12), toks.slice(12, 13))
+        .map(_.mkString(" ")))
+  }
 }
