@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   *  - dims (nation/region) copy unchanged; everything is deterministic
   *    (no RNG), so the generated data is reproducible bit-for-bit.
   *
-  * Usage: runMain graft.GenScale [srcDir] [outDir] [factor]
+  * Usage: runMain graft.GenScale [srcDir] [outDir] [factor] [groupSize]
+  * groupSize (default = factor, i.e. one all-near-dup group) bounds how
+  * many replicas stay near-dups of each other; cross-group replicas get
+  * token-suffixed into mutually-unrelated text. Pass groupSize < factor
+  * to grow volume at CONSTANT dup density (the honest model for a
+  * second bench decade — otherwise true pair cardinality grows
+  * quadratically with factor and the decade measures the data, not the
+  * engine).
   */
 object GenScale {
 

@@ -16,8 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional subset (comma-separated names): big-SF local gates skip
-    // the queries whose DuckDB oracle is itself quadratic-cost
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    // the queries whose DuckDB oracle is itself quadratic-cost.
+    // Unknown names fail loudly — a typo must not silently shrink the
+    // gate while it prints all-green.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -55,25 +55,17 @@ object Dedup {
 
   // ---------------- shingles ----------------
 
-  /** Distinct k-token shingles per document: (doc_id, s). The sequence/
-    * transform/explode pipeline is all built-in generators — one narrow
-    * pass over the corpus. Per-document dedup happens inside the row
-    * (array_distinct BEFORE explode), so no global distinct() shuffle:
-    * the output is shuffle-free however large the corpus.
-    *
-    * The token array is materialized as a column BEFORE the shingle
-    * lambda: element_at inside a lambda re-evaluates its array operand
-    * per element (no CSE through lambda bodies), so referencing the
-    * split() expression directly would re-tokenize the document once
-    * per shingle per k — an O(tokens²) blowup measured at ~2× on d07. */
+  /** Distinct k-token shingles per document: (doc_id, s) — one narrow
+    * pass over the corpus via the native generator. Per-document dedup
+    * happens inside the row (array_distinct BEFORE explode), so no
+    * global distinct() shuffle: the output is shuffle-free however
+    * large the corpus. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     // native codegen shingle array (plans.ShinglesExpr): the hottest
     // path of the dedup family — one byte copy per row, zero-copy
     // shingle windows, no interpreted per-shingle lambda
-    import org.apache.spark.sql.GraftColumnBridge
-    val sh = GraftColumnBridge.column(graft.plans.ShinglesExpr(
-      GraftColumnBridge.expression(col(textCol).cast("string")), k))
-    df.select(col(idCol).as("doc_id"), explode(array_distinct(sh)).as("s"))
+    df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.shinglesCol(col(textCol), k))).as("s"))
   }
 
   // ---------------- MinHash + LSH ----------------
@@ -200,10 +192,8 @@ object Dedup {
     // re-split per k-gram and inlining the hash array would re-md5
     // per window — each a quadratic blowup (the un-materialized form
     // measured >10 min vs ~2 s at sf0.1)
-    import org.apache.spark.sql.GraftColumnBridge
-    val grams = GraftColumnBridge.column(graft.plans.ShinglesExpr(
-      GraftColumnBridge.expression(col(textCol).cast("string")), k))
-    val withGrams = df.select(col(idCol).as("doc_id"), grams.as("__g"))
+    val withGrams = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.shinglesCol(col(textCol), k).as("__g"))
     val hashed = withGrams.select(col("doc_id"),
       transform(col("__g"), g =>
         conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("__h"))

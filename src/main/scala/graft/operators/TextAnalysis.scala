@@ -33,6 +33,20 @@ object TextAnalysis {
       GraftColumnBridge.expression(text.cast("string"))))
   }
 
+  /** Native k-token shingle array (plans.ShinglesExpr) as a Column. */
+  def shinglesCol(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.ShinglesExpr(
+      GraftColumnBridge.expression(text.cast("string")), k))
+  }
+
+  /** Native overlapping token-window chunks (plans.ChunksExpr). */
+  def chunksCol(text: Column, size: Int, stride: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.ChunksExpr(
+      GraftColumnBridge.expression(text.cast("string")), size, stride))
+  }
+
   def uniqueTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")
 

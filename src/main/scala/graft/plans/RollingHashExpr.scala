@@ -79,16 +79,15 @@ object GraftHash {
     * spaces. One byte copy for the whole row; each shingle is a
     * zero-copy UTF8String window into it. Docs with fewer than k
     * tokens yield an empty array. */
-  def shingles(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+  /** Token boundary scan shared by `shingles` and `chunks`: one pass
+    * over a private byte copy, returning (bytes, starts, ends) with
+    * starts(t)/ends(t) the byte span of token t. */
+  private def tokenBounds(s: UTF8String): (Array[Byte], Array[Int], Array[Int]) = {
     val n = s.numBytes
     var ntok = 1
     var i = 0
     while (i < n) { if (s.getByte(i) == 0x20) ntok += 1; i += 1 }
-    val m = ntok - k + 1
-    if (m <= 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
     val bytes = s.getBytes
-    // starts(t) = byte offset of token t; ends(t) = exclusive end
     val starts = new Array[Int](ntok)
     val ends = new Array[Int](ntok)
     var t = 0
@@ -99,6 +98,14 @@ object GraftHash {
       i += 1
     }
     ends(t) = n
+    (bytes, starts, ends)
+  }
+
+  def shingles(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (bytes, starts, ends) = tokenBounds(s)
+    val m = starts.length - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
     val out = new Array[Any](m)
     var j = 0
     while (j < m) {
@@ -116,21 +123,8 @@ object GraftHash {
     * construction like `shingles`. */
   def chunks(s: UTF8String, size: Int, stride: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
-    val n = s.numBytes
-    var ntok = 1
-    var i = 0
-    while (i < n) { if (s.getByte(i) == 0x20) ntok += 1; i += 1 }
-    val bytes = s.getBytes
-    val starts = new Array[Int](ntok)
-    val ends = new Array[Int](ntok)
-    var t = 0
-    starts(0) = 0
-    i = 0
-    while (i < n) {
-      if (bytes(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
-      i += 1
-    }
-    ends(t) = n
+    val (bytes, starts, ends) = tokenBounds(s)
+    val ntok = starts.length
     val m = 1 + (math.max(ntok - size, 0) + stride - 1) / stride
     val out = new Array[Any](m)
     var j = 0
@@ -379,6 +373,25 @@ case class ChunksExpr(child: Expression, size: Int, stride: Int)
 /** Session extensions: registers engine-native SQL functions.
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Shared SQL-surface builders: extract foldable INT literals for the
+  * parameterized expressions so `graft_shingles(text, 3)` etc. work
+  * from SQL, failing at analysis time (not runtime) on non-literals. */
+private[plans] object GraftBuilders {
+  def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INT literal, got ${other.sql}")
+  }
+  def stopwordCount(exprs: Seq[Expression]): StopwordCountExpr =
+    StopwordCountExpr(exprs.head,
+      graft.operators.TextAnalysis.DefaultStopwords)
+  def shingles(exprs: Seq[Expression]): ShinglesExpr =
+    ShinglesExpr(exprs.head, litInt(exprs(1), "graft_shingles", "k"))
+  def chunks(exprs: Seq[Expression]): ChunksExpr =
+    ChunksExpr(exprs.head, litInt(exprs(1), "graft_chunks", "size"),
+      litInt(exprs(2), "graft_chunks", "stride"))
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -393,6 +406,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[TokenCountExpr].getName, "graft_token_count"),
       (exprs: Seq[Expression]) => TokenCountExpr(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_stopword_count"),
+      new ExpressionInfo(classOf[StopwordCountExpr].getName, "graft_stopword_count"),
+      (exprs: Seq[Expression]) => GraftBuilders.stopwordCount(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => GraftBuilders.shingles(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_chunks"),
+      new ExpressionInfo(classOf[ChunksExpr].getName, "graft_chunks"),
+      (exprs: Seq[Expression]) => GraftBuilders.chunks(exprs)))
   }
 }
 
@@ -406,5 +431,11 @@ object GraftFunctions {
       "graft_dot_e12", exprs => DotE12Expr(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_count", exprs => TokenCountExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stopword_count", exprs => GraftBuilders.stopwordCount(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => GraftBuilders.shingles(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_chunks", exprs => GraftBuilders.chunks(exprs), "built-in")
   }
 }

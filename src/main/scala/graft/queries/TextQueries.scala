@@ -475,11 +475,7 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tok"),
         size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
           .as("n_uniq"),
-        explode({
-          import org.apache.spark.sql.GraftColumnBridge
-          GraftColumnBridge.column(graft.plans.ShinglesExpr(
-            GraftColumnBridge.expression(col("text").cast("string")), 2))
-        }).as("bg"))
+        explode(TextAnalysis.shinglesCol(col("text"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"), col("bg"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"))
@@ -904,17 +900,15 @@ object TextQueries {
     * via the native chunker (plans.ChunksExpr: byte-span windows, no
     * interpreted lambda). Chunk text is reported as md5 so the oracle
     * pins exact chunk CONTENT without dumping it. */
-  private def d26(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge
-    val chunksCol = GraftColumnBridge.column(graft.plans.ChunksExpr(
-      GraftColumnBridge.expression(col("text").cast("string")), 50, 40))
+  private def d26(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(chunksCol).as(Seq("chunk_idx", "__c")))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunksCol(col("text"), 50, 40))
+          .as(Seq("chunk_idx", "__c")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         graft.operators.TextAnalysis.tokenCount(col("__c")).as("n_tokens"),
         md5(col("__c")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   private val d26Sql =
     """SELECT doc_id,

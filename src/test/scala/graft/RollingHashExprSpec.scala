@@ -145,4 +145,22 @@ class RollingHashExprSpec extends AnyFunSuite with SparkTestSession {
       Seq(toks.slice(0, 4), toks.slice(4, 8), toks.slice(8, 12), toks.slice(12, 13))
         .map(_.mkString(" ")))
   }
+
+  test("all five native functions resolve from SQL via GraftFunctions") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_rolling_hash('ab') AS h,
+        |  graft_token_count('a b c') AS tc,
+        |  graft_stopword_count('the a x') AS sw,
+        |  graft_shingles('a b c d', 3) AS sh,
+        |  graft_chunks('a b c d', 2, 2) AS ch,
+        |  graft_dot_e12(CAST(array(1.0) AS ARRAY<FLOAT>),
+        |                CAST(array(2.0) AS ARRAY<FLOAT>)) AS dot
+        |""".stripMargin).collect().head
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 2L)
+    assert(r.getSeq[String](3) === Seq("a b c", "b c d"))
+    assert(r.getSeq[String](4) === Seq("a b", "c d"))
+    assert(r.getLong(5) === 2000000000000L)
+  }
 }
