@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a pair list — the "cluster the near-dup
@@ -10,54 +10,78 @@ import org.apache.spark.sql.functions._
   * both endpoints of a chain; cluster-then-keep-representative retains
   * exactly one per group).
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with itself; each round a vertex takes the minimum label
-  * among itself and its neighbors; fixpoint = each component uniformly
-  * carries its minimum vertex id. Rounds needed = graph diameter,
-  * and dedup graphs are near-cliques (a duplicated document pairs with
-  * most of its copies), so 2-4 rounds are typical. Each round is one
-  * shuffle-join on the vertex id plus a partial-aggregated min — no
-  * driver-side graph state, no vertex ever holds more than its label.
+  * Two algorithms, same (v, lbl) contract:
   *
-  * Lineage is truncated with an eager `localCheckpoint` per round:
-  * without it the iterated self-join doubles the plan each round and
-  * the convergence check re-executes the whole history. On a real
-  * cluster with executor loss concerns, swap for reliable
-  * `checkpoint()` against a checkpoint dir — same contract.
+  *  - `connectedComponents` (default): iterative min-label propagation.
+  *    Every vertex starts labeled with itself; each round a vertex
+  *    takes the minimum label among itself and its neighbors; fixpoint
+  *    = each component uniformly carries its minimum vertex id. Rounds
+  *    needed = graph diameter, and dedup graphs are near-cliques (a
+  *    duplicated document pairs with most of its copies), so 2-4
+  *    rounds are typical. Each round is one shuffle-join on the vertex
+  *    id plus a partial-aggregated min — no driver-side graph state,
+  *    no vertex ever holds more than its label.
   *
-  * For adversarial long-chain graphs (diameter ~ vertices, e.g.
-  * paragraph-overlap chains) the O(diameter) bound degrades; the
-  * known remedy is alternating large-star/small-star (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14), which
-  * converges in O(log^2 n) rounds with the same per-round shuffle
-  * shape. Not implemented: dedup-pair graphs don't produce such
-  * chains, and maxIter makes the degradation loud (require fails)
-  * rather than silent.
+  *  - `connectedComponentsStar`: alternating large-star/small-star
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *    SoCC'14) — the adversarial-graph fallback. Converges in
+  *    O(log² n) rounds regardless of diameter, with the same
+  *    per-round shuffle shape (one aggregation + one join over the
+  *    edge list), so a long-chain graph that min-label propagation
+  *    `require`s out of still resolves. Slightly more work per round
+  *    (the edge list is rewritten, not just the labels), which is why
+  *    it is the fallback rather than the default for near-clique dedup
+  *    graphs.
+  *
+  * Lineage is truncated with an eager checkpoint per round: without it
+  * the iterated self-join doubles the plan each round and the
+  * convergence check re-executes the whole history. `checkpointDir`
+  * selects durability: `None` (default) uses `localCheckpoint` —
+  * executor-memory snapshots, right for local[*] and fault-tolerant-
+  * enough interactive clusters — while `Some(dir)` uses reliable
+  * `checkpoint()` against that directory, surviving executor loss on a
+  * real cluster (the dir should be on the cluster's shared store, e.g.
+  * HDFS/S3). Each round's snapshot is unpersisted as soon as the next
+  * round materializes, so block-manager usage is O(1) in the iteration
+  * count, not O(rounds).
   */
 object Components {
+
+  /** Labels plus convergence telemetry: `iterations` is the number of
+    * label-refinement (or star-rewrite) rounds actually executed, the
+    * number a scale run should watch stay flat as data grows. */
+  final case class Result(labels: DataFrame, iterations: Int)
 
   /** (v, lbl) for every vertex appearing in `edges`, where lbl is the
     * minimum vertex id of v's component. Vertices with no edges are
     * absent (a singleton is its own representative — union them in if
     * needed). Deterministic for any partitioning of the input. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame =
+    minLabel(edges, srcCol, dstCol, maxIter, checkpointDir).labels
+
+  /** `connectedComponents` with the iteration count — bench/scale runs
+    * log it to confirm convergence behavior stays flat across scale
+    * decades. */
+  def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
+               maxIter: Int = 25,
+               checkpointDir: Option[String] = None): Result = {
+    val ck = checkpointer(edges, checkpointDir)
     // materialize the edge list once: every round (and every convergence
     // check) joins against it, and without the checkpoint the upstream
     // pair-generation pipeline would lazily re-execute per round
-    val sym = edges
+    val sym = ck(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .unionByName(edges
-        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .localCheckpoint()
+        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
     // initial labels fused with the first propagation round: label0(v) =
     // min(v, min neighbor) is exactly what round 1 would produce from
     // the identity labeling, for the cost of the distinct() aggregation
     // alone — one fewer checkpoint+aggregate cycle per call
-    var labels = sym
+    var labels = ck(sym
       .select(col("dst").as("v"), least(col("src"), col("dst")).as("lbl"))
-      .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-      .localCheckpoint()
+      .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
     // convergence via the label-sum invariant: labels only ever
     // decrease elementwise over a fixed vertex set, so an unchanged sum
     // IS the fixpoint — one cheap aggregate per round instead of a
@@ -70,24 +94,116 @@ object Components {
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
-    var iter = 0
+    var iter = 1 // the fused initialization IS round 1's propagation
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = sym.as("e")
+      val next = ck(sym.as("e")
         .join(labels.as("l"), col("e.src") === col("l.v"))
         .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
         .unionByName(labels)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
       val nextSum = lblSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      // the checkpoint above is eager, so `next` no longer reads the old
+      // snapshot — release it now instead of holding one snapshot per
+      // round until session end
+      GraftColumnBridge.unpersistCheckpointed(labels)
       labels = next
       iter += 1
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
-        "pathological chain graph; use large-star/small-star instead")
-    labels
+        "pathological chain graph; use connectedComponentsStar instead")
+    GraftColumnBridge.unpersistCheckpointed(sym)
+    System.err.println(s"[components] min-label converged in $iter rounds")
+    Result(labels, iter)
   }
+
+  /** Large-star/small-star alternation — same (v, lbl) contract as
+    * `connectedComponents`, O(log² n) rounds on ANY graph shape.
+    *
+    * One round = large-star then small-star over the current edge list:
+    *  - large-star: every vertex points its strictly-larger neighbors
+    *    at the minimum of its neighborhood (incl. itself) — long
+    *    chains fold toward their minimum in halving steps;
+    *  - small-star: every vertex and its smaller parents re-link to
+    *    the minimum parent — stars flatten.
+    * Fixpoint = the edge list is exactly the star {(v, root)}; the
+    * labels are then the star itself plus root→root, restricted and
+    * extended to the input's vertex set (so self-loop-only vertices
+    * still appear as their own singleton, matching min-label). */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 50,
+                              checkpointDir: Option[String] = None): Result = {
+    val ck = checkpointer(edges, checkpointDir)
+    val in = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+
+    // large-star: symmetrize, m(u) = min(u, min Γ(u)), emit (v, m(u))
+    // for every neighbor v > u. Every undirected edge {u,v} appears
+    // centered at both endpoints; only the smaller center emits it, so
+    // the output is oriented src > dst and self-loop-free.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, "a")
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    // small-star: on a src>dst-oriented list, every vertex's parents
+    // (and the vertex itself) re-link to its minimum parent.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+      e.join(mins, "a").select(col("b").as("a"), col("m").as("b"))
+        .unionByName(mins.select(col("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    var cur = ck(largeStar(in.where(col("a") =!= col("b"))))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = ck(largeStar(smallStar(cur)))
+      // exact set-equality fixpoint test (no hashing shortcut: a
+      // collision-driven early stop would be a silent wrong answer)
+      converged = next.count() == cur.count() &&
+        next.except(cur).limit(1).count() == 0
+      GraftColumnBridge.unpersistCheckpointed(cur)
+      cur = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // at fixpoint `cur` IS the star (v → component-min); restore the
+    // input's full vertex universe (roots and self-loop-only vertices
+    // have no out-edge) as their own label
+    val verts = in.select(col("a").as("v"))
+      .unionByName(in.select(col("b").as("v"))).distinct()
+    val labels = verts.join(cur.withColumnRenamed("a", "v"), Seq("v"), "left")
+      .select(col("v"), coalesce(col("b"), col("v")).as("lbl"))
+    System.err.println(s"[components] large/small-star converged in $iter rounds")
+    Result(labels, iter)
+  }
+
+  /** Per-round checkpoint policy: reliable `checkpoint()` into
+    * `checkpointDir` when given (survives executor loss — pass a
+    * shared-store path on a real cluster), else executor-local
+    * `localCheckpoint` (no durability, no extra I/O — right for
+    * local[*]). Both are eager, so callers may unpersist the previous
+    * round as soon as the call returns. */
+  private def checkpointer(edges: DataFrame,
+                           checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None =>
+        df => df.localCheckpoint()
+    }
 }

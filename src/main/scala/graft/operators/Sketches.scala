@@ -27,6 +27,8 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double]
   with Serializable {
+  // k >= 2 also guards finish()'s division: buf is sorted distinct
+  // non-negative, so v_k = buf(k-1) can only be 0 when k == 1
   require(k >= 2, s"KMV needs k >= 2, got $k")
 
   override def zero: Array[Long] = Array.empty

@@ -80,8 +80,13 @@ object GraftHash {
     * zero-copy UTF8String window into it. Docs with fewer than k
     * tokens yield an empty array. */
   /** Token boundary scan shared by `shingles` and `chunks`: one pass
-    * over a private byte copy, returning (bytes, starts, ends) with
-    * starts(t)/ends(t) the byte span of token t. */
+    * returning (bytes, starts, ends) with starts(t)/ends(t) the byte
+    * span of token t. NOTE: `UTF8String.getBytes` returns the SHARED
+    * underlying array when the string exactly spans it (a copy only
+    * otherwise), so the zero-copy windows built over `bytes` may alias
+    * the input buffer. That is sound today because UTF8String inputs
+    * are immutable for the life of the row — but any future change
+    * that reuses input buffers must force a copy here. */
   private def tokenBounds(s: UTF8String): (Array[Byte], Array[Int], Array[Int]) = {
     val n = s.numBytes
     var ntok = 1

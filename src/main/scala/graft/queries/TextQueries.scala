@@ -853,9 +853,10 @@ object TextQueries {
       |      FROM per_source),
       |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM w)
       |SELECT source, n_tokens, w_micro,
-      |  CAST((w_micro * 20000 + w_total) // (w_total * 2) AS DOUBLE) / 10000.0
+      |  CAST((CAST(w_micro AS HUGEINT) * 20000 + w_total) // (CAST(w_total AS HUGEINT) * 2)
+      |       AS DOUBLE) / 10000.0
       |    AS p_r4,
-      |  w_micro * 100000 // w_total AS budget_tokens
+      |  CAST(CAST(w_micro AS HUGEINT) * 100000 // w_total AS BIGINT) AS budget_tokens
       |FROM w, tot
       |ORDER BY source""".stripMargin
 

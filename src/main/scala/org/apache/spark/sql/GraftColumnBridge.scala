@@ -10,4 +10,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * Dataset. `Dataset.unpersist` only clears CacheManager entries, and
+    * the checkpointed RDD is reachable solely through the plan's
+    * `LogicalRDD` scan — without this, every iteration of a loop that
+    * checkpoints per round leaks one labels snapshot until session end.
+    * No-op for plans that aren't checkpointed-RDD scans and for
+    * reliable (file-based) checkpoints, whose RDD is not persisted. */
+  def unpersistCheckpointed(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -46,4 +46,57 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
+    Components.connectedComponentsStar(
+        edges.toDF("a", "b").repartition(4), "a", "b", maxIter)
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("large/small-star matches min-label on cliques, chains, and mixed graphs") {
+    val graphs = Seq(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)),
+      (1L to 8L).map(i => (i + 1, i)),
+      Seq((5L, 2L), (2L, 5L), (5L, 2L), (7L, 5L)),
+      Seq((1L, 2L), (3L, 2L), (9L, 4L), (4L, 8L), (6L, 7L)),
+      Seq((4L, 4L)), // self-loop-only vertex stays a singleton
+      Seq.empty[(Long, Long)])
+    graphs.foreach { g => assert(ccStar(g) === cc(g)) }
+  }
+
+  test("large/small-star resolves a chain min-label propagation requires out of") {
+    // path of 64 hops: min-label needs ~64 rounds (fails at maxIter=6);
+    // star alternation folds it in O(log^2 n)
+    val edges = (1L to 64L).map(i => (i + 1, i))
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter = 6)
+        .collect()
+    }
+    val r = Components.connectedComponentsStar(
+      edges.toDF("a", "b"), "a", "b", maxIter = 12)
+    assert(r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap ===
+      (1L to 65L).map(_ -> 1L).toMap)
+    assert(r.iterations <= 12)
+  }
+
+  test("reliable checkpointDir produces the identical result as localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val edges = Seq((1L, 2L), (3L, 2L), (9L, 4L), (4L, 8L), (6L, 7L), (8L, 1L))
+    val local = cc(edges)
+    val reliable = Components.connectedComponents(
+        edges.toDF("a", "b").repartition(3), "a", "b",
+        maxIter = 25, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    val starReliable = Components.connectedComponentsStar(
+        edges.toDF("a", "b"), "a", "b", maxIter = 50, checkpointDir = Some(dir))
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starReliable === local)
+  }
+
+  test("iteration telemetry: near-clique graphs converge in few rounds") {
+    val clique = for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)
+    val r = Components.minLabel(clique.toDF("a", "b"), "a", "b")
+    assert(r.labels.collect().map(x => x.getLong(1)).forall(_ == 1L))
+    assert(r.iterations <= 3, s"clique took ${r.iterations} rounds")
+  }
 }
