@@ -91,9 +91,26 @@ object Similarity {
     rankTopK(c.join(broadcast(q), col("qid") =!= col("vid")), k)
   }
 
+  /** Deterministic hash-coin sample predicate: keeps a row iff the
+    * first hex digit of md5(id as string) is below `keepSixteenths` —
+    * a reproducible ~keepSixteenths/16 sample with an exact
+    * cross-engine mirror (DuckDB:
+    * `substring(md5(CAST(id AS VARCHAR)), 1, 1) < '<hex>'`). This is
+    * how the all-pairs exact baseline (e03) and the recall
+    * measurements stay affordable at corpus scale: all-pairs runs on
+    * the fixed-rate sampled universe (pair count scales with
+    * (rate·N)², a 16× cut at the default ¼), never the full corpus. */
+  def hashCoin(idCol: Column, keepSixteenths: Int = 4): Column = {
+    require(keepSixteenths >= 1 && keepSixteenths <= 15,
+      s"keepSixteenths must be in [1,15]: $keepSixteenths")
+    substring(md5(idCol.cast("string")), 1, 1) <
+      lit(Integer.toHexString(keepSixteenths))
+  }
+
   /** Embedding-cosine near-dup: the globally most-similar pairs (or all
     * pairs above a threshold via the filter). All-pairs is the exact
-    * baseline — at corpus scale swap the candidate stage for annLsh
+    * baseline — at corpus scale run it on a `hashCoin` sample (as the
+    * registered e03 does) or swap the candidate stage for annLsh/IVF
     * buckets and keep the same scoring/ranking tail. */
   def topSimilarPairs(emb: DataFrame, topN: Int,
                       minCos: Double = Double.NegativeInfinity): DataFrame = {
