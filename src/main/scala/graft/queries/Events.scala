@@ -152,10 +152,60 @@ object Events {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Streaming sessionization through the real runtime (q31): file
+    * stream → per-user `session_window` (30-minute gap) → foreachBatch
+    * parquet sink, read back after the bounded run completes — the
+    * streaming twin of q30, through the runtime like q29. The oracle
+    * mirrors session_window's OWN semantics, which differ from
+    * Sessionize's in two pinned ways: merge is strictly-less-than the
+    * gap (an event at exactly last+gap starts a NEW session, where
+    * Sessionize keeps it), and the session end is last-event + gap
+    * (not the last event itself). All comparisons run on integer
+    * micros, so the nanos→micros read truncation can't flip a
+    * boundary. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val sink = graft.streaming.EventsStreaming
+      .tempDirDeletedOnExit("graft_q31_sink").toString
+    graft.streaming.EventsStreaming
+      .runSessionsToParquetSink(s, dir, sink, gap = "30 minutes")
+      .awaitTermination()
+    s.read.parquet(sink)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("value_cents"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  private val q31Sql =
+    """WITH ev AS (
+      | SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+      |   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      | FROM events),
+      |marked AS (
+      | SELECT user_id, ts_us, event_id, cents,
+      |   CASE WHEN lag(ts_us) OVER w IS NULL
+      |          OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS nw
+      | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      | SELECT user_id, ts_us, cents,
+      |   CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        AS BIGINT) AS session_seq
+      | FROM marked)
+      |SELECT user_id, MIN(ts_us) AS start_us,
+      |  MAX(ts_us) + 1800000000 AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS value_cents
+      |FROM sess
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, start_us""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q16_events_hourly", q16, Some(q16Sql)),
     QuerySpec("q17_json_props", q17, Some(q17Sql)),
     QuerySpec("q20_asof_prior_error", q20, Some(q20Sql)),
     QuerySpec("q29_events_stream_sink", q29, Some(q16Sql)),
-    QuerySpec("q30_sessionization", q30, Some(q30Sql)))
+    QuerySpec("q30_sessionization", q30, Some(q30Sql)),
+    QuerySpec("q31_sessions_stream_sink", q31, Some(q31Sql)))
 }
