@@ -111,6 +111,24 @@ object GenScale {
       .drop("rep")
     write(docs, "documents")
 
+    // documents_para: paragraph-structured variant for d27's delimiter
+    // path — each replica's text re-segmented into 40-token paragraphs
+    // joined by "\n\n", with replica k mutating every third paragraph
+    // (rotating by k) and keeping the rest verbatim, so replicas share
+    // ~2/3 of their paragraphs with their base (the shared-boilerplate
+    // density of a real crawl). A SEPARATE table: the token-stream
+    // `documents` (and every query pinned on it) stays byte-identical.
+    val paraDocs = replicated(
+        spark.read.parquet(s"$src/documents.parquet"), Seq("doc_id"))
+      .withColumn("text",
+        array_join(
+          transform(graft.operators.TextAnalysis.chunksCol(col("text"), 40, 40),
+            (p, i) => when(col("rep") === 0 || (i + col("rep")) % 3 =!= 0, p)
+              .otherwise(concat(p, lit(" m"), col("rep").cast("string")))),
+          "\n\n"))
+      .drop("rep")
+    write(paraDocs, "documents_para")
+
     // embeddings: replica 0 verbatim; replicas 1.. scale each dimension
     // by 1 + ((31i + 7·rep) mod 97 − 48)·2e-4 ∈ [1−9.6e-3, 1+9.6e-3] —
     // deterministic, replica clusters stay ~cos 0.9999 around the base

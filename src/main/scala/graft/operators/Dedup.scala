@@ -374,4 +374,55 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Paragraph segmentation (d27 front half): one row per paragraph,
+    * (id, para_idx, para). `delimiter = Some(d)` splits on the literal
+    * delimiter — the real-corpus path (e.g. "\n\n" for markdown-ish
+    * text). `None` falls back to fixed non-overlapping `paraTokens`
+    * token blocks via the native chunker (plans.ChunksExpr with
+    * stride = size) — the segmentation of last resort for corpora with
+    * no paragraph markers, still granular enough that shared runs
+    * across near-dup documents land in identical blocks. Narrow
+    * per-row explode; no shuffle. */
+  def paragraphs(df: DataFrame, idCol: String, textCol: String,
+                 delimiter: Option[String], paraTokens: Int = 40): DataFrame = {
+    val parts = delimiter match {
+      case Some(d) => split(col(textCol), java.util.regex.Pattern.quote(d))
+      case None => TextAnalysis.chunksCol(col(textCol), paraTokens, paraTokens)
+    }
+    df.select(col(idCol), posexplode(parts).as(Seq("para_idx", "para")))
+      .select(col(idCol), col("para_idx").cast("long").as("para_idx"), col("para"))
+  }
+
+  /** Paragraph-granular exact dedup (d27): per document, how many of
+    * its paragraphs survive corpus-wide first-occurrence dedup. A
+    * paragraph is KEPT iff its (doc, position) is the lexicographically
+    * smallest occurrence of that exact paragraph in the corpus —
+    * dropped paragraphs are what a paragraph-level cleaner strips
+    * (boilerplate headers, quoted replies, shared license blocks)
+    * while the document itself survives, the granularity doc-level
+    * dedup (d05) and contiguous-overlap winnowing (d17) both miss.
+    *
+    * Scale shape: the owner table is ONE aggregation keyed on the
+    * paragraph hash with map-side partial min — no window over hash
+    * partitions, so a corpus-wide hot paragraph (a license block
+    * repeated 10^9 times) costs its combiner a single struct, never a
+    * single-task sort. The join back is hash-keyed and AQE-skew-
+    * splittable; per-doc regrouping shuffles once on the doc id. */
+  def paragraphDedupStats(df: DataFrame, idCol: String, textCol: String,
+                          delimiter: Option[String] = None,
+                          paraTokens: Int = 40): DataFrame = {
+    val paras = paragraphs(df, idCol, textCol, delimiter, paraTokens)
+      .withColumn("para_md5", md5(col("para")))
+    val owners = paras
+      .groupBy(col("para_md5"))
+      .agg(min(struct(col(idCol), col("para_idx"))).as("__o"))
+    paras.join(owners, "para_md5")
+      .withColumn("kept",
+        col(idCol) === col(s"__o.$idCol") && col("para_idx") === col("__o.para_idx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
 }

@@ -925,6 +925,46 @@ object TextQueries {
       |        FROM documents))
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Paragraph-granular dedup (d27): corpus-wide first-occurrence
+    * dedup at PARAGRAPH granularity — per doc, how many of its
+    * paragraphs are canonical vs duplicated from elsewhere. Testdata
+    * text carries no paragraph markers, so the registered query uses
+    * the token-block segmentation fallback (40-token blocks via the
+    * native chunker); the delimiter path is spec-pinned on synthetic
+    * multi-paragraph corpora (DedupSimilaritySpec) and scale-fed by
+    * GenScale's paragraph variant. */
+  private def d27(s: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedupStats(Tables.documents(s, dir), "doc_id", "text",
+        delimiter = None, paraTokens = 40)
+      .orderBy(col("doc_id"))
+
+  private val d27Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens,
+      |                len(string_split(text, ' ')) AS ntok FROM documents),
+      |paras AS (
+      | SELECT doc_id, CAST(j AS BIGINT) AS para_idx,
+      |   md5(array_to_string(tokens[j * 40 + 1 : least(j * 40 + 40, ntok)], ' '))
+      |     AS para_md5
+      | FROM (SELECT doc_id, tokens, ntok,
+      |         unnest(range(0, 1 + (greatest(ntok - 40, 0) + 39) // 40)) AS j
+      |       FROM toks)),
+      |owners AS (SELECT para_md5, min(doc_id) AS odoc FROM paras GROUP BY 1),
+      |oidx AS (SELECT p.para_md5, min(p.para_idx) AS opos
+      |         FROM paras p JOIN owners o
+      |           ON p.para_md5 = o.para_md5 AND p.doc_id = o.odoc
+      |         GROUP BY 1)
+      |SELECT p.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(SUM(CASE WHEN p.doc_id = o.odoc AND p.para_idx = x.opos
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN p.doc_id = o.odoc AND p.para_idx = x.opos
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+      |FROM paras p
+      |JOIN owners o ON p.para_md5 = o.para_md5
+      |JOIN oidx x ON p.para_md5 = x.para_md5
+      |GROUP BY p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -951,5 +991,6 @@ object TextQueries {
     QuerySpec("d23_tfidf_keywords", d23, Some(d23Sql)),
     QuerySpec("d24_temperature_mix", d24, Some(d24Sql)),
     QuerySpec("d25_contamination_matrix", d25, Some(d25Sql)),
-    QuerySpec("d26_doc_chunks", d26, Some(d26Sql)))
+    QuerySpec("d26_doc_chunks", d26, Some(d26Sql)),
+    QuerySpec("d27_paragraph_dedup", d27, Some(d27Sql)))
 }

@@ -345,6 +345,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(z(2L)(1) - (-2.0f)) < 1e-6) // max component exact
   }
 
+  test("paragraph dedup: shared paragraphs drop at non-canonical occurrences") {
+    // doc 1 owns "shared block one"; doc 2 re-uses it once, doc 3 twice
+    // (both of doc 3's copies are non-canonical — owner is (1, 1))
+    val docs = Seq(
+      (1L, "alpha beta\n\nshared block one\n\ntail one"),
+      (2L, "shared block one\n\nunique two"),
+      (3L, "unique three\n\nshared block one\n\nshared block one"))
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupStats(docs, "doc_id", "text",
+        delimiter = Some("\n\n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 3L, 0L)))
+    assert(got(2L) === ((2L, 1L, 1L)))
+    assert(got(3L) === ((3L, 1L, 2L)))
+  }
+
+  test("paragraph dedup token-block fallback: an exact dup doc keeps nothing") {
+    val text = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((10L, text), (20L, text)).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupStats(docs, "doc_id", "text",
+        delimiter = None, paraTokens = 40)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 100 tokens → 3 blocks (40/40/20); doc 10 canonical for all three
+    assert(got(10L) === ((3L, 3L, 0L)))
+    assert(got(20L) === ((3L, 0L, 3L)))
+  }
+
   test("hash-coin sample is deterministic and near the nominal rate") {
     val emb = Tables.embeddings(spark, sfDir)
     val keep = Similarity.hashCoin(col("vec_id")) // default ¼
