@@ -38,6 +38,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      Telemetry.drain() // a prior query's rounds must not bleed in
       // a failed query records -1 (not a plausible-looking elapsed time)
       val times = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()
@@ -52,12 +53,18 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply((times.size - 1) / 2)
-      name -> median
+      // convergence telemetry recorded by iterative operators during the
+      // runs (deterministic per query+data, so last-run values suffice)
+      (name, median, Telemetry.drain())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val tel = results.collect { case (k, _, t) if t.nonEmpty =>
+      "\"" + k + "\":" + t.toSeq.sortBy(_._1)
+        .map { case (m, v) => "\"" + m + "\":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"telemetry":$tel,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -117,6 +117,7 @@ object Components {
         "pathological chain graph; use connectedComponentsStar instead")
     GraftColumnBridge.unpersistCheckpointed(sym)
     System.err.println(s"[components] min-label converged in $iter rounds")
+    graft.Telemetry.record("components.min_label_rounds", iter.toLong)
     Result(labels, iter)
   }
 
@@ -188,6 +189,7 @@ object Components {
     val labels = verts.join(cur.withColumnRenamed("a", "v"), Seq("v"), "left")
       .select(col("v"), coalesce(col("b"), col("v")).as("lbl"))
     System.err.println(s"[components] large/small-star converged in $iter rounds")
+    graft.Telemetry.record("components.star_rounds", iter.toLong)
     Result(labels, iter)
   }
 

@@ -99,4 +99,16 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.labels.collect().map(x => x.getLong(1)).forall(_ == 1L))
     assert(r.iterations <= 3, s"clique took ${r.iterations} rounds")
   }
+
+  test("round counts land in the Telemetry registry for bench self-reporting") {
+    graft.Telemetry.drain()
+    val r = Components.minLabel(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+    assert(graft.Telemetry.snapshot().get("components.min_label_rounds")
+      === Some(r.iterations.toLong))
+    val s = Components.connectedComponentsStar(
+      Seq((5L, 6L)).toDF("a", "b"), "a", "b")
+    val drained = graft.Telemetry.drain()
+    assert(drained.get("components.star_rounds") === Some(s.iterations.toLong))
+    assert(graft.Telemetry.snapshot().isEmpty) // drain resets
+  }
 }
