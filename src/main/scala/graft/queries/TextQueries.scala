@@ -460,26 +460,43 @@ object TextQueries {
 
   /** Repetition signals (d16): the classic repetitive-document quality
     * filters — duplicate-token fraction and the most-frequent-bigram
-    * share. Bigram mode via explode → (doc, bigram) count → per-doc
-    * max: proper distributed shape (two partial-aggregated shuffles),
-    * not a per-row quadratic HOF scan. */
+    * share. Per-doc stats over per-row data never need a shuffle:
+    * sort the bigram array (equal bigrams become adjacent) and take
+    * the longest equal run — O(n log n) per row, zero exchanges until
+    * the output orderBy. The earlier explode → groupBy(doc, bigram) →
+    * per-doc max shape shuffled EVERY bigram in the corpus to compute
+    * a per-row quantity; at 100 TB that shuffle is the whole job. */
   private def d16(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactNum.roundRatio4
     Tables.documents(s, dir)
       // bigrams (with multiplicity) = native 2-token shingles
       // (plans.ShinglesExpr): no interpreted per-bigram lambda, one
       // byte copy per row. Integer token/distinct counts ride through
-      // the aggregation so both r4 fractions round exactly
-      // (ExactNum.roundRatio4) — 1 - u/n == (n-u)/n as a rational.
+      // so both r4 fractions round exactly (ExactNum.roundRatio4) —
+      // 1 - u/n == (n-u)/n as a rational. `bgs` is a materialized
+      // attribute: HOF lambdas must never re-evaluate the generator.
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"),
         size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
           .as("n_uniq"),
-        explode(TextAnalysis.shinglesCol(col("text"), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"), col("bg"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"))
-      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+        array_sort(TextAnalysis.shinglesCol(col("text"), 2)).as("bgs"))
+      // single-token docs have no bigrams (the explode form dropped
+      // them; keep that contract)
+      .where(size(col("bgs")) > 0)
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        // longest run of equal adjacent elements in the sorted array =
+        // max bigram multiplicity; state = (prev, current run, best)
+        aggregate(col("bgs"),
+          struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+            lit(0L).as("best")),
+          (st, x) => {
+            val run = when(x === st.getField("prev"),
+              st.getField("run") + lit(1L)).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(st.getField("best"), run).as("best"))
+          },
+          st => st.getField("best")).as("top_bigram_n"))
       .select(col("doc_id"),
         roundRatio4(col("n_tok") - col("n_uniq"), col("n_tok"))
           .as("dup_token_frac_r4"),

@@ -158,6 +158,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(bg(3L)._1.isEmpty)
   }
 
+  test("d16: per-row max-run bigram stats match the explode/groupBy reference") {
+    import graft.operators.TextAnalysis
+    import graft.functions.ExactNum.roundRatio4
+    import graft.queries.Registry
+    val dir = "/root/testdata/sf0.001"
+    // the registered query computes top-bigram multiplicity narrowly
+    // (sorted array + max equal run, zero shuffles); this reference is
+    // the old distributed shape — explode every bigram, two shuffled
+    // aggregations — which is definitionally correct
+    val ref = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
+          .as("n_uniq"),
+        explode(TextAnalysis.shinglesCol(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+      .select(col("doc_id"),
+        roundRatio4(col("n_tok") - col("n_uniq"), col("n_tok"))
+          .as("dup_token_frac_r4"),
+        col("n_bigrams"), col("top_bigram_n"),
+        roundRatio4(col("top_bigram_n"), col("n_bigrams"))
+          .as("top_bigram_frac_r4"))
+    val got = Registry.queries("d16_repetition_signals")(spark, dir)
+    assert(got.collect().toSet === ref.collect().toSet)
+    assert(got.count() === ref.count())
+  }
+
   test("incremental dedup: batch survivors vs a standing corpus") {
     import graft.operators.Dedup
     val corpus = Seq(

@@ -63,6 +63,12 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"incoming/corpus sides don't share the shingle-union Exchange:\n$p")
   }
 
+  test("d16: repetition stats compute per-row — no bigram shuffle") {
+    val p = plan("d16_repetition_signals")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-doc stats must not shuffle bigrams; hash exchange in d16:\n$p")
+  }
+
   test("d19: vocabulary joins back as a broadcast — the corpus is never re-shuffled") {
     val p = plan("d19_lm_quality")
     assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
