@@ -233,4 +233,65 @@ object Similarity {
     rankTopK(
       c.join(broadcast(q), Seq("bucket")).filter(col("qid") =!= col("vid")), k)
   }
+
+  /** Smallest hyperplane count whose expected bucket occupancy is at
+    * most `targetOccupancy`: P = ceil(log2(ceil(N / occ))), clamped to
+    * [1, 16]. Integer-exact (bit-length, no floating log — Math.log
+    * ratios can land a hair above an integer and mis-ceil); the oracle
+    * mirrors it as `ceil(log2(k))` over the same integer k, which
+    * agrees because log2 is exact at powers of two and the ceil is
+    * ulp-robust everywhere else. The 16-plane cap (65,536 buckets)
+    * bounds the mirrored sign table; past ~4M vectors occupancy grows
+    * linearly again — raise the cap alongside the oracle's sign table
+    * if that matters. */
+  def planesFor(n: Long, targetOccupancy: Int = 64): Int = {
+    require(targetOccupancy >= 1, s"targetOccupancy must be >= 1: $targetOccupancy")
+    val k = (n + targetOccupancy - 1) / targetOccupancy
+    val ceilLog2 =
+      if (k <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(k - 1)
+    math.min(16, math.max(1, ceilLog2))
+  }
+
+  /** LSH-bucket-blocked near-dup — the LINEAR-growth scale twin of
+    * `nearDupBlocked`. IVF cell blocking pays N·cells assignment work,
+    * so its total cost N·c + N²/c bottoms out at c = √N → O(N^1.5);
+    * hyperplane-signature buckets assign in O(planes·dims) per row
+    * with no training scan, so bucket count can track N (`planesFor`
+    * keeps expected occupancy ≤ `targetOccupancy`) and the blocked
+    * self-join stays ~N·occupancy·(planes+1) — linear in N up to the
+    * plane cap.
+    *
+    * Candidates are pairs whose signatures differ in at most one bit
+    * (multi-probe: every vector also probes its `planes` one-bit-flip
+    * buckets); exact integer-cosine re-rank on candidates only. Each
+    * qualifying pair joins exactly once: the probe side carries P+1
+    * DISTINCT buckets, the build side exactly its own, and `v1 < v2`
+    * keeps one orientation — so no dedup pass is needed (asserted in
+    * DedupSimilaritySpec). Approximate: a pair split across ≥2 sign
+    * bits is missed; recall vs the sampled all-pairs baseline is
+    * pinned in the spec. Deterministic md5-parity planes + integer
+    * dots → exact external mirror, no RNG.
+    *
+    * `planes <= 0` (default) derives `planesFor(count)`; pass an
+    * explicit value to pin bucketing across differently-sized corpora.
+    * LSH skew caveat: clustered corpora fill orthants unevenly — AQE's
+    * skew-join split absorbs moderate imbalance, and raising planes
+    * (lower `targetOccupancy`) thins hot buckets at linear cost. */
+  def nearDupLsh(emb: DataFrame, topN: Int, planes: Int = 0,
+                 dims: Int = 64, targetOccupancy: Int = 64): DataFrame = {
+    val p = if (planes > 0) planes else planesFor(emb.count(), targetOccupancy)
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), p, dims))
+    // own bucket plus every one-bit flip — all distinct; n1 computed
+    // BEFORE the explode, once per vector rather than once per probe
+    val probes = array((col("bucket") +: (0 until p)
+      .map(b => col("bucket").bitwiseXOR(lit(1 << b)))): _*)
+    val a = bucketed.withColumn("n1", norm2E12(col("embedding")))
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n1"),
+        explode(probes).as("bucket"))
+    val b = bucketed
+      .select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
+      .withColumn("n2", norm2E12(col("e2")))
+    rankTopPairs(a.join(b, Seq("bucket")).filter(col("v1") < col("v2")),
+      topN, minCos = Double.NegativeInfinity)
+  }
 }

@@ -451,6 +451,39 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(atCoarse >= 0.2, f"coarse-cell recall collapsed: $atCoarse%.2f")
   }
 
+  test("LSH near-dup: integer-exact adaptive planes + unique pairs + recall") {
+    // planesFor = ceil(log2(ceil(n/occ))) clamped [1,16], computed by
+    // bit-length so no floating log can mis-ceil at a power of two
+    assert(Similarity.planesFor(50) === 1)
+    assert(Similarity.planesFor(64) === 1)   // k=1 → clamp up to 1
+    assert(Similarity.planesFor(128) === 1)  // k=2 → 1
+    assert(Similarity.planesFor(129) === 2)  // k=3 → 2
+    assert(Similarity.planesFor(500) === 3)  // k=8 → exactly 3
+    assert(Similarity.planesFor(5000) === 7)
+    assert(Similarity.planesFor(500000) === 13)
+    assert(Similarity.planesFor(Long.MaxValue / 4) === 16) // cap
+    intercept[IllegalArgumentException](Similarity.planesFor(10, 0))
+    // recall methodology as for the IVF-blocked path: exact all-pairs
+    // on the hash-coin sampled universe, LSH-blocked on the same
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(Similarity.hashCoin(col("vec_id")))
+    val exactTop = Similarity.topSimilarPairs(emb, 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = Similarity.nearDupLsh(emb, 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // each qualifying pair must join exactly once (probe buckets are
+    // distinct and the build side carries only its own bucket)
+    assert(got.map(_._1).distinct.length === got.length,
+      "duplicate candidate pairs escaped the probe join")
+    val overlap = got.filter { case (p, _) => exactTop.contains(p) }
+    val recall = overlap.size.toDouble / exactTop.size
+    info(f"lsh near-dup recall=$recall%.2f (planes adaptive)")
+    assert(recall >= 0.3, f"LSH-blocked recall collapsed: $recall%.2f")
+    // scoring is a pure candidate-set restriction of the exact path:
+    // cosines agree exactly wherever the pair sets overlap
+    overlap.foreach { case (p, c) => assert(c === exactTop(p)) }
+  }
+
   test("blocked near-dup overlaps exact top pairs with exact cosines") {
     val emb = Tables.embeddings(spark, sfDir)
       .filter(Similarity.hashCoin(col("vec_id")))

@@ -88,6 +88,13 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("e08: LSH pair generation is an equi-join on the bucket — no cartesian") {
+    val p = plan("e08_neardup_lsh")
+    assert(!p.contains("CartesianProduct"), s"cartesian in e08:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in e08 — bucket blocking lost:\n$p")
+  }
+
   test("q30: session windows and the regroup share one user_id Exchange") {
     val p = plan("q30_sessionization")
     // both lag/sum windows and the final (user_id, session_seq) aggregate
