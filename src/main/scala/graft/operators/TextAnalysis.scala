@@ -40,6 +40,15 @@ object TextAnalysis {
       GraftColumnBridge.expression(text.cast("string")), k))
   }
 
+  /** Native max shingle multiplicity (plans.TopShingleCountExpr): the
+    * most-repeated-k-gram count in one byte scan — 0 for docs with
+    * fewer than k tokens. */
+  def topShingleCountCol(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.TopShingleCountExpr(
+      GraftColumnBridge.expression(text.cast("string")), k))
+  }
+
   /** Native overlapping token-window chunks (plans.ChunksExpr). */
   def chunksCol(text: Column, size: Int, stride: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge

@@ -143,6 +143,58 @@ object GraftHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Max multiplicity among the k-token shingles of `s` — the
+    * most-repeated-bigram count (d16) without materializing, sorting,
+    * or shuffling a shingle array. Open-addressing hash table over the
+    * shingle byte spans with FULL byte equality on probe (hash only
+    * routes; it never decides equality), so the count is exact for all
+    * inputs. One pass, two small int arrays, no per-shingle object
+    * allocation. Returns 0 when the doc has fewer than k tokens
+    * (shingle count m = ntok - k + 1 <= 0). */
+  def topShingleCount(s: UTF8String, k: Int): Long = {
+    val (bytes, starts, ends) = tokenBounds(s)
+    val m = starts.length - k + 1
+    if (m <= 0) return 0L
+    var cap = 4
+    while (cap < m * 2) cap <<= 1 // load factor <= 0.5
+    val slotStart = new Array[Int](cap)
+    val slotLen = new Array[Int](cap)
+    val slotCnt = new Array[Int](cap)
+    java.util.Arrays.fill(slotStart, -1)
+    val mask = cap - 1
+    var best = 0
+    var j = 0
+    while (j < m) {
+      val st = starts(j)
+      val len = ends(j + k - 1) - st
+      var h = 0x811c9dc5 // FNV-1a over the span bytes
+      var i = st
+      while (i < st + len) { h = (h ^ (bytes(i) & 0xff)) * 0x01000193; i += 1 }
+      var slot = h & mask
+      var placed = false
+      while (!placed) {
+        if (slotStart(slot) == -1) {
+          slotStart(slot) = st; slotLen(slot) = len; slotCnt(slot) = 1
+          if (best == 0) best = 1
+          placed = true
+        } else if (slotLen(slot) == len && {
+          var a = slotStart(slot); var b = st; var eq = true
+          val lim = a + len
+          while (eq && a < lim) {
+            if (bytes(a) != bytes(b)) eq = false; a += 1; b += 1
+          }
+          eq
+        }) {
+          slotCnt(slot) += 1
+          if (slotCnt(slot) > best) best = slotCnt(slot)
+          placed = true
+        } else slot = (slot + 1) & mask
+      }
+      j += 1
+    }
+    best.toLong
+  }
+
   /** Exact scaled-integer dot product over float arrays:
     * Σ round_half_away(a_i * b_i * 1e12) — the engine-exact cosine
     * building block (see graft.operators.Similarity). Arrays must be
@@ -375,6 +427,41 @@ case class ChunksExpr(child: Expression, size: Int, stride: Int)
   override def prettyName: String = "graft_chunks"
 }
 
+/** Native codegen top-shingle multiplicity (d16's most-repeated-bigram
+  * count).
+  *
+  * Why native: the declarative form sorts the per-row shingle array
+  * and folds an interpreted `aggregate` lambda over it — a struct
+  * allocation per element and an O(n log n) sort per row, which at the
+  * sf10 decade showed up as GC-bound superlinear growth. This is one
+  * byte scan with an open-addressing span table: O(n) per row, zero
+  * per-shingle allocation, inside whole-stage codegen. Equivalence
+  * with the sorted-max-run form pinned on random strings in
+  * NativeKernelPropertySpec. */
+case class TopShingleCountExpr(child: Expression, k: Int)
+  extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_top_shingle_count expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.topShingleCount(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHash.topShingleCount($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopShingleCountExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_top_shingle_count"
+}
+
 /** Session extensions: registers engine-native SQL functions.
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
@@ -395,6 +482,9 @@ private[plans] object GraftBuilders {
   def chunks(exprs: Seq[Expression]): ChunksExpr =
     ChunksExpr(exprs.head, litInt(exprs(1), "graft_chunks", "size"),
       litInt(exprs(2), "graft_chunks", "stride"))
+  def topShingleCount(exprs: Seq[Expression]): TopShingleCountExpr =
+    TopShingleCountExpr(exprs.head,
+      litInt(exprs(1), "graft_top_shingle_count", "k"))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -423,6 +513,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_chunks"),
       new ExpressionInfo(classOf[ChunksExpr].getName, "graft_chunks"),
       (exprs: Seq[Expression]) => GraftBuilders.chunks(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_top_shingle_count"),
+      new ExpressionInfo(classOf[TopShingleCountExpr].getName, "graft_top_shingle_count"),
+      (exprs: Seq[Expression]) => GraftBuilders.topShingleCount(exprs)))
   }
 }
 
@@ -442,5 +536,7 @@ object GraftFunctions {
       "graft_shingles", exprs => GraftBuilders.shingles(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_chunks", exprs => GraftBuilders.chunks(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_shingle_count", exprs => GraftBuilders.topShingleCount(exprs), "built-in")
   }
 }

@@ -460,48 +460,36 @@ object TextQueries {
 
   /** Repetition signals (d16): the classic repetitive-document quality
     * filters — duplicate-token fraction and the most-frequent-bigram
-    * share. Per-doc stats over per-row data never need a shuffle:
-    * sort the bigram array (equal bigrams become adjacent) and take
-    * the longest equal run — O(n log n) per row, zero exchanges until
-    * the output orderBy. The earlier explode → groupBy(doc, bigram) →
-    * per-doc max shape shuffled EVERY bigram in the corpus to compute
-    * a per-row quantity; at 100 TB that shuffle is the whole job. */
+    * share. Per-doc stats over per-row data never need a shuffle, so
+    * everything is native per-row kernels: token count, distinct
+    * count, and the most-repeated-bigram count
+    * (plans.TopShingleCountExpr — one byte scan, no shingle array, no
+    * sort, no interpreted lambda), with n_bigrams = n_tok − 1 by
+    * construction. Zero exchanges until the output orderBy. The
+    * original explode → groupBy(doc, bigram) → per-doc max shape
+    * shuffled EVERY bigram in the corpus to compute a per-row
+    * quantity (at 100 TB that shuffle is the whole job); the interim
+    * sorted-array + HOF-aggregate form avoided the shuffle but paid a
+    * per-element interpreted lambda that showed up GC-bound at the
+    * sf10 decade. */
   private def d16(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactNum.roundRatio4
     Tables.documents(s, dir)
-      // bigrams (with multiplicity) = native 2-token shingles
-      // (plans.ShinglesExpr): no interpreted per-bigram lambda, one
-      // byte copy per row. Integer token/distinct counts ride through
-      // so both r4 fractions round exactly (ExactNum.roundRatio4) —
-      // 1 - u/n == (n-u)/n as a rational. `bgs` is a materialized
-      // attribute: HOF lambdas must never re-evaluate the generator.
+      // integer counts ride through so both r4 fractions round exactly
+      // (ExactNum.roundRatio4) — 1 - u/n == (n-u)/n as a rational
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"),
         size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
           .as("n_uniq"),
-        array_sort(TextAnalysis.shinglesCol(col("text"), 2)).as("bgs"))
+        TextAnalysis.topShingleCountCol(col("text"), 2).as("top_bigram_n"))
       // single-token docs have no bigrams (the explode form dropped
       // them; keep that contract)
-      .where(size(col("bgs")) > 0)
-      .select(col("doc_id"), col("n_tok"), col("n_uniq"),
-        size(col("bgs")).cast("long").as("n_bigrams"),
-        // longest run of equal adjacent elements in the sorted array =
-        // max bigram multiplicity; state = (prev, current run, best)
-        aggregate(col("bgs"),
-          struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-            lit(0L).as("best")),
-          (st, x) => {
-            val run = when(x === st.getField("prev"),
-              st.getField("run") + lit(1L)).otherwise(lit(1L))
-            struct(x.as("prev"), run.as("run"),
-              greatest(st.getField("best"), run).as("best"))
-          },
-          st => st.getField("best")).as("top_bigram_n"))
+      .where(col("n_tok") >= 2)
       .select(col("doc_id"),
         roundRatio4(col("n_tok") - col("n_uniq"), col("n_tok"))
           .as("dup_token_frac_r4"),
-        col("n_bigrams"), col("top_bigram_n"),
-        roundRatio4(col("top_bigram_n"), col("n_bigrams"))
+        (col("n_tok") - 1L).as("n_bigrams"), col("top_bigram_n"),
+        roundRatio4(col("top_bigram_n"), col("n_tok") - 1L)
           .as("top_bigram_frac_r4"))
       .orderBy(col("doc_id"))
   }

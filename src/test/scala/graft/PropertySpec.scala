@@ -176,6 +176,20 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       .filter(col("tc_n") =!= col("tc_d") || col("sw_n") =!= col("sw_d")
         || col("s2_n") =!= col("s2_d") || col("s3_n") =!= col("s3_d"))
     assert(diff.isEmpty, diff.collect().take(3).mkString("\n"))
+    // top-shingle multiplicity: native hash-table scan vs a declarative
+    // count-per-distinct-shingle maximum over the (proven-equal above)
+    // native shingle array, materialized as an attribute first so the
+    // HOF lambdas never re-evaluate the generator
+    val ts = df.select(col("text"), native(2).as("s2"),
+        graft.operators.TextAnalysis.topShingleCountCol(col("text"), 2)
+          .as("ts_n"))
+      .select(col("ts_n"),
+        coalesce(
+          array_max(transform(array_distinct(col("s2")),
+            x => size(filter(col("s2"), y => y === x)).cast("long"))),
+          lit(0L)).as("ts_d"))
+      .filter(col("ts_n") =!= col("ts_d"))
+    assert(ts.isEmpty, ts.collect().take(3).mkString("\n"))
   }
 
   test("connectedComponents == in-JVM union-find on random graphs") {
