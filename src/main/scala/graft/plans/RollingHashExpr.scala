@@ -195,6 +195,78 @@ object GraftHash {
     best.toLong
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Distinct winnowing fingerprints (MOSS selection) of `s`: hash
+    * every k-token gram, slide a w-hash window, keep each window's
+    * minimum, dedup. Hash = first 4 md5 bytes of the gram's byte span
+    * as an unsigned 32-bit value — EXACTLY
+    * `conv(substring(md5(gram),1,8),16,10)` (the mirrored form), with
+    * no hex-string round trip. One byte scan + a monotonic-deque
+    * sliding minimum (O(grams), not O(grams·w) slice allocations) + an
+    * open-addressing distinct set; MessageDigest is thread-local.
+    * Fewer than w hashes → one whole-doc window; fewer than k tokens →
+    * empty. */
+  def winnow(s: UTF8String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (bytes, starts, ends) = tokenBounds(s)
+    val m = starts.length - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val md = md5Local.get()
+    val h = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      md.reset()
+      md.update(bytes, starts(j), ends(j + k - 1) - starts(j))
+      val d = md.digest()
+      h(j) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      j += 1
+    }
+    val wlen = math.min(w, m) // short docs: one window over all hashes
+    val nWin = m - wlen + 1
+    val deque = new Array[Int](m)
+    var dh = 0
+    var dt = 0
+    val mins = new Array[Long](nWin)
+    var i = 0
+    while (i < m) {
+      while (dt > dh && h(deque(dt - 1)) >= h(i)) dt -= 1
+      deque(dt) = i; dt += 1
+      if (deque(dh) <= i - wlen) dh += 1
+      if (i >= wlen - 1) mins(i - (wlen - 1)) = h(deque(dh))
+      i += 1
+    }
+    // distinct via open addressing; hashes are < 2^32 so -1 is free as
+    // the empty sentinel
+    var cap = 4
+    while (cap < nWin * 2) cap <<= 1
+    val slots = new Array[Long](cap)
+    java.util.Arrays.fill(slots, -1L)
+    val mask = cap - 1
+    val out = new Array[Any](nWin)
+    var nOut = 0
+    i = 0
+    while (i < nWin) {
+      val v = mins(i)
+      var slot = (v ^ (v >>> 16)).toInt & mask
+      var done = false
+      while (!done) {
+        if (slots(slot) == -1L) {
+          slots(slot) = v; out(nOut) = v; nOut += 1; done = true
+        } else if (slots(slot) == v) done = true
+        else slot = (slot + 1) & mask
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], nOut))
+  }
+
   /** Exact scaled-integer dot product over float arrays:
     * Σ round_half_away(a_i * b_i * 1e12) — the engine-exact cosine
     * building block (see graft.operators.Similarity). Arrays must be
@@ -462,6 +534,42 @@ case class TopShingleCountExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_top_shingle_count"
 }
 
+/** Native codegen winnowing fingerprints (MOSS selection, d17/d25).
+  *
+  * Why native: the declarative chain hashed each k-gram through
+  * md5 → hex substring → conv (three interpreted per-element string
+  * round trips) and took window minima via per-window slice()
+  * allocations — the GC-bound hot path of the contamination index.
+  * This is one scan with a thread-local MessageDigest, a
+  * monotonic-deque sliding minimum, and an open-addressing distinct
+  * set. Equivalence with the declarative form pinned on random
+  * strings in PropertySpec; hash identity (= the mirrored SQL) is
+  * part of that equality. */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHash.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winnow"
+}
+
 /** Session extensions: registers engine-native SQL functions.
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
@@ -485,6 +593,9 @@ private[plans] object GraftBuilders {
   def topShingleCount(exprs: Seq[Expression]): TopShingleCountExpr =
     TopShingleCountExpr(exprs.head,
       litInt(exprs(1), "graft_top_shingle_count", "k"))
+  def winnow(exprs: Seq[Expression]): WinnowExpr =
+    WinnowExpr(exprs.head, litInt(exprs(1), "graft_winnow", "k"),
+      litInt(exprs(2), "graft_winnow", "w"))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -517,6 +628,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_top_shingle_count"),
       new ExpressionInfo(classOf[TopShingleCountExpr].getName, "graft_top_shingle_count"),
       (exprs: Seq[Expression]) => GraftBuilders.topShingleCount(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
+      (exprs: Seq[Expression]) => GraftBuilders.winnow(exprs)))
   }
 }
 
@@ -538,5 +653,7 @@ object GraftFunctions {
       "graft_chunks", exprs => GraftBuilders.chunks(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_shingle_count", exprs => GraftBuilders.topShingleCount(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", exprs => GraftBuilders.winnow(exprs), "built-in")
   }
 }

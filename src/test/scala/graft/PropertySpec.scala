@@ -192,6 +192,25 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(ts.isEmpty, ts.collect().take(3).mkString("\n"))
   }
 
+  test("native winnow == declarative winnow on random space-riddled strings") {
+    import graft.operators.Dedup
+    val spaceyChar = Gen.frequency(4 -> Gen.alphaLowerChar, 2 -> Gen.const(' '),
+      1 -> Gen.const('t'), 1 -> Gen.oneOf('h', 'e'))
+    val spacey: Gen[String] =
+      Gen.chooseNum(0, 40).flatMap(l => Gen.stringOfN(l, spaceyChar))
+    val df = samples(spacey, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // (k, w) shapes: the registered default, a tighter window, and the
+    // keep-every-hash degenerate w=1
+    for ((k, w) <- Seq((3, 4), (2, 3), (1, 1))) {
+      val native = Dedup.winnowFingerprints(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val decl = Dedup.winnowFingerprintsDeclarative(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native === decl, s"winnow mismatch at k=$k w=$w")
+    }
+  }
+
   test("connectedComponents == in-JVM union-find on random graphs") {
     val edgeGen = for {
       a <- Gen.chooseNum(0L, 60L)
