@@ -60,18 +60,28 @@ object GenScale {
         d.withColumn(k, (col(k).cast("long") + col("rep") * Off).cast(t))
       }
 
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    /** splitKey != null → hash-repartition into 32 files by that key.
+      * The narrow replicate plan otherwise inherits the source's single
+      * scan partition and writes ONE file with ONE parquet row group —
+      * and row groups are the unit of scan parallelism, so every
+      * scan-stage kernel downstream would run single-threaded no matter
+      * how many cores the bench has (measured: d20 at sf10 spent 194 s
+      * on one thread of 32). A real corpus arrives as many
+      * files/row-groups; 32 hash-split files per table model that.
+      * Hash-by-key keeps file contents deterministic across runs. */
+    def write(df: DataFrame, name: String, splitKey: String = null): Unit = {
+      val laid = if (splitKey == null) df else df.repartition(32, col(splitKey))
+      laid.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[genscale] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
     // facts: key bumps only
     write(replicated(spark.read.parquet(s"$src/lineitem.parquet"),
-      Seq("l_orderkey")).drop("rep"), "lineitem")
+      Seq("l_orderkey")).drop("rep"), "lineitem", "l_orderkey")
     write(replicated(spark.read.parquet(s"$src/orders.parquet"),
-      Seq("o_orderkey", "o_custkey")).drop("rep"), "orders")
+      Seq("o_orderkey", "o_custkey")).drop("rep"), "orders", "o_orderkey")
     write(replicated(spark.read.parquet(s"$src/customer.parquet"),
-      Seq("c_custkey")).drop("rep"), "customer")
+      Seq("c_custkey")).drop("rep"), "customer", "c_custkey")
 
     // dims + tables the scaled bench subset never joins through keys
     Seq("nation", "region", "supplier", "part").foreach { t =>
@@ -83,7 +93,8 @@ object GenScale {
     val eventsRaw = spark.read
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(s"$src/events.parquet")
-    write(replicated(eventsRaw, Seq("event_id", "user_id")).drop("rep"), "events")
+    write(replicated(eventsRaw, Seq("event_id", "user_id")).drop("rep"),
+      "events", "event_id")
 
     // documents: within a GROUP of `groupSize` replicas, replica g·gs is
     // verbatim-of-mutated-base and the rest append " v<k> <hash6>" →
@@ -109,7 +120,7 @@ object GenScale {
             transform(split(nearDup, " "),
               t => concat(t, lit("_"), grp.cast("string"))), " ")))
       .drop("rep")
-    write(docs, "documents")
+    write(docs, "documents", "doc_id")
 
     // documents_para: paragraph-structured variant for d27's delimiter
     // path — each replica's text re-segmented into 40-token paragraphs
@@ -127,7 +138,7 @@ object GenScale {
               .otherwise(concat(p, lit(" m"), col("rep").cast("string")))),
           "\n\n"))
       .drop("rep")
-    write(paraDocs, "documents_para")
+    write(paraDocs, "documents_para", "doc_id")
 
     // embeddings: replica 0 verbatim; replicas 1.. scale each dimension
     // by 1 + ((31i + 7·rep) mod 97 − 48)·2e-4 ∈ [1−9.6e-3, 1+9.6e-3] —
@@ -141,7 +152,7 @@ object GenScale {
                 (pmod(i * 31 + col("rep") * 7, lit(97)) - lit(48)).cast("double")
                   * lit(2.0e-4))).cast("float"))))
       .drop("rep")
-    write(emb, "embeddings")
+    write(emb, "embeddings", "vec_id")
 
     spark.stop()
   }

@@ -134,10 +134,21 @@ object Dedup {
     * no dedup signal anyway. */
   def jaccardPairs(shingleDf: DataFrame, threshold: Double,
                    maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // Pre-partition the inverted index on the shingle: the self-join's
-    // two sides then share one identical Exchange (planned once, reused
-    // via ReusedExchange) and the join itself needs no further shuffle.
-    val sh0 = shingleDf.repartition(col("s"))
+    // The inverted index joins on xxhash64(shingle), not the shingle
+    // string: the exchange ships 8-byte longs instead of ~25-byte
+    // strings and the join's sort compares integers — the string
+    // itself is never needed downstream (only membership counts are).
+    // A 64-bit collision would merge two shingles' postings; at 10^8
+    // distinct shingles that is P ≈ 3·10⁻⁴ for ONE merged posting
+    // list corpus-wide, which the ≥ threshold filter then has to
+    // promote into a false pair — and the oracle gate (which joins raw
+    // strings) would flag it. Accepted engineering risk, same class as
+    // minhash banding's by-design collisions.
+    // Pre-partition the hashed index: the self-join's two sides then
+    // share one identical Exchange (planned once, reused via
+    // ReusedExchange) and the join itself needs no further shuffle.
+    val sh0 = shingleDf.select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .repartition(col("s"))
     // df-cap via a window over the same partitioning — the Exchange
     // above already satisfies the window's distribution, so capping
     // adds a sort but no extra shuffle.
@@ -239,8 +250,12 @@ object Dedup {
   def crossJaccardPairs(shIncoming: DataFrame, shCorpus: DataFrame,
                         threshold: Double,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val tagged = shIncoming.select(col("doc_id"), col("s"), lit(1).as("__side"))
-      .unionByName(shCorpus.select(col("doc_id"), col("s"), lit(0).as("__side")))
+    // same internal xxhash64 join key as jaccardPairs (and the same
+    // accepted collision risk): only membership counts flow downstream
+    val tagged = shIncoming
+      .select(col("doc_id"), xxhash64(col("s")).as("s"), lit(1).as("__side"))
+      .unionByName(shCorpus
+        .select(col("doc_id"), xxhash64(col("s")).as("s"), lit(0).as("__side")))
       .repartition(col("s"))
     val capped =
       if (maxDocFreq == Int.MaxValue) tagged

@@ -155,9 +155,9 @@ object TextAnalysis {
     * identically under Java regex (Spark, backtracking) and RE2-family
     * engines (leftmost-longest): for pure greedy quantifiers with no
     * ambiguous alternation the two match the same spans. */
-  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe: String = "\\+\\d[\\d ]{7,}\\d"
+  val EmailRe: String = graft.plans.GraftPii.EmailRe
+  val Ipv4Re: String = graft.plans.GraftPii.Ipv4Re
+  val PhoneRe: String = graft.plans.GraftPii.PhoneRe
 
   /** Replace emails, IPv4s, and international-format phone numbers
     * with typed placeholder tags. Order matters and is part of the
@@ -175,6 +175,17 @@ object TextAnalysis {
   /** Matches of `re` in `text` as a count (full-match group). */
   def piiCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Native single-kernel PII stats (plans.PiiStatsExpr):
+    * struct(n_emails, n_ips, n_phones, redacted) — counts over the
+    * original text, sequential email→IP→phone redaction, in 5 regex
+    * passes with no per-match array allocation. Equivalent to the
+    * piiCount/redactPii composition (property-pinned). */
+  def piiStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.PiiStatsExpr(
+      GraftColumnBridge.expression(text.cast("string"))))
+  }
 
   /** Deterministic dataset splitting for training pipelines: assign
     * each document to train/val/test by a content-hash bucket —

@@ -193,7 +193,9 @@ object TextQueries {
     * HUGEINT before the final BIGINT cast — same two's-complement
     * value as Spark's long. */
   private def d08(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash64(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.simhash64(
+      Tables.fanOutForCompute(Tables.documents(s, dir), "doc_id"),
+      "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private val d08Sql = {
@@ -221,7 +223,7 @@ object TextQueries {
     * declarative twin in TextAnalysis is its equivalence baseline. */
   private def d09(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    Tables.documents(s, dir).select(
+    Tables.fanOutForCompute(Tables.documents(s, dir), "doc_id").select(
       col("doc_id"),
       expr("graft_rolling_hash(text)").as("rolling_hash"))
       .orderBy(col("doc_id"))
@@ -474,7 +476,7 @@ object TextQueries {
     * sf10 decade. */
   private def d16(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactNum.roundRatio4
-    Tables.documents(s, dir)
+    Tables.fanOutForCompute(Tables.documents(s, dir), "doc_id")
       // integer counts ride through so both r4 fractions round exactly
       // (ExactNum.roundRatio4) — 1 - u/n == (n-u)/n as a rational
       .select(col("doc_id"),
@@ -522,7 +524,9 @@ object TextQueries {
     * ~2/(w+1) of hashes are stored. Output is the full (doc,
     * fingerprint) index, so the oracle pins the selection itself. */
   private def d17(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.winnowFingerprints(
+      Tables.fanOutForCompute(Tables.documents(s, dir), "doc_id"),
+      "doc_id", "text")
       .orderBy(col("doc_id"), col("fingerprint"))
 
   /** Winnowing CTEs shared by d17 and d25: per-doc k-gram hashes and
@@ -621,7 +625,8 @@ object TextQueries {
   /** PII redaction signals (d20): the testdata corpus is PII-free word
     * salad, so the query INJECTS deterministic doc_id-derived PII
     * (email, dotted-quad IP, +-format phone) into each document, then
-    * runs the real redaction machinery (TextAnalysis.redactPii) and
+    * runs the real redaction machinery (TextAnalysis.piiStats — the
+    * native single-kernel form of piiCount×3 + redactPii) and
     * reports per-type match counts plus the md5 and length of the
     * redacted text — end-to-end verification of replace-all semantics
     * and pattern ordering on every row, not a no-op pass. */
@@ -632,14 +637,14 @@ object TextQueries {
       lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
       lit(".7 call +1 415 555 "),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), inj.as("__inj"))
+    Tables.fanOutForCompute(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), piiStats(inj).as("__p"))
       .select(col("doc_id"),
-        piiCount(col("__inj"), EmailRe).as("n_emails"),
-        piiCount(col("__inj"), Ipv4Re).as("n_ips"),
-        piiCount(col("__inj"), PhoneRe).as("n_phones"),
-        md5(redactPii(col("__inj"))).as("redacted_md5"),
-        length(redactPii(col("__inj"))).cast("long").as("redacted_len"))
+        col("__p.n_emails").as("n_emails"),
+        col("__p.n_ips").as("n_ips"),
+        col("__p.n_phones").as("n_phones"),
+        md5(col("__p.redacted")).as("redacted_md5"),
+        length(col("__p.redacted")).cast("long").as("redacted_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -907,7 +912,7 @@ object TextQueries {
     * interpreted lambda). Chunk text is reported as md5 so the oracle
     * pins exact chunk CONTENT without dumping it. */
   private def d26(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.fanOutForCompute(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"),
         posexplode(TextAnalysis.chunksCol(col("text"), 50, 40))
           .as(Seq("chunk_idx", "__c")))

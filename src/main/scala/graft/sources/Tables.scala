@@ -43,6 +43,24 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Decouple compute parallelism from input layout for narrow
+    * CPU-bound kernels (regex scrub, winnowing, shingle scans): parquet
+    * scan parallelism is bounded by file/row-group count, and a
+    * compacted corpus (one row group) pins every downstream per-row
+    * kernel to ONE core no matter the cluster size — measured 194 s for
+    * the sf10 PII scrub on one thread of 32. When the planned scan has
+    * fewer than half the session's cores, spend one hash exchange on
+    * `key` to spread the rows; on a production corpus with thousands of
+    * splits this is a NO-OP (zero shuffle). Only worth it when per-row
+    * kernel cost dominates a one-pass shuffle of the raw column —
+    * callers are the expensive scan-stage queries, not aggregations
+    * (whose first groupBy already redistributes). */
+  def fanOutForCompute(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, col(key))
+  }
+
   /** Register every table as a temp view so `spark.sql(...)` works too.
     * events goes through its nanos-aware reader. */
   def registerAll(spark: SparkSession, dir: String): Unit =

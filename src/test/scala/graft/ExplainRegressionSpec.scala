@@ -65,8 +65,13 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
 
   test("d16: repetition stats compute per-row — no bigram shuffle") {
     val p = plan("d16_repetition_signals")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"per-doc stats must not shuffle bigrams; hash exchange in d16:\n$p")
+    // the explicit fanOutForCompute doc-row exchange (REPARTITION_BY_NUM)
+    // is allowed — the claim is that no AGGREGATION forces a shuffle of
+    // exploded bigrams (an ENSURE_REQUIREMENTS hash exchange)
+    val aggExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(aggExchanges.isEmpty,
+      s"per-doc stats must not shuffle bigrams; agg hash exchange in d16:\n$p")
   }
 
   test("d19: vocabulary joins back as a broadcast — the corpus is never re-shuffled") {

@@ -34,4 +34,30 @@ class PiiRedactionSpec extends AnyFunSuite with SparkTestSession {
       .select(piiCount(col("t"), EmailRe)).as[Long].head()
     assert(n === 2L)
   }
+
+  test("native piiStats == piiCount x3 + redactPii on adversarial rows") {
+    // rows mixing all three PII kinds, overlap bait (digit runs touching
+    // dotted quads, emails with digit local parts), and clean prose
+    val rows = Seq(
+      "mail a.b+c@sub.example.org or 9.8.7.6 call +1 415 555 0123",
+      "x1@y.co +44 20 7946 0958 10.0.0.1 x2@y.co 10.0.0.2",
+      "+1 415 555 0123 at 10.0.0.1",
+      "user1234@host99.example.com then 255.255.255.255",
+      "digits 0123456789 dots 1.2.3.4.5.6.7.8 plus + nothing",
+      "the 3 quick foxes jumped 12 times at noon",
+      "", " ", "@", "+1 2", "1.2.3.4", "a@b.co")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val native = df.select(col("id"), piiStats(col("t")).as("p"))
+      .select(col("id"), col("p.n_emails"), col("p.n_ips"),
+        col("p.n_phones"), col("p.redacted"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val decl = df.select(col("id"),
+        piiCount(col("t"), EmailRe).as("e"), piiCount(col("t"), Ipv4Re).as("i"),
+        piiCount(col("t"), PhoneRe).as("p"), redactPii(col("t")).as("r"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(native === decl)
+  }
 }

@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_sf10.json from the per-chunk decade logs.
+
+Each chunk log holds two lines: "[sf1] ... {json}" and "[sf10] ... {json}"
+measured back-to-back in one window (the sandbox's wall-clock drift makes
+cross-window absolute comparisons untrustworthy — growth ratios are
+computed within a chunk's window only).
+"""
+import json, re, sys
+
+note = sys.argv[1]
+out = sys.argv[2]
+logs = sys.argv[3:]
+
+sf1, sf10, telem = {}, {}, {}
+for path in logs:
+    for line in open(path):
+        m = re.search(r'\[(sf1|sf10)\].*?(\{.*\})', line)
+        if not m:
+            continue
+        d = json.loads(m.group(2))
+        dst = sf1 if m.group(1) == 'sf1' else sf10
+        dst.update({k: round(v, 3) for k, v in d['queries'].items()})
+        if m.group(1) == 'sf10':
+            for q, t in d.get('telemetry', {}).items():
+                telem[q] = t
+growth = {q: round(sf10[q] / sf1[q], 2) for q in sorted(sf10) if q in sf1}
+doc = {
+    "note": note,
+    "sf10_dir": "/root/repo/benchdata/sf10",
+    "sf1_dir": "/root/repo/benchdata/sf1",
+    "runs": 3,
+    "driver_mem": "64g",
+    "queries_sf1_sec": dict(sorted(sf1.items())),
+    "queries_sf10_sec": dict(sorted(sf10.items())),
+    "growth_10x_data": growth,
+    "components_min_label_rounds": {
+        q: t.get("components.min_label_rounds") for q, t in sorted(telem.items())
+        if "components.min_label_rounds" in t},
+}
+json.dump(doc, open(out, 'w'), indent=2)
+print(json.dumps(growth, indent=1))
