@@ -134,24 +134,31 @@ object Dedup {
     * no dedup signal anyway. */
   def jaccardPairs(shingleDf: DataFrame, threshold: Double,
                    maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // The inverted index joins on xxhash64(shingle), not the shingle
+    // The inverted index is keyed on xxhash64(shingle), not the shingle
     // string: the exchange ships 8-byte longs instead of ~25-byte
-    // strings and the join's sort compares integers — the string
-    // itself is never needed downstream (only membership counts are).
-    // A 64-bit collision would merge two shingles' postings; at 10^8
-    // distinct shingles that is P ≈ 3·10⁻⁴ for ONE merged posting
-    // list corpus-wide, which the ≥ threshold filter then has to
-    // promote into a false pair — and the oracle gate (which joins raw
-    // strings) would flag it. Accepted engineering risk, same class as
-    // minhash banding's by-design collisions.
-    // Pre-partition the hashed index: the self-join's two sides then
-    // share one identical Exchange (planned once, reused via
-    // ReusedExchange) and the join itself needs no further shuffle.
+    // strings and every downstream comparison is integer — the string
+    // itself is never needed (only membership counts are). The
+    // .distinct() after hashing restores SET semantics under a 64-bit
+    // collision: two distinct shingles of one doc colliding would
+    // otherwise leave duplicate (doc_id, s) rows that inflate both the
+    // per-shingle df (perturbing the cap decision) and the per-doc
+    // cardinality/intersection counts. With the distinct, a collision
+    // merges two postings into their union — still wrong vs raw
+    // strings (P ≈ 3·10⁻⁴ for ONE merged posting at 10^8 distinct
+    // shingles, and the raw-string oracle would flag it) but
+    // internally consistent. distinct() and the window below both ride
+    // the single Exchange (hash(s) clusters (doc_id, s)); no extra
+    // shuffle.
     val sh0 = shingleDf.select(col("doc_id"), xxhash64(col("s")).as("s"))
       .repartition(col("s"))
-    // df-cap via a window over the same partitioning — the Exchange
-    // above already satisfies the window's distribution, so capping
-    // adds a sort but no extra shuffle.
+      .distinct()
+    // df-cap BEFORE the posting-list aggregation: the window counts
+    // docs per shingle and drops over-cap shingles, so every
+    // collect_list state below — map-side partials included — is
+    // bounded by maxDocFreq. The cap is the memory guard that makes
+    // the posting-list plan safe at corpus scale; the uncapped path is
+    // for small inputs/tests only (a corpus-hot shingle would collect
+    // an unbounded list).
     val sh =
       if (maxDocFreq == Int.MaxValue) sh0
       else sh0
@@ -162,10 +169,25 @@ object Dedup {
     // on doc_id either way, but sourcing from `sh` reuses the same
     // materialized exchange instead of re-running the shingle transform.
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+    // Posting-list intersection: aggregate the (already df-capped)
+    // postings per shingle ONCE, then explode the bounded ordered
+    // pairs. Replaces the former self-join, whose two sorted copies of
+    // the full index (dual sort + sort-merge join) made wall time
+    // superlinear at the sf10 decade (28× for 10× data): one
+    // aggregation over one sorted pass of the index, pair volume
+    // unchanged (≤ C(maxDocFreq,2) per shingle, linear in corpus size
+    // by construction). sort_array makes doc_id1 < doc_id2 positional
+    // instead of a join predicate.
+    val postings = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+    val pairs = postings
+      .select(posexplode(col("ids")).as(Seq("__i", "doc_id1")), col("ids"))
+      .select(col("doc_id1"),
+        explode(slice(col("ids"), col("__i") + lit(2), size(col("ids")))).as("doc_id2"))
+    val inter = pairs
+      .groupBy(col("doc_id1"), col("doc_id2"))
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") / col("n_union").cast("double")
     inter
@@ -250,13 +272,19 @@ object Dedup {
   def crossJaccardPairs(shIncoming: DataFrame, shCorpus: DataFrame,
                         threshold: Double,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // same internal xxhash64 join key as jaccardPairs (and the same
-    // accepted collision risk): only membership counts flow downstream
+    // same internal xxhash64 key as jaccardPairs, same set-restoring
+    // .distinct() (rides the Exchange), and the same posting-list plan:
+    // one aggregation collects BOTH sides' postings per shingle
+    // (collect_list skips the nulls the `when` leaves for the other
+    // side), then the bounded incoming×corpus cross product explodes
+    // per shingle — no self-join, one sorted pass over the combined
+    // index. The combined df-cap bounds every list at maxDocFreq.
     val tagged = shIncoming
       .select(col("doc_id"), xxhash64(col("s")).as("s"), lit(1).as("__side"))
       .unionByName(shCorpus
         .select(col("doc_id"), xxhash64(col("s")).as("s"), lit(0).as("__side")))
       .repartition(col("s"))
+      .distinct()
     val capped =
       if (maxDocFreq == Int.MaxValue) tagged
       else tagged
@@ -264,9 +292,15 @@ object Dedup {
         .filter(col("__df") <= maxDocFreq)
         .drop("__df")
     val card = capped.groupBy(col("__side"), col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = capped.filter(col("__side") === 1).as("a")
-      .join(capped.filter(col("__side") === 0).as("b"), col("a.s") === col("b.s"))
-      .groupBy(col("a.doc_id").as("inc_id"), col("b.doc_id").as("cor_id"))
+    val postings = capped.groupBy(col("s")).agg(
+        collect_list(when(col("__side") === 1, col("doc_id"))).as("inc"),
+        collect_list(when(col("__side") === 0, col("doc_id"))).as("cor"))
+      .filter(size(col("inc")) > 0 && size(col("cor")) > 0)
+      .select(col("inc"), col("cor"))
+    val inter = postings
+      .select(explode(col("inc")).as("inc_id"), col("cor"))
+      .select(col("inc_id"), explode(col("cor")).as("cor_id"))
+      .groupBy(col("inc_id"), col("cor_id"))
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") / col("n_union").cast("double")
     inter

@@ -95,17 +95,37 @@ object Similarity {
     * first hex digit of md5(id as string) is below `keepSixteenths` —
     * a reproducible ~keepSixteenths/16 sample with an exact
     * cross-engine mirror (DuckDB:
-    * `substring(md5(CAST(id AS VARCHAR)), 1, 1) < '<hex>'`). This is
-    * how the all-pairs exact baseline (e03) and the recall
-    * measurements stay affordable at corpus scale: all-pairs runs on
-    * the fixed-rate sampled universe (pair count scales with
-    * (rate·N)², a 16× cut at the default ¼), never the full corpus. */
+    * `substring(md5(CAST(id AS VARCHAR)), 1, 1) < '<hex>'`).
+    * NOTE a fixed RATE is a constant-factor cut, not an asymptotic
+    * one: anything all-pairs over a rate sample still scales as
+    * (rate·N)² = Θ(N²). Use it for rate-proportional work (recall
+    * measurement over a thinned universe); for an all-pairs baseline
+    * that must stay affordable as the corpus grows, use `hashSample`
+    * (fixed SIZE → constant pair count) — as the registered e03
+    * does. */
   def hashCoin(idCol: Column, keepSixteenths: Int = 4): Column = {
     require(keepSixteenths >= 1 && keepSixteenths <= 15,
       s"keepSixteenths must be in [1,15]: $keepSixteenths")
     substring(md5(idCol.cast("string")), 1, 1) <
       lit(Integer.toHexString(keepSixteenths))
   }
+
+  /** Deterministic fixed-SIZE sample: the `n` rows whose md5(id) sorts
+    * smallest (id breaks the astronomically-unlikely digest tie).
+    * Unlike a fixed-rate coin, the sampled universe is CONSTANT as the
+    * corpus grows, so an all-pairs pass over it is O(n²) = O(1) in
+    * corpus size — the property that makes an exact baseline runnable
+    * at any scale factor. Physically a TakeOrderedAndProject: each
+    * partition keeps its local top-n by hash order, the driver merges
+    * — one narrow pass, no full sort, no shuffle of the corpus.
+    * Exact DuckDB mirror:
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n` (hex digests are
+    * ASCII, so binary string order agrees across engines). */
+  def hashSample(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.withColumn("__hs", md5(col(idCol).cast("string")))
+      .orderBy(col("__hs").asc, col(idCol).asc)
+      .limit(n)
+      .drop("__hs")
 
   /** Embedding-cosine near-dup: the globally most-similar pairs (or all
     * pairs above a threshold via the filter). All-pairs is the exact
@@ -132,9 +152,16 @@ object Similarity {
   def cellsFor(n: Long): Int =
     math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
 
-  /** Scale path for near-dup: candidate pairs must share an IVF cell
-    * (vectors cluster, so near-duplicates co-locate), exact re-rank on
-    * candidates only — N²/cells pair evaluations instead of N².
+  /** TRAINED-CELL near-dup variant — NOT the corpus-scale path.
+    * Candidate pairs must share an IVF cell (vectors cluster, so
+    * near-duplicates co-locate), exact re-rank on candidates only —
+    * N²/cells pair evaluations instead of N². At the cost-optimal
+    * c = √N cells the total (build + blocked join) is O(N^1.5) BY
+    * DESIGN (measured ~40× wall for 10× data at the sf10 decade):
+    * use it when trained cells matter (cluster-shaped corpora, reuse
+    * of an existing IVF index), and use `nearDupLsh` (e08) — the
+    * linear-growth twin with training-free hyperplane buckets — at
+    * corpus scale, the way e03 documents its fixed-size sample.
     * Approximate: a pair split across cells is missed; measure recall
     * against topSimilarPairs on a sample (DedupSimilaritySpec).
     * `cells <= 0` (the default) derives √N from a metadata-cheap

@@ -155,8 +155,15 @@ object GraftHash {
     val (bytes, starts, ends) = tokenBounds(s)
     val m = starts.length - k + 1
     if (m <= 0) return 0L
+    // table sizing in Long: `cap < m * 2` in Int wraps negative past
+    // 2^30 shingles and the probe loop below would spin on a too-small
+    // table — a hang, not an error. >2^29 shingles means a ~1 GB+
+    // single-doc text; fail loudly instead (the 3 int arrays alone
+    // would be 12 GB).
+    require(m <= (1 << 29), s"document has $m shingles (> 2^29); " +
+      "single-row hash table would exceed memory — chunk the document first")
     var cap = 4
-    while (cap < m * 2) cap <<= 1 // load factor <= 0.5
+    while (cap.toLong < m.toLong * 2L) cap <<= 1 // load factor <= 0.5
     val slotStart = new Array[Int](cap)
     val slotLen = new Array[Int](cap)
     val slotCnt = new Array[Int](cap)
@@ -242,9 +249,13 @@ object GraftHash {
       i += 1
     }
     // distinct via open addressing; hashes are < 2^32 so -1 is free as
-    // the empty sentinel
+    // the empty sentinel. Long-math sizing + loud bound, as in
+    // topShingleCount: Int `cap < nWin * 2` wraps past 2^30 windows and
+    // the probe loop would spin forever on a wrapped table.
+    require(nWin <= (1 << 29), s"document has $nWin winnow windows (> 2^29); " +
+      "single-row hash table would exceed memory — chunk the document first")
     var cap = 4
-    while (cap < nWin * 2) cap <<= 1
+    while (cap.toLong < nWin.toLong * 2L) cap <<= 1
     val slots = new Array[Long](cap)
     java.util.Arrays.fill(slots, -1L)
     val mask = cap - 1

@@ -57,7 +57,21 @@ object Tables {
     * (whose first groupBy already redistributes). */
   def fanOutForCompute(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df
+    // PLANNING-TIME heuristic: probe the leaf file scan's planned split
+    // count directly instead of df.rdd (which forces the full physical
+    // plan into an RDD graph plus InternalRow→Row conversion just to
+    // read a number). Callers pass narrow scan-stage frames, so the
+    // file scan's split count IS the compute parallelism; AQE may still
+    // re-plan downstream exchanges at runtime — this guard only decides
+    // whether to insert one.
+    val planned = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDD.getNumPartitions
+    } match {
+      case Nil => df.rdd.getNumPartitions // non-file leaf: previous probe
+      case ns  => ns.max
+    }
+    if (planned * 2 >= target) df
     else df.repartition(target, col(key))
   }
 

@@ -15,12 +15,25 @@ logs = sys.argv[3:]
 sf1, sf10, telem = {}, {}, {}
 for path in logs:
     for line in open(path):
-        m = re.search(r'\[(sf1|sf10)\].*?(\{.*\})', line)
-        if not m:
+        m = re.search(r'\[(sf1|sf10)\]', line)
+        if m is None or '{' not in line:
             continue
-        d = json.loads(m.group(2))
+        # anchored parse: decode exactly one JSON object starting at the
+        # first '{' (a greedy .*-to-last-brace regex mis-parses lines with
+        # trailing braces or two objects)
+        try:
+            d, _ = json.JSONDecoder().raw_decode(line[line.index('{'):])
+        except json.JSONDecodeError as e:
+            print(f"WARN {path}: unparseable bench line ({e}): {line[:120]}",
+                  file=sys.stderr)
+            continue
         dst = sf1 if m.group(1) == 'sf1' else sf10
-        dst.update({k: round(v, 3) for k, v in d['queries'].items()})
+        new = {k: round(v, 3) for k, v in d['queries'].items()}
+        dup = sorted(set(dst) & set(new))
+        if dup:
+            print(f"WARN {path}: duplicate queries across chunk logs "
+                  f"(later value wins): {dup}", file=sys.stderr)
+        dst.update(new)
         if m.group(1) == 'sf10':
             for q, t in d.get('telemetry', {}).items():
                 telem[q] = t

@@ -28,6 +28,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 pass
     return df
 
+def planes_check(con) -> int:
+    """Pin the e08 mirror's CEIL(LOG2(k)) plane count to the engine's
+    integer-exact bit-length planesFor around every power-of-two
+    boundary of k (the spots where a libm log2 inexactness would
+    mis-ceil). Returns the number of disagreements (0 expected)."""
+    ks = sorted({k + d for k in (1 << p for p in range(1, 31))
+                 for d in (-1, 0, 1)} | {1, 3, 5, 100})
+    bad = 0
+    for k in ks:
+        # engine: planesFor over n = k*64 (targetOccupancy=64) ->
+        # ceil(log2(k)) via bit length, clamped to [1, 16]
+        ceil_log2 = 0 if k <= 1 else (k - 1).bit_length()
+        eng = min(16, max(1, ceil_log2))
+        (sql,) = con.sql(
+            "SELECT GREATEST(1, LEAST(16, CAST(CEIL(LOG2(CAST(GREATEST(1, "
+            f"{k}) AS DOUBLE))) AS INT)))").fetchone()
+        if sql != eng:
+            print(f"FAIL planes self-check: k={k} sql={sql} engine={eng}")
+            bad += 1
+    return bad
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -52,6 +73,7 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    n_fail += planes_check(con)
     for name in sorted(oracle):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
