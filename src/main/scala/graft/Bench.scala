@@ -23,14 +23,32 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // diagnostic override: on a real cluster shuffle partitions scale
-    // with data volume; the default (= cpus) is the pinned
-    // apples-to-apples config for cross-round comparisons
+    // Shuffle sizing scales with the decade instead of pinning 32
+    // everywhere: spark.sql.shuffle.partitions stays = cpus (the
+    // pinned floor and the unchanged sf0.1 cross-round config), but
+    // AQE starts every shuffle at an input-scaled initial partition
+    // count and coalesces down to its 64 MB advisory target at
+    // runtime. The initial count assumes up to ~8× on-wire expansion
+    // of the compressed parquet input (shingle/pair explodes are the
+    // shuffle-heavy stages), clamped to [cpus, 1024] — at sf0.1 this
+    // IS cpus (no behavior change); at sf10 the multi-hundred-million
+    // row sorts start at ~185 partitions rather than 32.
+    val inputBytes = {
+      val root = java.nio.file.Paths.get(sfDir)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally walk.close()
+    }
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val initialParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      math.min(1024L, math.max(cpus.toLong, inputBytes * 8 / (64L << 20))).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initialParts)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -41,34 +59,44 @@ object Bench {
     // projection-heavy queries as bare row-count scans.
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // drift-immune second axis: the sandbox's wall clock drifts up to
+    // ~2-4× across long windows, so decade growth ratios also carry
+    // per-query PROCESS CPU seconds (all executors are in-JVM threads
+    // under local[*], so process CPU = driver + task compute; CPU time
+    // is unaffected by scheduler stalls that stretch wall time)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = selected.map { case (name, fn) =>
       Telemetry.drain() // a prior query's rounds must not bleed in
       // a failed query records -1 (not a plausible-looking elapsed time)
       val times = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
+        val c0 = osBean.getProcessCpuTime
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(((System.nanoTime() - t0) / 1e9,
+            (osBean.getProcessCpuTime - c0) / 1e9))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
-      val median =
-        if (times.isEmpty) -1.0
-        else times.sorted.apply((times.size - 1) / 2)
+      def med(xs: Seq[Double]) =
+        if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.size - 1) / 2)
       // convergence telemetry recorded by iterative operators during the
       // runs (deterministic per query+data, so last-run values suffice)
-      (name, median, Telemetry.drain())
+      (name, med(times.map(_._1)), med(times.map(_._2)), Telemetry.drain())
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val tel = results.collect { case (k, _, t) if t.nonEmpty =>
+    val cpu = results.map { case (k, _, c, _) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val tel = results.collect { case (k, _, _, t) if t.nonEmpty =>
       "\"" + k + "\":" + t.toSeq.sortBy(_._1)
         .map { case (m, v) => "\"" + m + "\":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"telemetry":$tel,"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpu,"telemetry":$tel,"initial_shuffle_partitions":$initialParts,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

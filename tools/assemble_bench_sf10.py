@@ -13,6 +13,7 @@ out = sys.argv[2]
 logs = sys.argv[3:]
 
 sf1, sf10, telem = {}, {}, {}
+cpu1, cpu10 = {}, {}
 for path in logs:
     for line in open(path):
         m = re.search(r'\[(sf1|sf10)\]', line)
@@ -34,10 +35,14 @@ for path in logs:
             print(f"WARN {path}: duplicate queries across chunk logs "
                   f"(later value wins): {dup}", file=sys.stderr)
         dst.update(new)
+        cdst = cpu1 if m.group(1) == 'sf1' else cpu10
+        cdst.update({k: round(v, 3) for k, v in d.get('cpu_sec', {}).items()})
         if m.group(1) == 'sf10':
             for q, t in d.get('telemetry', {}).items():
                 telem[q] = t
 growth = {q: round(sf10[q] / sf1[q], 2) for q in sorted(sf10) if q in sf1}
+growth_cpu = {q: round(cpu10[q] / cpu1[q], 2) for q in sorted(cpu10)
+              if q in cpu1 and cpu1[q] > 0}
 doc = {
     "note": note,
     "sf10_dir": "/root/repo/benchdata/sf10",
@@ -47,6 +52,9 @@ doc = {
     "queries_sf1_sec": dict(sorted(sf1.items())),
     "queries_sf10_sec": dict(sorted(sf10.items())),
     "growth_10x_data": growth,
+    "queries_sf1_cpu_sec": dict(sorted(cpu1.items())),
+    "queries_sf10_cpu_sec": dict(sorted(cpu10.items())),
+    "growth_10x_data_cpu": growth_cpu,
     "components_min_label_rounds": {
         q: t.get("components.min_label_rounds") for q, t in sorted(telem.items())
         if "components.min_label_rounds" in t},
