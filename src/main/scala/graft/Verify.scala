@@ -27,6 +27,21 @@ object Verify {
         s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Shared micro-nat tables for the d19/d21/d23 mirrors: materialize
+    // the engine's integer cost/idf tables once so the DuckDB oracle
+    // consumes the SAME integers (no Math.log bit-identity assumption;
+    // the mirrors re-validate the tables against DuckDB's own ln
+    // within 1 micro-nat before using them — see LmScore scaladoc).
+    if (Set("d19_lm_quality", "d21_cluster_curation", "d23_tfidf_keywords")
+        .exists(selected.contains)) {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      graft.operators.LmScore.unigramCosts(docs, "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.operators.LmScore.SharedLmCostsDir)
+      graft.operators.LmScore.idfCosts(docs, "doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.operators.LmScore.SharedIdfCostsDir)
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

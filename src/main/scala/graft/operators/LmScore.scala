@@ -27,17 +27,32 @@ import org.apache.spark.sql.functions._
   * engine-order-proof; only the final display average divides doubles,
   * from exactly equal integer inputs.
   *
-  * Known residual assumption: `ln` itself. Math.log is specified to
-  * 1 ulp, not correctly rounded, so an external oracle whose libm
-  * disagrees on a token whose cost lands within 1 ulp of a half
-  * micro-nat could round one unit differently (this environment's
-  * JVM/DuckDB pair agrees — pinned by the gate at three scales). If a
-  * platform ever diverges, materialize `unigramCosts` once and feed
-  * the SAME cost table to both engines; everything downstream is
-  * already exact integer math. Contrast sqrt (used by the mixing
-  * weights), which IEEE 754 requires to be correctly rounded.
+  * The `ln` link is handled by MATERIALIZATION, not by assuming
+  * bit-identical libm: Math.log is specified to 1 ulp, not correctly
+  * rounded, so an external oracle's libm could in principle round a
+  * half-micro-nat cost one unit differently. The gate therefore
+  * writes this table (and the d23 idf twin) ONCE per verify run
+  * (graft.Verify → /tmp/graft_shared_oracle/) and the DuckDB mirrors
+  * consume the SAME table, so every downstream comparison is exact
+  * integer math with no floating-point trust link. The mirrors still
+  * validate the shared table independently — per-token counts must
+  * match DuckDB's exactly and the micro-nat cost must agree with
+  * DuckDB's own ln within 1 (any deviation empties the gated CTE and
+  * fails the row-count gate loudly) — so materialization removes the
+  * bit-identity assumption without weakening the oracle to a rubber
+  * stamp. Contrast sqrt (used by the mixing weights), which IEEE 754
+  * requires to be correctly rounded and needs no such treatment.
   */
 object LmScore {
+
+  /** Fixed location where graft.Verify materializes the shared
+    * micro-nat tables for the DuckDB mirrors (overwritten per verify
+    * run, so the artifact always corresponds to the sfDir under
+    * test; concurrent gates on different corpora would race — run
+    * one verify at a time, as the driver does). */
+  val SharedDir = "/tmp/graft_shared_oracle"
+  val SharedLmCostsDir = s"$SharedDir/lm_costs"
+  val SharedIdfCostsDir = s"$SharedDir/idf_costs"
 
   /** Vocabulary with integer micro-nat costs: (tok, cnt, nlp_micro)
     * where nlp_micro = round(1e6 * ln(total / cnt)). */
@@ -50,6 +65,24 @@ object LmScore {
       .select(col("tok"), col("cnt"),
         round(log(col("total").cast("double") / col("cnt").cast("double")) * 1e6)
           .cast("long").as("nlp_micro"))
+  }
+
+  /** Integer micro-nat idf table (the d23 twin of `unigramCosts`):
+    * (tok, df, idf_micro) where df is the number of documents
+    * containing the token and idf_micro = round(1e6 * ln(n_docs/df)).
+    * Same scale shape as unigramCosts: the distinct vocabulary is the
+    * only shuffle output, the corpus-count rides as a broadcast
+    * single-row cross join. */
+  def idfCosts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    dfreq.crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double")) * 1e6)
+          .cast("long").as("idf_micro"))
   }
 
   /** Per-document LM score: (doc_id, n_tokens, sum_nlp_micro,

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  // globs for the shared micro-nat tables graft.Verify materializes
+  // (see LmScore scaladoc for the shared-table oracle protocol)
+  private val SharedLmCostsGlob =
+    graft.operators.LmScore.SharedLmCostsDir + "/*.parquet"
+  private val SharedIdfCostsGlob =
+    graft.operators.LmScore.SharedIdfCostsDir + "/*.parquet"
+
   private val stopsSqlList =
     TextAnalysis.DefaultStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -603,15 +610,31 @@ object TextQueries {
     graft.operators.LmScore.score(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // The micro-nat cost table is MATERIALIZED by graft.Verify and read
+  // here, so both engines consume identical integer costs and no
+  // Math.log-vs-libm bit-identity is assumed. The `chk` CTE keeps the
+  // oracle independent: every shared row must match DuckDB's own token
+  // count exactly and DuckDB's own ln within 1 micro-nat, and the
+  // vocabularies must be the same size — otherwise `nlp` empties and
+  // the row-count gate fails loudly.
   private val d19Sql =
-    """WITH toks AS (
+    s"""WITH toks AS (
       | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
-      |nlp AS (SELECT tok,
-      |          CAST(round(ln(CAST(t AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000)
-      |               AS BIGINT) AS nlp_micro
-      |        FROM cnt, tot)
+      |shared AS (SELECT tok, cnt, nlp_micro
+      |           FROM read_parquet('$SharedLmCostsGlob')),
+      |chk AS (SELECT CASE WHEN
+      |    (SELECT count(*) FROM shared) = (SELECT count(*) FROM cnt) AND
+      |    (SELECT count(*) FROM shared n
+      |       JOIN cnt c ON n.tok = c.tok AND n.cnt = c.c
+      |       CROSS JOIN tot
+      |       WHERE abs(n.nlp_micro
+      |                 - CAST(round(ln(CAST(t AS DOUBLE) / CAST(c.c AS DOUBLE))
+      |                              * 1000000) AS BIGINT)) <= 1)
+      |      = (SELECT count(*) FROM cnt)
+      |  THEN 1 ELSE 0 END AS ok),
+      |nlp AS (SELECT tok, nlp_micro FROM shared WHERE (SELECT ok FROM chk) = 1)
       |SELECT doc_id,
       |  CAST(count(*) AS BIGINT) AS n_tokens,
       |  CAST(SUM(nlp_micro) AS BIGINT) AS sum_nlp_micro,
@@ -732,10 +755,19 @@ object TextQueries {
        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
-       |nlp AS (SELECT tok,
-       |          CAST(round(ln(CAST(t AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000)
-       |               AS BIGINT) AS nlp_micro
-       |        FROM cnt, tot),
+       |shared AS (SELECT tok, cnt, nlp_micro
+       |           FROM read_parquet('$SharedLmCostsGlob')),
+       |chk AS (SELECT CASE WHEN
+       |    (SELECT count(*) FROM shared) = (SELECT count(*) FROM cnt) AND
+       |    (SELECT count(*) FROM shared n
+       |       JOIN cnt c ON n.tok = c.tok AND n.cnt = c.c
+       |       CROSS JOIN tot
+       |       WHERE abs(n.nlp_micro
+       |                 - CAST(round(ln(CAST(t AS DOUBLE) / CAST(c.c AS DOUBLE))
+       |                              * 1000000) AS BIGINT)) <= 1)
+       |      = (SELECT count(*) FROM cnt)
+       |  THEN 1 ELSE 0 END AS ok),
+       |nlp AS (SELECT tok, nlp_micro FROM shared WHERE (SELECT ok FROM chk) = 1),
        |score AS (SELECT doc_id,
        |            CAST(SUM(nlp_micro) AS DOUBLE) / count(*) AS sc
        |          FROM toks JOIN nlp USING (tok) GROUP BY doc_id),
@@ -803,12 +835,10 @@ object TextQueries {
     val tf = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val idf = df.crossJoin(broadcast(nDocs))
-      .select(col("tok"),
-        round(log(col("n_docs").cast("double") / col("df").cast("double")) * 1e6)
-          .cast("long").as("idf_micro"))
+    // the idf table is the shared-materialization twin of d19's costs
+    // (LmScore.idfCosts — graft.Verify writes it for the oracle)
+    val idf = graft.operators.LmScore.idfCosts(docs, "doc_id", "text")
+      .select(col("tok"), col("idf_micro"))
     tf.join(broadcast(idf), "tok")
       .withColumn("score_micro", col("tf") * col("idf_micro"))
       .withColumn("rank", row_number().over(
@@ -820,17 +850,28 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  // idf twin of d19's shared-table protocol: materialized idf_micro,
+  // independently re-validated (exact df match + ln within 1) before use
   private val d23Sql =
-    """WITH tf AS (
+    s"""WITH tf AS (
       | SELECT doc_id, tok, count(*) AS tf
       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       | GROUP BY doc_id, tok),
       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-      |idf AS (SELECT tok,
-      |          CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000)
-      |               AS BIGINT) AS idf_micro
-      |        FROM dfreq, nd),
+      |shared AS (SELECT tok, df, idf_micro
+      |           FROM read_parquet('$SharedIdfCostsGlob')),
+      |chk AS (SELECT CASE WHEN
+      |    (SELECT count(*) FROM shared) = (SELECT count(*) FROM dfreq) AND
+      |    (SELECT count(*) FROM shared n
+      |       JOIN dfreq d ON n.tok = d.tok AND n.df = d.df
+      |       CROSS JOIN nd
+      |       WHERE abs(n.idf_micro
+      |                 - CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+      |                              * 1000000) AS BIGINT)) <= 1)
+      |      = (SELECT count(*) FROM dfreq)
+      |  THEN 1 ELSE 0 END AS ok),
+      |idf AS (SELECT tok, idf_micro FROM shared WHERE (SELECT ok FROM chk) = 1),
       |scored AS (
       | SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
       |   CAST(tf * idf_micro AS BIGINT) AS score_micro,
