@@ -292,7 +292,22 @@ object Dedup {
         .filter(col("__df") <= maxDocFreq)
         .drop("__df")
     val card = capped.groupBy(col("__side"), col("doc_id")).agg(count(lit(1)).as("n"))
-    val postings = capped.groupBy(col("s")).agg(
+    // Prune corpus-only shingles BEFORE the posting-list aggregation:
+    // a shingle no incoming doc carries can never produce a pair (its
+    // `inc` list would be empty and the filter below drops it), yet
+    // without this semi-join the groupBy aggregates collect_list state
+    // for the ENTIRE corpus index — the first-cut posting-list plan
+    // regressed d13 to 20× decade growth exactly this way (the old
+    // equi-join had pruned those shingles implicitly). The build side
+    // is the batch's distinct 8-byte shingle hashes, recomputed from
+    // the small incoming side (narrow scan, no dependence on the big
+    // combined Exchange); AQE broadcasts it at runtime, so the corpus
+    // side streams through unsorted. `card` stays on the FULL capped
+    // index — n2 must count all of a corpus doc's capped shingles for
+    // correct union cardinalities, not just the incoming-present ones.
+    val incKeys = shIncoming.select(xxhash64(col("s")).as("s")).distinct()
+    val postings = capped.join(incKeys, Seq("s"), "left_semi")
+      .groupBy(col("s")).agg(
         collect_list(when(col("__side") === 1, col("doc_id"))).as("inc"),
         collect_list(when(col("__side") === 0, col("doc_id"))).as("cor"))
       .filter(size(col("inc")) > 0 && size(col("cor")) > 0)
