@@ -88,12 +88,13 @@ object GenScale {
       write(spark.read.parquet(s"$src/$t.parquet"), t)
     }
 
-    // events: raw long-nanos read (the vectorized reader rejects
-    // TIMESTAMP(NANOS)); replicas add load inside the SAME hour windows
-    val eventsRaw = spark.read
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$src/events.parquet")
-    write(replicated(eventsRaw, Seq("event_id", "user_id")).drop("rep"),
+    // events: Tables.events handles both ts layouts the driver has
+    // shipped (legacy INT64-nanos and native micros timestamp) and
+    // yields a micros TimestampType either way, so scaled events are
+    // always written as native timestamps — replicas add load inside
+    // the SAME hour windows (ts untouched; only ids are bumped).
+    write(replicated(graft.sources.Tables.events(spark, src),
+      Seq("event_id", "user_id")).drop("rep"),
       "events", "event_id")
 
     // documents: within a GROUP of `groupSize` replicas, replica g·gs is

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * Streaming pipeline in graft.streaming — same grouping semantics, so
   * the oracle check covers the streaming aggregation logic too.
   *
-  * Note on time: events carry nanosecond timestamps; Spark truncates to
-  * microseconds on read. Outputs only expose hour-truncated buckets, so
-  * the sub-microsecond difference can never reach the compare.
+  * Note on time: Tables.events yields micros timestamps for both ts
+  * layouts the driver has shipped (legacy nanos truncate on read).
+  * Outputs only expose hour-truncated buckets, so a sub-microsecond
+  * difference can never reach the compare.
   */
 object Events {
 

@@ -28,15 +28,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). An explicit
-    * LongType schema reads the raw nanos without any session-wide
-    * legacy conf (no hidden sticky state for other readers); the
-    * microsecond TimestampType column is rebuilt with floor division —
-    * matches how nanos-truncating engines downscale.
-    */
+  /** The driver's events.parquet has shipped with two `ts` layouts:
+    * TIMESTAMP(NANOS), which Spark's vectorized parquet reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]), and (round 8 onward) plain TIMESTAMP
+    * micros, which reads natively. Probing the footer (one metadata
+    * read, no data scan) keeps both working: the nanos layout is read
+    * through an explicit LongType schema — no session-wide legacy conf,
+    * no hidden sticky state for other readers — and floor-divided to
+    * micros, matching how nanos-truncating engines downscale; the
+    * native layout must NOT take that path (its INT64 physical values
+    * are already micros, and div 1000 would collapse every hour
+    * bucket).
+    *
+    * The driver writes the micros layout with isAdjustedToUTC=false, so
+    * Spark infers TimestampNTZType; every graft session pins
+    * spark.sql.session.timeZone=UTC, so the cast to session-TZ
+    * TimestampType below is value-preserving and matches DuckDB's
+    * naive read of the same file. */
+  def eventsTsNativeType(s: SparkSession, d: String): Option[org.apache.spark.sql.types.DataType] =
+    try s.read.parquet(s"$d/events.parquet").schema.fields
+      .find(_.name == "ts").map(_.dataType)
+      .filter(dt =>
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   def events(s: SparkSession, d: String): DataFrame =
-    s.read
+    if (eventsTsNativeType(s, d).isDefined)
+      table(s, d, "events").withColumn("ts", col("ts").cast("timestamp"))
+    else s.read
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(s"$d/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** events schema as stored (ts read as nanos long, converted after). */
+  /** events schema for the legacy TIMESTAMP(NANOS) layout (ts read as
+    * nanos long, converted after); see Tables.eventsTsIsNativeTimestamp. */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) surfaced as long
@@ -27,6 +28,15 @@ object EventsStreaming {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Same columns with `ts` as a native micros timestamp of the given
+    * flavor — TimestampNTZType for the driver's isAdjustedToUTC=false
+    * files, TimestampType for Spark-written (GenScale) benchdata. */
+  private def eventsNativeSchema(tsType: DataType) = StructType(
+    eventsRawSchema.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
 
   /** Scratch directory removed recursively at JVM exit — the staging
     * symlink dir and the q29 sink cannot accumulate across repeated
@@ -57,10 +67,22 @@ object EventsStreaming {
     val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
     val streamDir = tempDirDeletedOnExit("graft_events_stream")
     java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // readStream requires an explicit schema, so the batch-side footer
+    // probe decides which ts layout this dir carries (see Tables.events);
+    // the cast to session-TZ timestamp is a value-preserving no-op for
+    // already-TimestampType files (sessions pin UTC).
+    graft.sources.Tables.eventsTsNativeType(spark, dir) match {
+      case Some(tsType) =>
+        spark.readStream
+          .schema(eventsNativeSchema(tsType))
+          .parquet(streamDir.toString)
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case None =>
+        spark.readStream
+          .schema(eventsRawSchema)
+          .parquet(streamDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   /** Tumbling 1-hour windowed aggregation with a 30-minute watermark —
