@@ -190,8 +190,20 @@ object Dedup {
       .groupBy(col("doc_id1"), col("doc_id2"))
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") / col("n_union").cast("double")
-    inter
+    // merge hints, not broadcasts, for the cardinality joins: Catalyst's
+    // static size estimate of the pair aggregate shrinks below the
+    // broadcast threshold (aggregates scale the child estimate down), so
+    // without the hint the planner broadcasts the PAIR table — measured
+    // as a 10 GiB broadcast attempt at sf3, past the 8 GiB hard limit —
+    // and AQE never demotes a statically planned broadcast join (its
+    // cost evaluator rejects replans that add shuffles). Sort-merge is
+    // also the only plan that survives corpus scale: at billions of
+    // docs BOTH sides (pair counts and per-doc cardinalities) are far
+    // past any broadcast limit, and a broadcast(card) hint would fail
+    // hard instead of degrading to a linear shuffle.
+    inter.hint("merge")
       .join(card.as("c1"), col("doc_id1") === col("c1.doc_id"))
+      .hint("merge")
       .join(card.as("c2"), col("doc_id2") === col("c2.doc_id"))
       .withColumn("n_union", col("c1.n") + col("c2.n") - col("n_inter"))
       .filter(jac >= threshold)
@@ -318,9 +330,15 @@ object Dedup {
       .groupBy(col("inc_id"), col("cor_id"))
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") / col("n_union").cast("double")
-    inter
+    // same merge hints as jaccardPairs (see there): the pair aggregate's
+    // static size estimate is unreliably small, and a mis-chosen
+    // broadcast of the pair side fails hard past 8 GiB instead of
+    // degrading; when the incremental batch really is tiny the sort
+    // sides are tiny too, so the hint costs nothing in that case.
+    inter.hint("merge")
       .join(card.filter(col("__side") === 1).select(col("doc_id"), col("n").as("n1")),
         col("inc_id") === col("doc_id")).drop("doc_id")
+      .hint("merge")
       .join(card.filter(col("__side") === 0).select(col("doc_id"), col("n").as("n2")),
         col("cor_id") === col("doc_id")).drop("doc_id")
       .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
