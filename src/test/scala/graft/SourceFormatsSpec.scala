@@ -36,4 +36,28 @@ class SourceFormatsSpec extends AnyFunSuite with SparkTestSession {
         .head().toSeq
     assert(fingerprint(back) === fingerprint(li))
   }
+
+  test("events reader handles both ts layouts the driver has shipped") {
+    // The driver's testdata now stores ts as a native micros timestamp,
+    // so the legacy INT64-nanos path (TIMESTAMP(NANOS) surfaced as a
+    // raw long) has no on-disk coverage left — synthesize it: write the
+    // same rows with ts as nanos-since-epoch longs and assert both
+    // layouts read back identical micros timestamps through
+    // Tables.events. Also pins the footer probe's verdict on each.
+    val native = Tables.events(spark, sfDir)
+    assert(Tables.eventsTsNativeType(spark, sfDir).isDefined)
+    val legacyDir =
+      java.nio.file.Files.createTempDirectory("graft_events_legacy").toString
+    native
+      .withColumn("ts", unix_micros(col("ts")) * lit(1000L)) // micros -> nanos
+      .write.mode("overwrite").parquet(s"$legacyDir/events.parquet")
+    assert(Tables.eventsTsNativeType(spark, legacyDir).isEmpty)
+    val legacy = Tables.events(spark, legacyDir)
+    assert(legacy.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "ts").orderBy("event_id").collect().toSeq
+    assert(rows(legacy) === rows(native))
+    assert(rows(native).nonEmpty)
+  }
 }
