@@ -68,7 +68,15 @@ object CorpusPipeline {
         jaccardThreshold, maxDocFreq)
       .select(col("doc_id2").as("doc_id"))
       .distinct()
+    // merge hint: the drop list is Θ(duplicate docs) — linear in corpus
+    // size at constant dup density — and its static size estimate is
+    // post-aggregation (unreliably small), so without the hint the
+    // planner commits it to a broadcast that AQE can never demote
+    // (same failure class as the jaccardPairs cardinality joins,
+    // which died on the 8 GiB broadcast limit at sf3). Sort-merge
+    // degrades linearly instead of erroring at some corpus size.
     val curated = exact
+      .hint("merge")
       .join(nearDupIds, Seq("doc_id"), "left_anti")
       .filter(TextAnalysis.langIdHeuristic(col("text")) === lang)
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)

@@ -63,6 +63,23 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"incoming/corpus sides don't share the shingle-union Exchange:\n$p")
   }
 
+  test("d07/d13: cardinality joins stay sort-merge — the pair side must never broadcast") {
+    // Catalyst's static estimate of the posting-list pair aggregate
+    // shrinks below the broadcast threshold, and AQE cannot demote a
+    // statically planned broadcast join — at sf3 the planner built the
+    // 10 GiB pair table as a broadcast and died on the 8 GiB hard
+    // limit. The merge hints pin both inner cardinality joins to
+    // sort-merge (the left-semi prune in d13 MAY broadcast: its build
+    // side is the incoming batch's distinct keys, bounded by design).
+    for (q <- Seq("d07_jaccard_pairs", "d13_incremental_dedup")) {
+      val p = plan(q)
+      assert("BroadcastHashJoin .*, Inner".r.findFirstIn(p).isEmpty,
+        s"$q: an inner join planned as broadcast despite the merge hint:\n$p")
+      assert("SortMergeJoin .*, Inner".r.findAllIn(p).size >= 2,
+        s"$q: expected both cardinality joins as sort-merge:\n$p")
+    }
+  }
+
   test("d16: repetition stats compute per-row — no bigram shuffle") {
     val p = plan("d16_repetition_signals")
     // the explicit fanOutForCompute doc-row exchange (REPARTITION_BY_NUM)
