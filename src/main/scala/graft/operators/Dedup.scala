@@ -313,12 +313,18 @@ object Dedup {
     // equi-join had pruned those shingles implicitly). The build side
     // is the batch's distinct 8-byte shingle hashes, recomputed from
     // the small incoming side (narrow scan, no dependence on the big
-    // combined Exchange); AQE broadcasts it at runtime, so the corpus
-    // side streams through unsorted. `card` stays on the FULL capped
-    // index — n2 must count all of a corpus doc's capped shingles for
+    // combined Exchange). shuffle_hash, not broadcast: batch shingle
+    // keys are Θ(batch), so a statically committed broadcast is the
+    // 8 GiB-cliff class found at sf3 for large batches — a shuffled
+    // hash semi join instead re-uses the combined index's existing
+    // hash(s) partitioning (no corpus re-shuffle, NO corpus sort —
+    // sort-merge would have to sort the whole index), ships only the
+    // batch keys, and builds a per-partition hash table bounded by
+    // batchKeys/partitions. `card` stays on the FULL capped index —
+    // n2 must count all of a corpus doc's capped shingles for
     // correct union cardinalities, not just the incoming-present ones.
     val incKeys = shIncoming.select(xxhash64(col("s")).as("s")).distinct()
-    val postings = capped.join(incKeys, Seq("s"), "left_semi")
+    val postings = capped.join(incKeys.hint("shuffle_hash"), Seq("s"), "left_semi")
       .groupBy(col("s")).agg(
         collect_list(when(col("__side") === 1, col("doc_id"))).as("inc"),
         collect_list(when(col("__side") === 0, col("doc_id"))).as("cor"))
@@ -371,11 +377,18 @@ object Dedup {
                      maxDocFreq: Int = 100,
                      shingleK: Int = 3): DataFrame = {
     val batch = dropExactDuplicates(incoming, idCol, textCol)
+    // merge hint: the corpus hash set is Θ(corpus docs) and its
+    // distinct-aggregate size estimate is unreliably small, so the
+    // planner would commit it to a broadcast AQE can never demote —
+    // the 8 GiB-cliff class found at sf3 (and this subtree is
+    // duplicated wherever `fresh` is reused, so the broadcast would
+    // be built more than once). Sort-merge shuffles batch-vs-corpus
+    // hashes linearly at any corpus size.
     val corpusHashes = corpus
       .select(TextAnalysis.textHash(col(textCol)).as("__h")).distinct()
     val fresh = batch
       .withColumn("__h", TextAnalysis.textHash(col(textCol)))
-      .join(corpusHashes, Seq("__h"), "left_anti")
+      .join(corpusHashes.hint("merge"), Seq("__h"), "left_anti")
       .drop("__h")
     val nearIds = crossJaccardPairs(
         shingles(fresh, idCol, textCol, shingleK),
@@ -383,7 +396,10 @@ object Dedup {
         jaccardThreshold, maxDocFreq)
       .select(col("inc_id").as(idCol))
       .distinct()
-    fresh.join(nearIds, Seq(idCol), "left_anti")
+    // same class: nearIds is batch-bounded in practice but estimated
+    // post-aggregation — merge keeps the anti join cliff-free at any
+    // batch size, and tiny sides make tiny sorts.
+    fresh.join(nearIds.hint("merge"), Seq(idCol), "left_anti")
   }
 
   // ---------------- SimHash ----------------
