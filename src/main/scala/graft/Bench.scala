@@ -43,12 +43,26 @@ object Bench {
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val initialParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       math.min(1024L, math.max(cpus.toLong, inputBytes * 8 / (64L << 20))).toString)
+    // Broadcast policy (round-9, the NOTES-recorded cluster alternative):
+    // static auto-broadcasts OFF (threshold -1) so Catalyst can never
+    // commit to a broadcast from a pre-execution size GUESS — the class
+    // of bug that killed d07 at sf3 (post-agg estimate shrank below the
+    // threshold, real size was 10 GiB, AQE cannot demote a static
+    // broadcast). Instead AQE upgrades sort-merge joins to broadcast at
+    // RUNTIME from real materialized stage sizes (adaptive threshold
+    // 8m), which recovers the small-scale broadcast wins cliff-free:
+    // a side that outgrows the threshold simply stays sort-merge.
+    // Explicit broadcast()/merge hints still win over both knobs.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initialParts)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AUTO_BROADCAST", "-1"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE_BROADCAST", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -87,16 +101,24 @@ object Bench {
       // runs (deterministic per query+data, so last-run values suffice)
       (name, med(times.map(_._1)), med(times.map(_._2)), Telemetry.drain())
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    // Artifact hygiene (round-9): the driver captures the TAIL of the
+    // output, and r08's line lost its per-query wall map to the window
+    // (only cpu_sec survived). Two measures: (a) numbers are printed at
+    // 4 decimals — 0.1 ms granularity, far below run-to-run noise —
+    // which roughly halves the line; (b) the wall-time queries map is
+    // emitted LAST so it is the part a truncated capture keeps.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val cpu = results.map { case (k, _, c, _) => "\"" + k + "\":" + c }
+    val cpu = results.map { case (k, _, c, _) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val tel = results.collect { case (k, _, _, t) if t.nonEmpty =>
       "\"" + k + "\":" + t.toSeq.sortBy(_._1)
         .map { case (m, v) => "\"" + m + "\":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpu,"telemetry":$tel,"initial_shuffle_partitions":$initialParts,"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"initial_shuffle_partitions":$initialParts,"telemetry":$tel,"cpu_sec":$cpu,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -7,9 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Same broadcast policy as Bench (see its scaladoc): no static
+    // auto-broadcasts — AQE upgrades joins from real runtime sizes
+    // instead of pre-execution guesses, so the big-SF oracle gates run
+    // the cliff-free plans too.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AUTO_BROADCAST", "-1"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE_BROADCAST", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -138,6 +138,32 @@ object TextQueries {
       | FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
       |)""".stripMargin
 
+  /** Shared capped-Jaccard pair fragment in POSTING-LIST form (round-9):
+    * group the (distinct) doc×shingle relation `src` by shingle into a
+    * sorted doc list, cap at df<=100 in the same aggregation, and emit
+    * ordered pairs by unnesting each list — the same plan shape the
+    * engine's Dedup.jaccardPairs uses. Replaces the raw-string
+    * self-join (`shc a JOIN shc b ON a.s = b.s`), which was quadratic
+    * in DuckDB's hash-probe work and made the ORACLE the sf10
+    * bottleneck (NOTES round-8): pair output is unchanged and the
+    * df-cap bounds every list at 100, so this mirror is linear in
+    * rows + emitted pairs. `card` (per-doc capped-shingle cardinality)
+    * is derived by re-unnesting the capped lists — identical to
+    * counting df<=100 rows per doc, with no window function.
+    * Emits CTEs `post`, `card`, `inter` (no trailing comma). */
+  private def postingPairsCtes(id1: String, id2: String, nInter: String,
+      src: String = "sh"): String =
+    s"""post AS (SELECT s, list_sort(list(doc_id)) AS docs FROM $src
+       |         GROUP BY s HAVING count(*) <= 100),
+       |card AS (SELECT doc_id, count(*) AS n
+       |         FROM (SELECT unnest(docs) AS doc_id FROM post) GROUP BY doc_id),
+       |inter AS (SELECT p.$id1 AS $id1, p.$id2 AS $id2, count(*) AS $nInter
+       |          FROM (SELECT unnest(flatten(list_transform(range(1, len(docs)), i ->
+       |                  list_transform(range(i + 1, len(docs) + 1), j ->
+       |                    {'$id1': docs[i], '$id2': docs[j]})))) AS p
+       |                FROM post WHERE len(docs) >= 2)
+       |          GROUP BY 1, 2)""".stripMargin
+
   /** MinHash + LSH candidate pairs (d06): 8 seeded-md5 minhashes, 4
     * bands of 2 — the scale path for fuzzy dedup. */
   private def d06(s: SparkSession, dir: String): DataFrame = {
@@ -176,13 +202,7 @@ object TextQueries {
 
   private val d07Sql =
     s"""$shingleCte,
-       |shc AS (SELECT doc_id, s FROM
-       |          (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
-       |        WHERE df <= 100),
-       |card AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_inter
-       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
+       |${postingPairsCtes("doc_id1", "doc_id2", "n_inter")}
        |SELECT doc_id1, doc_id2, n_inter,
        |  c1.n + c2.n - n_inter AS n_union,
        |  CAST((n_inter * 20000 + (c1.n + c2.n - n_inter))
@@ -310,13 +330,7 @@ object TextQueries {
        |  unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
        |         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s
        | FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM exact)),
-       |shc AS (SELECT doc_id, s FROM
-       |          (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
-       |        WHERE df <= 100),
-       |card AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
-       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2),
+       |${postingPairsCtes("d1", "d2", "ni")},
        |dropped AS (SELECT DISTINCT d2 AS doc_id
        |            FROM inter
        |            JOIN card c1 ON d1 = c1.doc_id
@@ -390,12 +404,18 @@ object TextQueries {
       |     unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
       |            i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s
       |   FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus))),
-      |shc AS (SELECT side, doc_id, s FROM
-      |          (SELECT side, doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM shu)
-      |        WHERE df <= 100),
-      |card AS (SELECT side, doc_id, count(*) AS n FROM shc GROUP BY 1, 2),
-      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
-      |          FROM shc a JOIN shc b ON a.s = b.s AND a.side = 1 AND b.side = 0
+      |post AS (SELECT s,
+      |           list(doc_id) FILTER (side = 1) AS bd,
+      |           list(doc_id) FILTER (side = 0) AS cd
+      |         FROM shu GROUP BY s HAVING count(*) <= 100),
+      |card AS (SELECT side, doc_id, count(*) AS n FROM (
+      |           SELECT 1 AS side, unnest(bd) AS doc_id FROM post
+      |           UNION ALL SELECT 0 AS side, unnest(cd) AS doc_id FROM post)
+      |         GROUP BY 1, 2),
+      |inter AS (SELECT p.d1 AS d1, p.d2 AS d2, count(*) AS ni
+      |          FROM (SELECT unnest(flatten(list_transform(bd, a ->
+      |                  list_transform(cd, b -> {'d1': a, 'd2': b})))) AS p
+      |                FROM post WHERE len(bd) > 0 AND len(cd) > 0)
       |          GROUP BY 1, 2),
       |nears AS (SELECT DISTINCT d1 AS doc_id FROM inter
       |          JOIN card c1 ON c1.side = 1 AND c1.doc_id = d1
@@ -578,13 +598,7 @@ object TextQueries {
 
   private val d18Sql =
     s"""${shingleCte.replaceFirst("WITH sh", "WITH RECURSIVE sh")},
-       |shc AS (SELECT doc_id, s FROM
-       |          (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
-       |        WHERE df <= 100),
-       |card AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_inter
-       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2),
+       |${postingPairsCtes("doc_id1", "doc_id2", "n_inter")},
        |pairs AS (SELECT doc_id1, doc_id2 FROM inter
        |          JOIN card c1 ON doc_id1 = c1.doc_id
        |          JOIN card c2 ON doc_id2 = c2.doc_id
@@ -731,13 +745,7 @@ object TextQueries {
 
   private val d21Sql =
     s"""${shingleCte.replaceFirst("WITH sh", "WITH RECURSIVE sh")},
-       |shc AS (SELECT doc_id, s FROM
-       |          (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
-       |        WHERE df <= 100),
-       |card AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_inter
-       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2),
+       |${postingPairsCtes("doc_id1", "doc_id2", "n_inter")},
        |pairs AS (SELECT doc_id1, doc_id2 FROM inter
        |          JOIN card c1 ON doc_id1 = c1.doc_id
        |          JOIN card c2 ON doc_id2 = c2.doc_id

@@ -51,7 +51,21 @@ object Tables {
       .filter(dt =>
         dt == org.apache.spark.sql.types.TimestampType ||
         dt == org.apache.spark.sql.types.TimestampNTZType)
-    catch { case scala.util.control.NonFatal(_) => None }
+    catch { case scala.util.control.NonFatal(e) =>
+      // Only the TIMESTAMP(NANOS) schema-conversion rejection means
+      // "legacy layout". Anything else (missing file, FS hiccup) must
+      // propagate — falling through to the forced-LongType read on a
+      // transient failure would either error confusingly or, worse,
+      // floor-divide native micros by 1000 and corrupt every timestamp.
+      // The error surfaces as PARQUET_TYPE_ILLEGAL, sometimes wrapped
+      // (schema merging can run as a job), so the whole cause chain is
+      // checked.
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(16).toSeq
+      if (chain.exists(t => t.getMessage != null &&
+          t.getMessage.contains("PARQUET_TYPE_ILLEGAL"))) None
+      else throw e
+    }
 
   def events(s: SparkSession, d: String): DataFrame =
     if (eventsTsNativeType(s, d).isDefined)

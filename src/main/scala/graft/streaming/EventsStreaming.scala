@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
 object EventsStreaming {
 
   /** events schema for the legacy TIMESTAMP(NANOS) layout (ts read as
-    * nanos long, converted after); see Tables.eventsTsIsNativeTimestamp. */
+    * nanos long, converted after); see Tables.eventsTsNativeType. */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) surfaced as long
