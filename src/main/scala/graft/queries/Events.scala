@@ -39,6 +39,42 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Salted hot-key join (q32, round-9): `event_type` has only 5
+    * distinct values, so a plain shuffle join on it lands every row on
+    * at most 5 reducers no matter the cluster size — each key IS a hot
+    * key (the classic low-cardinality fact-to-dim skew). The registered
+    * query runs Salting.saltedJoin with 8 salts over a shuffle_hash-
+    * hinted dim, splitting each key across 8 reducers; results are
+    * IDENTICAL to the plain join (salting changes placement, never
+    * membership — LayoutSaltingAsOfSpec pins identity under a 10k-row
+    * hot key), so the oracle is simply the unsalted SQL join. The hint
+    * keeps the measured path a genuine shuffle join: without it the
+    * 40-row salted dim would broadcast and the bench would time the
+    * broadcast path instead of the skew-mitigation one. Weighted sum is
+    * exact integer cents × the type's char length, so the aggregate is
+    * order-independent across any placement. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("w", length(col("event_type")).cast("long"))
+    graft.operators.Salting
+      .saltedJoin(ev, dim.hint("shuffle_hash"), "event_type", salt = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value")) * col("w")).as("wsum_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q32Sql =
+    """SELECT e.event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT) * len(e.event_type)) AS BIGINT) AS wsum_cents
+      |FROM events e
+      |JOIN (SELECT DISTINCT event_type FROM events) d
+      |  ON e.event_type = d.event_type
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** F9-class JSON field access (reference API-response projection,
     * etl1.py:160-167): pull `k` out of the props JSON and aggregate.
     * get_json_object is codegen'd — no UDF, no full JSON parse per field
@@ -208,5 +244,6 @@ object Events {
     QuerySpec("q20_asof_prior_error", q20, Some(q20Sql)),
     QuerySpec("q29_events_stream_sink", q29, Some(q16Sql)),
     QuerySpec("q30_sessionization", q30, Some(q30Sql)),
-    QuerySpec("q31_sessions_stream_sink", q31, Some(q31Sql)))
+    QuerySpec("q31_sessions_stream_sink", q31, Some(q31Sql)),
+    QuerySpec("q32_salted_join", q32, Some(q32Sql)))
 }

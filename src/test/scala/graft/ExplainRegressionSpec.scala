@@ -43,6 +43,17 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(broadcasts >= 2, s"expected >=2 broadcast dim joins, got $broadcasts:\n$p")
   }
 
+  test("q32: salted hot-key join stays a shuffle join on (key, salt)") {
+    // the whole point of q32 is measuring the skew-mitigation path: the
+    // salted dim must NOT silently broadcast (which would bypass the
+    // salt), and the join key must include the salt column so each hot
+    // key spreads across reducers
+    val p = plan("q32_salted_join")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salted join is not a shuffle join:\n$p")
+    assert(p.contains("__salt"), s"salt column missing from plan:\n$p")
+  }
+
   test("d06: minhash band self-join computes the signature subtree once") {
     val p = executedPlan("d06_minhash_candidates")
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
