@@ -532,7 +532,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val exact = Similarity.topSimilarPairs(emb, 20)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    val e05 = Similarity.nearDupBlocked(emb, 20, cells = 16)
+    val e05 = Similarity.nearDupBlocked(emb, 20, cells = 0) // registered config: √N
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val e08 = Similarity.nearDupLsh(emb, 20)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -540,13 +540,15 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     val r08 = (exact.keySet intersect e08.keySet).size
     val both = e05.keySet intersect e08.keySet
     info(s"recall vs exact top-20: e05=$r05/20 e08=$r08/20; e05∩e08=${both.size}")
-    // measured at the registered configurations: e05 (16 trained
-    // cells) recovers 4/20 true top pairs, e08 (adaptive planes +
-    // multi-probe) 11/20 — the trained-cell blocking is weaker on
-    // quality here as well as super-linear on cost, which is why e08
-    // is the documented scale twin. Floors pin against regression,
-    // not parity (the two top-20 lists genuinely diverge: ∩ = 2).
-    assert(r05 >= 3, s"e05 recall regressed below measured floor: $r05/20")
+    // measured at the registered configurations: e05 (cost-optimal
+    // √N ≈ 45 trained cells, round-9) recovers 2/20 true top pairs,
+    // e08 (adaptive planes + multi-probe) 11/20. On these UNIFORM
+    // synthetic embeddings boundary pairs split across fine cells
+    // easily (real near-dup corpora cluster much harder), so the
+    // trained-cell blocking is weaker on quality here as well as
+    // super-linear on cost — both reasons e08 is the documented scale
+    // twin. Floors pin against regression, not parity.
+    assert(r05 >= 2, s"e05 recall regressed below measured floor: $r05/20")
     assert(r08 >= 8, s"e08 recall regressed below measured floor: $r08/20")
     // wherever any two of the three agree on a pair, the exact integer
     // rescoring must produce the identical cosine — blocking restricts
