@@ -75,6 +75,11 @@ object CorpusPipeline {
     // (same failure class as the jaccardPairs cardinality joins,
     // which died on the 8 GiB broadcast limit at sf3). Sort-merge
     // degrades linearly instead of erroring at some corpus size.
+    // Round-9 note: hint("shuffle_hash") was A/B-measured here as a
+    // sort-free alternative and is 3-4× SLOWER at both bench decades
+    // (benchlogs_r9/d12_shufflehash.log vs d12_stages.log s5) — the
+    // single-partition hash build of the whole drop list loses to the
+    // sort AQE can split — so merge stays.
     val curated = exact
       .hint("merge")
       .join(nearDupIds, Seq("doc_id"), "left_anti")
