@@ -65,6 +65,18 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE_BROADCAST", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle-scratch hygiene for long multi-query sessions: shuffle
+      // files are only deleted when ContextCleaner GCs their stage
+      // references, and the default periodic-GC interval (30 min) lets
+      // a 70-query decade run ACCUMULATE every query's spill on disk —
+      // measured at sf30, one query's retained shuffle files reached
+      // 33 GiB and the third decade died on ENOSPC, not on memory or
+      // plan shape. A 2-minute periodic GC bounds scratch at roughly
+      // the working set of the current query; same reasoning applies
+      // to long-lived sessions on real clusters (executor local disks
+      // fill with dead shuffle files between jobs).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
