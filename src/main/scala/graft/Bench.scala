@@ -130,7 +130,19 @@ object Bench {
         .map { case (m, v) => "\"" + m + "\":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"initial_shuffle_partitions":$initialParts,"telemetry":$tel,"cpu_sec":$cpu,"queries":$qs}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"initial_shuffle_partitions":$initialParts,"telemetry":$tel,"cpu_sec":$cpu,"queries":$qs}"""
+    println(line)
+    // sidecar file (round-10, VERDICT item 7): the driver captures only
+    // the TAIL of stdout, and a 71-query line has repeatedly lost its
+    // head to that window ("parsed": null in BENCH_r08/r09). The same
+    // JSON written to a file is immune to the tail budget and stays
+    // machine-parsable end-to-end.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_wall.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

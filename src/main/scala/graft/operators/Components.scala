@@ -67,21 +67,33 @@ object Components {
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
                maxIter: Int = 25,
                checkpointDir: Option[String] = None): Result = {
+    // per-phase wall attribution (round-10): every materialization here
+    // is EAGER (checkpoint / aggregate action), so inline timers are
+    // exact — decade runs read these from Bench's telemetry map to see
+    // WHICH phase grew instead of guessing from the whole-query wall
+    def timed[T](metric: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      val ms = (System.nanoTime() - t0) / 1000000
+      graft.Telemetry.record(metric,
+        graft.Telemetry.snapshot().getOrElse(metric, 0L) + ms)
+      r
+    }
     val ck = checkpointer(edges, checkpointDir)
     // materialize the edge list once: every round (and every convergence
     // check) joins against it, and without the checkpoint the upstream
     // pair-generation pipeline would lazily re-execute per round
-    val sym = ck(edges
+    val sym = timed("components.sym_ms")(ck(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .unionByName(edges
-        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))))
     // initial labels fused with the first propagation round: label0(v) =
     // min(v, min neighbor) is exactly what round 1 would produce from
     // the identity labeling, for the cost of the distinct() aggregation
     // alone — one fewer checkpoint+aggregate cycle per call
-    var labels = ck(sym
+    var labels = timed("components.init_ms")(ck(sym
       .select(col("dst").as("v"), least(col("src"), col("dst")).as("lbl"))
-      .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
+      .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))))
     // convergence via the label-sum invariant: labels only ever
     // decrease elementwise over a fixed vertex set, so an unchanged sum
     // IS the fixpoint — one cheap aggregate per round instead of a
@@ -93,16 +105,16 @@ object Components {
     def lblSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = lblSum(labels)
+    var prevSum = timed("components.sumagg_ms")(lblSum(labels))
     var iter = 1 // the fused initialization IS round 1's propagation
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = ck(sym.as("e")
+      val next = timed("components.round_ms")(ck(sym.as("e")
         .join(labels.as("l"), col("e.src") === col("l.v"))
         .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
         .unionByName(labels)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
-      val nextSum = lblSum(next)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))))
+      val nextSum = timed("components.sumagg_ms")(lblSum(next))
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       // the checkpoint above is eager, so `next` no longer reads the old

@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   * partitioning changes — every possible salt value has a replica on
   * the small side, so the per-row salt choice affects placement, never
   * membership.
+  *
+  * The salt MUST be deterministic per row: a nondeterministic salt
+  * (rand(), monotonically_increasing_id()) feeding a shuffle join key
+  * is the SPARK-23207 class of bug — on a real cluster, a map task
+  * recomputed after a fetch failure re-salts its rows differently from
+  * the copies reducers already fetched, silently losing or duplicating
+  * rows. So the salt is a hash of ALL the large side's columns: stable
+  * under recomputation by construction. Exact-duplicate rows share a
+  * salt and therefore a reducer — acceptable, because skew mitigation
+  * targets hot KEYS (many distinct rows, one key), not a corpus of
+  * byte-identical rows (which exact dedup should have removed
+  * upstream, and which no row-content-based salt can separate).
   */
 object Salting {
 
@@ -23,7 +35,9 @@ object Salting {
   def saltedJoin(large: DataFrame, small: DataFrame,
                  key: String, salt: Int): DataFrame = {
     val saltedLarge = large.withColumn(
-      "__salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+      "__salt",
+      pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salt.toLong))
+        .cast("int"))
     val repeatedSmall = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(salt - 1))))
     saltedLarge.join(repeatedSmall, Seq(key, "__salt"))

@@ -148,9 +148,23 @@ object Similarity {
     * embeddings cluster, so treat √N as the FLOOR: raise cells until
     * the hottest cell's pair fan-out (occupancy²) fits an executor's
     * budget — recall decays gracefully as cells grow (measured in
-    * DedupSimilaritySpec), cost decays as 1/c. */
+    * DedupSimilaritySpec), cost decays as 1/c.
+    *
+    * Clamped to `MaxCells` (2^16): the Lloyd loop collects the
+    * centroid table to the driver each iteration (`Ivf.build` — that
+    * is what makes assignment a broadcast, not a shuffle), so the
+    * cell count bounds DRIVER memory, not executor memory. 65,536
+    * cells × (id + 64-float centroid + count) ≈ 20 MiB on the driver
+    * and a comfortably-broadcastable table — whereas an unclamped √N
+    * at 10⁹ vectors would collect ~31k... at 10¹² ~10⁶ centroids,
+    * a multi-GiB driver pull. Past the clamp the blocked join does
+    * N²/2^16 work — at that scale switch to the linear LSH twin
+    * (`nearDupLsh` / e08) or shard the corpus per IVF index. */
+  val MaxCells: Int = 1 << 16
+
   def cellsFor(n: Long): Int =
-    math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+    math.min(MaxCells.toLong,
+      math.max(1L, math.round(math.sqrt(n.toDouble)))).toInt
 
   /** TRAINED-CELL near-dup variant — NOT the corpus-scale path.
     * Candidate pairs must share an IVF cell (vectors cluster, so

@@ -428,6 +428,11 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     val n = emb.count()
     assert(Similarity.cellsFor(n) === math.round(math.sqrt(n.toDouble)).toInt)
     assert(Similarity.cellsFor(1L) === 1)
+    // √N is clamped to MaxCells: the Lloyd loop collects the centroid
+    // table to the driver, so the cell count must bound driver memory
+    // no matter how large the corpus claims to be
+    assert(Similarity.cellsFor((1L << 32) + 7L) === Similarity.MaxCells)
+    assert(Similarity.cellsFor(Long.MaxValue) === Similarity.MaxCells)
     val exactTop = Similarity.topSimilarPairs(emb, 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def recall(cells: Int): Double = {

@@ -80,6 +80,17 @@ class LayoutSaltingAsOfSpec extends AnyFunSuite with SparkTestSession {
     assert(salted.count() === plain.count())
     assert(salted.groupBy("k", "v").count().collect().toSet ===
       plain.groupBy("k", "v").count().collect().toSet)
+    // cluster-retry safety (SPARK-23207 class): nothing nondeterministic
+    // may feed the shuffled join key — a recomputed map task must
+    // re-salt every row identically, so the whole plan must be built
+    // from deterministic expressions only
+    val nondet = salted.queryExecution.executedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case e if !e.deterministic => e
+      })
+    }.flatten
+    assert(nondet.isEmpty,
+      s"nondeterministic expressions under salted join: $nondet")
   }
 
   test("two-table as-of join attaches most recent prior payload") {
