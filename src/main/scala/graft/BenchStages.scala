@@ -20,16 +20,32 @@ object BenchStages {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // session config mirrors Bench exactly (input-scaled AQE initial
+    // partitions, runtime-only broadcasts, bounded shuffle scratch) so
+    // stage deltas are attributable to the same plans Bench times
+    val inputBytes = {
+      val root = java.nio.file.Paths.get(sfDir)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally walk.close()
+    }
+    val initialParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      math.min(1024L, math.max(cpus.toLong, inputBytes * 8 / (64L << 20))).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initialParts)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_AUTO_BROADCAST", "-1"))
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE_BROADCAST", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
@@ -76,12 +92,76 @@ object BenchStages {
       "s2_connected_components" -> (() => d18cc),
       "s3_size_join" -> (() => d18sized),
       "s4_full_sorted" -> (() => d18full))
+
+    // q32 skew A/B (round-10 VERDICT item 5): the same hot-key join
+    // three ways on a skewed events fixture (GenSkew) — naive shuffle
+    // join with AQE skew mitigation OFF (what a plain plan does),
+    // unsalted with AQE skew-join ON (what the session default gives),
+    // and the registered salted plan. Each thunk re-runs per
+    // measurement, so the conf toggle inside it applies to that run.
+    def q32variant(salted: Boolean, skewOpt: Boolean) = () => {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOpt.toString)
+      val ev = graft.sources.Tables.events(spark, sfDir)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      val joined =
+        if (salted)
+          graft.operators.Salting.saltedJoin(ev, dim.hint("shuffle_hash"),
+            "event_type", salt = 8)
+        else ev.join(dim.hint("shuffle_hash"), Seq("event_type"))
+      joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.functions.ExactNum.cents(col("value")) * col("w"))
+            .as("wsum_cents"))
+        .orderBy(col("event_type"))
+    }
+    val q32Stages: Seq[(String, () => DataFrame)] = Seq(
+      "s1_unsalted_noskewopt" -> q32variant(salted = false, skewOpt = false),
+      "s2_unsalted_aqe_skew" -> q32variant(salted = false, skewOpt = true),
+      "s3_salted" -> q32variant(salted = true, skewOpt = true))
+
+    // d12 droplist-tail alternatives (round-10 VERDICT item 3): the
+    // attributed residual is droplist-distinct + anti-join. The merge
+    // hint there predates the round-9 adaptive-broadcast policy — with
+    // static broadcasts OFF and AQE's runtime 8m threshold, an
+    // UNhinted anti join lets AQE upgrade to broadcast from the REAL
+    // materialized droplist size (a few MB of longs), cliff-free
+    // (outgrows 8m → stays sort-merge). The distinct is also
+    // correctness-optional for an anti join (dup probe keys change
+    // nothing), so measure dropping it too.
+    def d12variant(hint: Option[String], distinct: Boolean) = () => {
+      val exact = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      val dl0 = Dedup.jaccardPairs(
+          Dedup.shingles(exact, "doc_id", "text", 3), 0.6, 100)
+        .select(col("doc_id2").as("doc_id"))
+      val dl = if (distinct) dl0.distinct() else dl0
+      val left = hint.fold(exact)(exact.hint(_))
+      left.join(dl, Seq("doc_id"), "left_anti")
+        .filter(TextAnalysis.langIdHeuristic(col("text")) === "en")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+        .withColumn("split",
+          TextAnalysis.hashSplit(TextAnalysis.textHash(col("text"))))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+    }
+    val d12AltStages: Seq[(String, () => DataFrame)] = Seq(
+      "s1_merge_distinct" -> d12variant(Some("merge"), distinct = true),
+      "s2_nohint_distinct" -> d12variant(None, distinct = true),
+      "s3_nohint_nodistinct" -> d12variant(None, distinct = false))
+
     val ladder = sys.env.getOrElse("SPARK_GRAFT_STAGES", "d12")
-    val stages = if (ladder == "d18") d18Stages else d12Stages
+    val stages = ladder match {
+      case "d18" => d18Stages
+      case "q32" => q32Stages
+      case "d12alt" => d12AltStages
+      case _ => d12Stages
+    }
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val out = stages.map { case (name, fn) =>
+      Telemetry.drain()
       val times = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
@@ -95,14 +175,20 @@ object BenchStages {
       }
       def med(xs: Seq[Double]) =
         if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.size - 1) / 2)
-      (name, med(times.map(_._1)), med(times.map(_._2)))
+      // telemetry (e.g. Components' per-phase wall-ms) accumulates over
+      // the stage's runs — divide by `runs` when reading absolutes
+      (name, med(times.map(_._1)), med(times.map(_._2)), Telemetry.drain())
     }
     def fmt(v: Double) = f"$v%.4f"
-    val walls = out.map { case (k, w, _) => "\"" + k + "\":" + fmt(w) }
+    val walls = out.map { case (k, w, _, _) => "\"" + k + "\":" + fmt(w) }
       .mkString("{", ",", "}")
-    val cpu = out.map { case (k, _, c) => "\"" + k + "\":" + fmt(c) }
+    val cpu = out.map { case (k, _, c, _) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"${ladder}_stages","sf":"$sfDir","runs":$runs,"cpu_sec":$cpu,"wall":$walls}""")
+    val tel = out.collect { case (k, _, _, t) if t.nonEmpty =>
+      "\"" + k + "\":" + t.toSeq.sortBy(_._1)
+        .map { case (m, v) => "\"" + m + "\":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"${ladder}_stages","sf":"$sfDir","runs":$runs,"telemetry":$tel,"cpu_sec":$cpu,"wall":$walls}""")
     spark.stop()
   }
 }

@@ -85,6 +85,60 @@ object EventsStreaming {
     }
   }
 
+  /** Multi-batch replay of the bounded events table: stages the events
+    * into `chunks` time-contiguous parquet files with strictly
+    * increasing modification times, then reads them with
+    * `maxFilesPerTrigger=1` — so an AvailableNow run executes one
+    * micro-batch PER CHUNK, in event-time order (the file source
+    * dequeues oldest-modified first). The single-file source above
+    * degenerates to one micro-batch, which exercises none of the
+    * cross-batch machinery; this variant is what proves watermark
+    * advance, session merges ACROSS batches, and carried
+    * mapGroupsWithState state actually execute (StreamingSpec drives
+    * ≥3 micro-batches through the same sinks and hash-compares to the
+    * batch twins).
+    *
+    * The ntile split runs over a single global sort — test-scale
+    * scaffolding by design (production streams arrive pre-chunked from
+    * Kafka/object-store listings; nothing downstream depends on how
+    * the chunks were made). */
+  def readEventsStreamChunked(spark: SparkSession, dir: String,
+                              chunks: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunks >= 2, "need at least 2 chunks for a multi-batch replay")
+    val streamDir = tempDirDeletedOnExit("graft_events_chunks")
+    val scratch = tempDirDeletedOnExit("graft_events_chunks_stage")
+    val tsType = graft.sources.Tables.eventsTsNativeType(spark, dir)
+    val schema = tsType.map(eventsNativeSchema).getOrElse(eventsRawSchema)
+    val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
+    val chunked = spark.read.schema(schema).parquet(src.toString)
+      .withColumn("__chunk", ntile(chunks).over(Window.orderBy(col("ts"))))
+    (1 to chunks).foreach { i =>
+      val stage = scratch.resolve(s"c$i")
+      chunked.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.parquet(stage.toString)
+      val part = {
+        val ls = java.nio.file.Files.list(stage)
+        try ls.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally ls.close()
+      }
+      val target = streamDir.resolve(f"chunk_$i%03d.parquet")
+      java.nio.file.Files.move(part, target)
+      // strictly increasing mtimes pin the replay order (the source
+      // breaks mtime ties by path, but explicit is better than tied)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1500000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    tsType match {
+      case Some(_) => stream.withColumn("ts", col("ts").cast("timestamp"))
+      case None => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
+
   /** Tumbling 1-hour windowed aggregation with a 30-minute watermark —
     * the streaming twin of q16_events_hourly. */
   def hourlyAgg(events: DataFrame): DataFrame =

@@ -149,6 +149,61 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed === batch)
   }
 
+  test("multi-batch replay: hourly agg across >=3 micro-batches == batch q16") {
+    // round-10 VERDICT item 6: the single-file source runs ONE
+    // micro-batch, which is cross-batch-state-trivially correct. The
+    // chunked source forces one batch per time-contiguous chunk, so
+    // the aggregation state must carry and merge across batches.
+    val src = EventsStreaming.readEventsStreamChunked(spark, sfDir, chunks = 4)
+    val q = EventsStreaming.hourlyAgg(src)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hourly_multibatch")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.map(_.batchId).distinct
+    assert(batches.length >= 3, s"expected >=3 micro-batches, got ${batches.toSeq}")
+    val streamed = spark.table("hourly_multibatch")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = Registry.queries("q16_events_hourly")(spark, sfDir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("multi-batch replay: session windows merge across batches == single-batch twin") {
+    // a user's session spanning a chunk boundary arrives in TWO
+    // micro-batches — the session store must merge them, not emit two
+    // half-sessions. Compare against the same session_window plan run
+    // in batch mode (proven equal to the Sessionize twin above).
+    val src = EventsStreaming.readEventsStreamChunked(spark, sfDir, chunks = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft_mb_sessions").toString
+    spark.conf.set(
+      "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
+    val q = EventsStreaming.userSessions(src, "10 minutes")
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.map(_.batchId).distinct
+    assert(batches.length >= 3, s"expected >=3 micro-batches, got ${batches.toSeq}")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val streamed = key(spark.read.parquet(out))
+    val batch = key(EventsStreaming.userSessions(
+      Tables.events(spark, sfDir), "10 minutes"))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session windows produce bounded, ordered sessions") {
     val sessions = EventsStreaming.userSessions(
       graft.sources.Tables.events(spark, sfDir), "10 minutes")
