@@ -82,11 +82,23 @@ object Components {
     val ck = checkpointer(edges, checkpointDir)
     // materialize the edge list once: every round (and every convergence
     // check) joins against it, and without the checkpoint the upstream
-    // pair-generation pipeline would lazily re-execute per round
-    val sym = timed("components.sym_ms")(ck(edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .unionByName(edges
-        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))))
+    // pair-generation pipeline would lazily re-execute per round.
+    // Round-10: checkpoint the ONE-directional E-row projection and
+    // symmetrize lazily on top of the cache. The previous plan
+    // checkpointed the symmetrized UNION — which executes the whole
+    // upstream pair-generation pipeline once PER UNION BRANCH unless
+    // Spark happens to reuse the exchange, and that reuse measurably
+    // fails at decade scale: an interleaved same-JVM A/B at sf30
+    // (benchlogs_r10/ccab.log) put the union plan at 910.6 s wall /
+    // 22,300 CPU-s vs 413.9 s / 9,304 for this one — 2.2× — with the
+    // whole delta in the sym materialization phase (897 s → 404 s).
+    // The lazy union costs each consumer a 2E-row scan of cached
+    // blocks, exactly what reading a 2E checkpoint would, for half
+    // the write/storage and a guaranteed single pair-gen execution.
+    val onedir = timed("components.sym_ms")(ck(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
+    val sym = onedir.unionByName(
+      onedir.select(col("dst").as("src"), col("src").as("dst")))
     // initial labels fused with the first propagation round: label0(v) =
     // min(v, min neighbor) is exactly what round 1 would produce from
     // the identity labeling, for the cost of the distinct() aggregation
@@ -127,7 +139,7 @@ object Components {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "pathological chain graph; use connectedComponentsStar instead")
-    GraftColumnBridge.unpersistCheckpointed(sym)
+    GraftColumnBridge.unpersistCheckpointed(onedir)
     System.err.println(s"[components] min-label converged in $iter rounds")
     graft.Telemetry.record("components.min_label_rounds", iter.toLong)
     Result(labels, iter)
