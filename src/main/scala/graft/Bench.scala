@@ -143,6 +143,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
+    // compact headline printed LAST (round-11, VERDICT item 4-nit): the
+    // driver stores only the TAIL of stdout (~2000 chars), and the full
+    // 71-query line is ~4 KB, so its head — "{"metric":…" included —
+    // falls outside that window and the driver's parse has recorded
+    // "parsed": null since r08. This short line always lands whole
+    // inside the tail, so a tail-scoped parse finds a complete JSON
+    // object with the headline metric; "detail" names the sidecar file
+    // carrying the per-query maps.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"initial_shuffle_partitions":$initialParts,"detail":"$outPath"}""")
     spark.stop()
   }
 }

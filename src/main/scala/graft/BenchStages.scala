@@ -30,11 +30,15 @@ object BenchStages {
         .mapToLong(java.nio.file.Files.size(_)).sum()
       finally walk.close()
     }
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS pins BOTH knobs, exactly as in
+    // Bench — without the first line an env-pinned A/B between Bench
+    // and BenchStages would silently run different shuffle configs
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val initialParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       math.min(1024L, math.max(cpus.toLong, inputBytes * 8 / (64L << 20))).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initialParts)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")

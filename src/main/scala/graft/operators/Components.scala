@@ -55,11 +55,31 @@ object Components {
   /** (v, lbl) for every vertex appearing in `edges`, where lbl is the
     * minimum vertex id of v's component. Vertices with no edges are
     * absent (a singleton is its own representative — union them in if
-    * needed). Deterministic for any partitioning of the input. */
+    * needed). Deterministic for any partitioning of the input.
+    *
+    * Algorithm selection is automatic (round-11, VERDICT item 3): the
+    * min-label default converges in diameter rounds — 2-4 on the
+    * near-clique graphs dedup produces — but a pathological long-chain
+    * graph exceeds `maxIter`. Rather than abort a 10-hour cluster job
+    * with "use the other algorithm", non-convergence is CAUGHT and the
+    * same edges re-run through `connectedComponentsStar` (O(log² n)
+    * rounds on any shape, same (v, lbl) contract). The fallback is
+    * observable: `components.fallback_star` = 1 plus the usual
+    * `components.star_rounds` land in the telemetry map. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame =
-    minLabel(edges, srcCol, dstCol, maxIter, checkpointDir).labels
+    try minLabel(edges, srcCol, dstCol, maxIter, checkpointDir).labels
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("did not converge") =>
+        System.err.println(
+          s"[components] min-label hit maxIter=$maxIter; falling back to " +
+            "large/small-star")
+        graft.Telemetry.record("components.fallback_star", 1L)
+        connectedComponentsStar(edges, srcCol, dstCol,
+          checkpointDir = checkpointDir).labels
+    }
 
   /** `connectedComponents` with the iteration count — bench/scale runs
     * log it to confirm convergence behavior stays flat across scale
@@ -95,7 +115,12 @@ object Components {
     // The lazy union costs each consumer a 2E-row scan of cached
     // blocks, exactly what reading a 2E checkpoint would, for half
     // the write/storage and a guaranteed single pair-gen execution.
-    val onedir = timed("components.sym_ms")(ck(edges
+    // metric renamed from components.sym_ms in round 11: since the
+    // round-10 onedir fix this phase times only the one-directional
+    // edge checkpoint (symmetrization is lazy; its cost lands in
+    // init_ms/round_ms consumers), so cross-round comparisons against
+    // pre-fix sym_ms numbers are not like-for-like under the old name
+    val onedir = timed("components.edges_ckpt_ms")(ck(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
     val sym = onedir.unionByName(
       onedir.select(col("dst").as("src"), col("src").as("dst")))
@@ -135,6 +160,15 @@ object Components {
       GraftColumnBridge.unpersistCheckpointed(labels)
       labels = next
       iter += 1
+    }
+    if (!converged) {
+      // release this attempt's snapshots before throwing: the caller's
+      // star fallback re-runs pair generation from scratch, and a
+      // leaked O(E) block-manager residue per failed attempt is
+      // exactly the storage squatting the per-round unpersist exists
+      // to prevent
+      GraftColumnBridge.unpersistCheckpointed(labels)
+      GraftColumnBridge.unpersistCheckpointed(onedir)
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +

@@ -38,13 +38,32 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSession {
     assert(cc(Seq.empty[(Long, Long)]) === Map.empty[Long, Long])
   }
 
-  test("non-convergence within maxIter fails loudly") {
+  test("minLabel non-convergence within maxIter fails loudly") {
+    // the raw algorithm keeps the loud-failure contract; the
+    // connectedComponents facade catches exactly this and falls back
     val edges = (1L to 8L).map(i => (i + 1, i))
     val ex = intercept[IllegalArgumentException] {
-      Components.connectedComponents(
-        edges.toDF("a", "b"), "a", "b", maxIter = 2).collect()
+      Components.minLabel(
+        edges.toDF("a", "b"), "a", "b", maxIter = 2).labels.collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents auto-falls back to star on a long-chain graph") {
+    // 40-hop path: diameter 40 > maxIter 6, so min-label cannot
+    // converge — the facade must resolve through the star fallback
+    // instead of aborting (a 10-hour cluster job dying at round 25
+    // with "use the other algorithm" is an operational bug), and the
+    // fallback must be visible in telemetry
+    graft.Telemetry.drain()
+    val edges = (1L to 40L).map(i => (i + 1, i))
+    val got = Components.connectedComponents(
+        edges.toDF("a", "b").repartition(4), "a", "b", maxIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 41L).map(_ -> 1L).toMap)
+    val t = graft.Telemetry.drain()
+    assert(t.get("components.fallback_star") === Some(1L))
+    assert(t.get("components.star_rounds").exists(_ > 0L))
   }
 
   private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
@@ -68,8 +87,8 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSession {
     // star alternation folds it in O(log^2 n)
     val edges = (1L to 64L).map(i => (i + 1, i))
     intercept[IllegalArgumentException] {
-      Components.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter = 6)
-        .collect()
+      Components.minLabel(edges.toDF("a", "b"), "a", "b", maxIter = 6)
+        .labels.collect()
     }
     val r = Components.connectedComponentsStar(
       edges.toDF("a", "b"), "a", "b", maxIter = 12)

@@ -93,6 +93,20 @@ class LayoutSaltingAsOfSpec extends AnyFunSuite with SparkTestSession {
       s"nondeterministic expressions under salted join: $nondet")
   }
 
+  test("salted join accepts a map-typed column on the large side") {
+    // xxhash64 rejects MapType at analysis time, so the salt must be
+    // derived from the hashable columns only — a map column anywhere in
+    // the large side's schema (ADVICE r10) must not break the operator
+    val large = (Seq.fill(1000)(1) ++ Seq(2, 3))
+      .toDF("k").withColumn("attrs", map(lit("a"), col("k") * 2))
+    val small = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val salted = Salting.saltedJoin(large, small, "k", salt = 4)
+    val plain = large.join(small, Seq("k"))
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "v").groupBy("k", "v").count().collect().toSet ===
+      plain.select("k", "v").groupBy("k", "v").count().collect().toSet)
+  }
+
   test("two-table as-of join attaches most recent prior payload") {
     val quotes = Seq(
       (1L, 10L, 100.0, 1L), (1L, 20L, 101.0, 2L), (1L, 30L, 102.0, 3L),

@@ -182,17 +182,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     // in batch mode (proven equal to the Sessionize twin above).
     val src = EventsStreaming.readEventsStreamChunked(spark, sfDir, chunks = 4)
     val out = java.nio.file.Files.createTempDirectory("graft_mb_sessions").toString
-    spark.conf.set(
-      "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
-    val q = EventsStreaming.userSessions(src, "10 minutes")
-      .writeStream.outputMode("complete")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val batches = q.recentProgress.map(_.batchId).distinct
+    // restore the shared test session's conf afterwards — a leaked
+    // session-merge toggle would make later streaming tests
+    // order-dependent (it is a pre-merge optimization, but test
+    // isolation should not lean on that)
+    val mergeKey =
+      "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
+    val prevMerge = spark.conf.getOption(mergeKey)
+    spark.conf.set(mergeKey, "true")
+    val batches = try {
+      val q = EventsStreaming.userSessions(src, "10 minutes")
+        .writeStream.outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.batchId).distinct
+    } finally prevMerge.fold(spark.conf.unset(mergeKey))(spark.conf.set(mergeKey, _))
     assert(batches.length >= 3, s"expected >=3 micro-batches, got ${batches.toSeq}")
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),

@@ -21,7 +21,11 @@ def rungs_of(path, key="queries"):
         if not ln or "{" not in ln:
             continue
         tag = ln.split("]")[0][1:]
-        out[tag] = json.loads(ln[ln.index("{"):])
+        j = json.loads(ln[ln.index("{"):])
+        # Bench prints a compact headline line AFTER the full line
+        # (round-11); keep only lines carrying the requested map
+        if key in j:
+            out[tag] = j
     return out
 
 
@@ -92,7 +96,12 @@ def main() -> None:
             cc["sf30"]["wall"]["s2_onedir_lazy_sym"]
             / cc["sf10"]["wall"]["s2_onedir_lazy_sym"], 2)
     if {"sf10", "sf30"} <= dp.keys():
-        g["d18_product_log"] = round(w["sf30"] / w["sf10"], 2)
+        # derive from dp directly: `w` above only exists when sf1 is
+        # also present (it is needed for the 30x product), and a failed
+        # sf1 leg must degrade this section, not NameError the script
+        g["d18_product_log"] = round(
+            dp["sf30"]["queries"]["d18_dup_clusters"]
+            / dp["sf10"]["queries"]["d18_dup_clusters"], 2)
     if g:
         g["linear"] = 3.0
         doc["d18_growth_3x_all_windows"] = g

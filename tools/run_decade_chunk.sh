@@ -15,6 +15,6 @@ for sf in sf1 sf10; do
   SPARK_GRAFT_SF_DIR=/root/repo/benchdata/$sf \
   SPARK_GRAFT_BENCH_ONLY=$queries \
     sbt -batch "runMain graft.Bench" 2>/dev/null \
-    | grep '"metric"' | sed "s/^/[$sf] /" >> "$log"
+    | grep '"queries"' | sed "s/^/[$sf] /" >> "$log"
 done
 cat "$log"
