@@ -154,11 +154,88 @@ object BenchStages {
       "s2_nohint_distinct" -> d12variant(None, distinct = true),
       "s3_nohint_nodistinct" -> d12variant(None, distinct = false))
 
+    // shared-pair-index A/B (round-11 VERDICT item 2): the suite's four
+    // pair-consuming queries each recompute candidate-pair generation
+    // (96-98% of their wall). The from-index protocol materializes the
+    // survivors + pair index ONCE (s5/s9) and the consumers join the
+    // bucketed artifacts. Compare sum(s1..s4) against sum(s5..s10).
+    // Universe note: the from-index cluster queries run over the
+    // exact-dedup survivor universe (the protocol a real pipeline uses
+    // — clustering exact duplicates is pointless), so s7/s8 are the
+    // survivor-universe twins of the raw-docs registered queries;
+    // s6 (d12) is row-identical to s1 and oracle-pinned via d28.
+    import graft.operators.PairIndex
+    def registered(name: String) = () => SparkEntry.queries(name)(spark, sfDir)
+    val bIdx = PairIndex.DocIndex("bpi_survivors", "bpi_pairs")
+    val pairIdxStages: Seq[(String, () => DataFrame)] = Seq(
+      "s1_d12_recompute" -> registered("d12_corpus_curation"),
+      "s2_d18_recompute" -> registered("d18_dup_clusters"),
+      "s3_d21_recompute" -> registered("d21_cluster_curation"),
+      "s4_e07_recompute" -> registered("e07_embed_dup_clusters"),
+      "s5_materialize_doc_index" -> (() => {
+        PairIndex.materializeDocIndex(docs, "doc_id", "text",
+          survivorsTable = bIdx.survivorsTable, pairsTable = bIdx.pairsTable)
+        spark.table(bIdx.pairsTable)
+      }),
+      "s6_d12_from_index" -> (() =>
+        PairIndex.curateFromIndex(spark, bIdx, "doc_id", "text")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+          .orderBy(col("split"))),
+      "s7_d18_from_index" -> (() =>
+        PairIndex.clustersFromIndex(spark, bIdx).orderBy(col("doc_id"))),
+      "s8_d21_from_index" -> (() =>
+        PairIndex.clusterCurationFromIndex(spark, bIdx, "doc_id", "text")
+          .orderBy(col("doc_id"))),
+      "s9_materialize_vec_index" -> (() => {
+        graft.etl.Layout.writeBucketed(
+          graft.operators.Similarity.nearDupLsh(
+            graft.sources.Tables.embeddings(spark, sfDir), 20)
+            .select(col("v1"), col("v2")),
+          "bpi_vec_pairs", "v2", 32)
+        spark.table("bpi_vec_pairs")
+      }),
+      "s10_e07_from_index" -> (() => {
+        val cc = Components.connectedComponents(
+          spark.table("bpi_vec_pairs"), "v1", "v2")
+        cc.hint("merge")
+          .join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
+          .select(col("v").as("vec_id"), col("lbl").as("cluster_rep"),
+            col("cluster_size"))
+          .orderBy(col("vec_id"))
+      }))
+
+    // d12 residual-CPU attribution (round-11 VERDICT item 1): the
+    // survivor set feeds TWO branches (shingle pipeline + anti-join
+    // left side). If exchange reuse fails at decade scale — exactly
+    // the Components round-10 failure class — the exact-dedup window
+    // (md5 of every text + corpus sort) executes twice: extra CPU
+    // that overlaps wall, matching the 4.6×-CPU/3.44×-wall signature.
+    // s2 forces single execution via a persisted survivor set; if its
+    // CPU tracks linear where s1 does not, the residual is attributed
+    // and the fix is the persist. clearCache() between runs drops the
+    // persisted blocks, so runs stay independent.
+    val d12CkptStages: Seq[(String, () => DataFrame)] = Seq(
+      "s1_curate_current" -> (() =>
+        CorpusPipeline.curate(docs)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))),
+      "s2_curate_persist_exact" -> (() =>
+        CorpusPipeline.curate(docs,
+            persistSurvivors = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))))
+
     val ladder = sys.env.getOrElse("SPARK_GRAFT_STAGES", "d12")
     val stages = ladder match {
       case "d18" => d18Stages
       case "q32" => q32Stages
       case "d12alt" => d12AltStages
+      case "pairidx" => pairIdxStages
+      case "d12ckpt" => d12CkptStages
       case _ => d12Stages
     }
 

@@ -18,14 +18,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Layout {
 
   /** Write a table bucketed+sorted by the join key into the session
-    * warehouse (saveAsTable — bucket metadata lives in the catalog). */
+    * warehouse (saveAsTable — bucket metadata lives in the catalog).
+    *
+    * Re-runnable across JVMs: SaveMode.Overwrite only replaces a table
+    * the CURRENT session's catalog knows about — a fresh session with a
+    * leftover warehouse directory from a previous run fails with
+    * LOCATION_ALREADY_EXISTS — so stale catalog entries are dropped and
+    * an orphaned managed location is cleared first. */
   def writeBucketed(df: DataFrame, table: String,
-                    bucketCol: String, numBuckets: Int): Unit =
+                    bucketCol: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = java.nio.file.Paths.get(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath, table.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /** Write partitioned by a low-cardinality column (e.g. release_year)
     * for static/dynamic partition pruning on point and range filters. */

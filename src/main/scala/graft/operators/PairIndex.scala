@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized candidate-pair index — the compute-once/join-many
+  * protocol a 100 TB dedup run actually uses (round-11, VERDICT item
+  * 2).
+  *
+  * In the per-query registry, d12/d13/d18/d21 (and e07 on the vector
+  * side) each re-run candidate-pair generation from the raw corpus —
+  * correct and self-contained, but pair generation is 96-98% of each
+  * query's wall, so the suite pays the same dominant stage four times.
+  * At corpus scale nobody does that: the shingle→Jaccard pair index is
+  * computed ONCE per corpus snapshot, written bucketed, and every
+  * downstream consumer (drop-list curation, cluster assignment,
+  * cluster-best selection, incremental dedup) JOINS the artifact.
+  *
+  * Two artifacts, as a real pipeline maintains between runs:
+  *  - `survivorsTable`: exact-dedup survivors, bucketed+sorted by the
+  *    doc id. (Pair generation runs over survivors — clustering exact
+  *    duplicates is pointless, and their identical shingle sets would
+  *    only inflate per-shingle document frequencies toward the df-cap.)
+  *  - `pairsTable`: `Dedup.jaccardPairs` over the survivors (the exact
+  *    universe d07/d12 pin against DuckDB), bucketed+sorted by
+  *    `doc_id2` — the key the hottest consumer (the curation drop list
+  *    → anti join) probes with.
+  *
+  * Because both tables are bucketed with the SAME bucket count on
+  * their join keys, the drop-list consumer plans with ZERO exchanges:
+  * the bucketed scans already satisfy the distinct's and the anti
+  * join's distribution requirements (asserted by PairIndexSpec). At
+  * 1000 executors that is the difference between re-shuffling the
+  * corpus per consumer and a per-bucket local merge.
+  *
+  * Consumers mirror the registered queries' semantics over the
+  * survivor universe; `curateFromIndex` is hash-pinned against the
+  * d12 DuckDB oracle end-to-end via the registered
+  * `d28_pair_index_curation` query.
+  */
+object PairIndex {
+
+  /** Catalog table names of one materialized index generation. */
+  final case class DocIndex(survivorsTable: String, pairsTable: String)
+
+  val DefaultSurvivorsTable = "graft_pair_survivors"
+  val DefaultPairsTable = "graft_pair_index"
+
+  /** Compute survivors + pair index once and write both bucketed.
+    * `numBuckets` sizes the co-location unit: at corpus scale it should
+    * track executor count × a small factor (buckets are the parallelism
+    * floor of every downstream no-shuffle join). */
+  def materializeDocIndex(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.6, maxDocFreq: Int = 100,
+                          shingleK: Int = 3, numBuckets: Int = 32,
+                          survivorsTable: String = DefaultSurvivorsTable,
+                          pairsTable: String = DefaultPairsTable): DocIndex = {
+    val spark = docs.sparkSession
+    graft.etl.Layout.writeBucketed(
+      Dedup.dropExactDuplicates(docs, idCol, textCol),
+      survivorsTable, idCol, numBuckets)
+    // pair generation reads the WRITTEN survivors artifact (not the
+    // lazy dedup plan): the exact-dedup window runs once at write time,
+    // and the shingle pipeline scans bucketed parquet — on a cluster
+    // that read is the cheap, re-runnable part
+    val survivors = spark.table(survivorsTable)
+    graft.etl.Layout.writeBucketed(
+      Dedup.jaccardPairs(
+        Dedup.shingles(survivors, idCol, textCol, shingleK),
+        threshold, maxDocFreq),
+      pairsTable, "doc_id2", numBuckets)
+    DocIndex(survivorsTable, pairsTable)
+  }
+
+  /** Near-dup drop list from the index: distinct doc_id2. Rides the
+    * pairs table's bucketing — no exchange for the distinct, none for
+    * a subsequent join on the id (PairIndexSpec asserts both). */
+  def droplist(spark: SparkSession, idx: DocIndex, idCol: String): DataFrame =
+    spark.table(idx.pairsTable)
+      .select(col("doc_id2").as(idCol))
+      .distinct()
+
+  /** d12's curation tail reading the index: survivors anti-join the
+    * drop list (bucket-co-located, zero shuffles until the caller's
+    * aggregation), then the same lang/quality/split gates as
+    * `CorpusPipeline.curate`. Result is row-identical to running
+    * `curate` on the raw docs — pinned by the d28 oracle entry. */
+  def curateFromIndex(spark: SparkSession, idx: DocIndex,
+                      idCol: String, textCol: String,
+                      lang: String = "en", minQuality: Double = 0.3): DataFrame =
+    spark.table(idx.survivorsTable)
+      .join(droplist(spark, idx, idCol), Seq(idCol), "left_anti")
+      .filter(TextAnalysis.langIdHeuristic(col(textCol)) === lang)
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .withColumn("split",
+        TextAnalysis.hashSplit(TextAnalysis.textHash(col(textCol))))
+
+  /** d18's cluster assignment reading the index (survivor universe):
+    * connected components over the materialized pairs plus the size
+    * join — pair generation is a parquet scan here, not a recompute. */
+  def clustersFromIndex(spark: SparkSession, idx: DocIndex): DataFrame = {
+    val cc = Components.connectedComponents(
+      spark.table(idx.pairsTable), "doc_id1", "doc_id2")
+    cc.hint("merge")
+      .join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"))
+  }
+
+  /** d21's keep-best-per-cluster reading the index: components over the
+    * materialized pairs, LM-quality best pick (lowest mean neg-log-prob,
+    * id tie-break), singletons unioned back — all over the survivor
+    * universe the index governs. */
+  def clusterCurationFromIndex(spark: SparkSession, idx: DocIndex,
+                               idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val survivors = spark.table(idx.survivorsTable)
+    val cc = Components.connectedComponents(
+      spark.table(idx.pairsTable), "doc_id1", "doc_id2")
+    val scores = LmScore.score(survivors, idCol, textCol)
+      .select(col(idCol), (col("sum_nlp_micro").cast("double")
+        / col("n_tokens").cast("double")).as("__score"))
+    val sized = cc.hint("merge")
+      .join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
+    val best = sized.join(scores, sized("v") === scores(idCol))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("lbl")).orderBy(col("__score"), col("v"))))
+      .filter(col("__rk") === 1)
+      .select(col("v").as(idCol), col("lbl").as("cluster_rep"),
+        col("cluster_size"), lit("best_in_cluster").as("kept_reason"))
+    val singletons = survivors.select(col(idCol))
+      .join(cc, survivors(idCol) === cc("v"), "left_anti")
+      .select(col(idCol), col(idCol).as("cluster_rep"),
+        lit(1L).as("cluster_size"), lit("singleton").as("kept_reason"))
+    best.unionByName(singletons)
+  }
+}

@@ -1024,6 +1024,24 @@ object TextQueries {
       |GROUP BY p.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** Shared-pair-index curation (d28): the compute-once/join-many
+    * protocol (operators.PairIndex) exercised END-TO-END — materialize
+    * the exact-dedup survivors and the capped-Jaccard pair index as
+    * bucketed tables, then produce d12's curation result by JOINING the
+    * artifacts instead of recomputing pair generation. Same per-split
+    * counts as d12 by construction, so the d12 oracle hash-pins the
+    * materialization path itself (write → bucketed scan → no-shuffle
+    * anti join → gates). */
+  private def d28(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.PairIndex.materializeDocIndex(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.operators.PairIndex.curateFromIndex(s, idx, "doc_id", "text")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+      .orderBy(col("split"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -1051,5 +1069,8 @@ object TextQueries {
     QuerySpec("d24_temperature_mix", d24, Some(d24Sql)),
     QuerySpec("d25_contamination_matrix", d25, Some(d25Sql)),
     QuerySpec("d26_doc_chunks", d26, Some(d26Sql)),
-    QuerySpec("d27_paragraph_dedup", d27, Some(d27Sql)))
+    QuerySpec("d27_paragraph_dedup", d27, Some(d27Sql)),
+    // same oracle text as d12: the from-index result must be
+    // row-identical to the recompute protocol
+    QuerySpec("d28_pair_index_curation", d28, Some(d12Sql)))
 }

@@ -104,16 +104,28 @@ object EventsStreaming {
     * the chunks were made). */
   def readEventsStreamChunked(spark: SparkSession, dir: String,
                               chunks: Int): DataFrame = {
+    val streamDir = tempDirDeletedOnExit("graft_events_chunks")
+    stageEventChunks(spark, dir, chunks, streamDir)
+    readChunkDirStream(spark, dir, streamDir)
+  }
+
+  /** Write the events table as `chunks` time-contiguous single-file
+    * parquet chunks (strictly increasing mtimes) into `streamDir` —
+    * the staging half of `readEventsStreamChunked`, exposed so the
+    * checkpoint-restart spec can stage a PREFIX of the chunks, run a
+    * query to a checkpoint, then stage the rest and restart. Returns
+    * the chunk paths in replay order. */
+  def stageEventChunks(spark: SparkSession, dir: String, chunks: Int,
+                       streamDir: java.nio.file.Path): Seq[java.nio.file.Path] = {
     import org.apache.spark.sql.expressions.Window
     require(chunks >= 2, "need at least 2 chunks for a multi-batch replay")
-    val streamDir = tempDirDeletedOnExit("graft_events_chunks")
     val scratch = tempDirDeletedOnExit("graft_events_chunks_stage")
     val tsType = graft.sources.Tables.eventsTsNativeType(spark, dir)
     val schema = tsType.map(eventsNativeSchema).getOrElse(eventsRawSchema)
     val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
     val chunked = spark.read.schema(schema).parquet(src.toString)
       .withColumn("__chunk", ntile(chunks).over(Window.orderBy(col("ts"))))
-    (1 to chunks).foreach { i =>
+    (1 to chunks).map { i =>
       val stage = scratch.resolve(s"c$i")
       chunked.filter(col("__chunk") === i).drop("__chunk")
         .coalesce(1).write.parquet(stage.toString)
@@ -129,7 +141,18 @@ object EventsStreaming {
       // breaks mtime ties by path, but explicit is better than tied)
       java.nio.file.Files.setLastModifiedTime(target,
         java.nio.file.attribute.FileTime.fromMillis(1500000000000L + i * 60000L))
+      target
     }
+  }
+
+  /** One-micro-batch-per-file reader over a staged chunk directory
+    * (`maxFilesPerTrigger=1`), with the same ts normalization as the
+    * other sources. `dir` is the ORIGINAL sf dir — it decides the ts
+    * layout the staged chunks inherited. */
+  def readChunkDirStream(spark: SparkSession, dir: String,
+                         streamDir: java.nio.file.Path): DataFrame = {
+    val tsType = graft.sources.Tables.eventsTsNativeType(spark, dir)
+    val schema = tsType.map(eventsNativeSchema).getOrElse(eventsRawSchema)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{CorpusPipeline, Dedup, PairIndex}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared pair index (round-11, VERDICT item 2): the materialized
+  * compute-once/join-many protocol must (a) plan its hot consumer with
+  * zero exchanges off the bucketed artifacts, and (b) reproduce the
+  * recompute protocol's results row-for-row. */
+class PairIndexSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val idx = PairIndex.materializeDocIndex(
+    Tables.documents(spark, sfDir), "doc_id", "text",
+    numBuckets = 4,
+    survivorsTable = "pis_survivors", pairsTable = "pis_pairs")
+
+  test("drop-list anti join plans with NO exchange off the bucketed tables") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val anti = spark.table(idx.survivorsTable)
+        .join(PairIndex.droplist(spark, idx, "doc_id"), Seq("doc_id"), "left_anti")
+      val plan = anti.queryExecution.executedPlan.toString
+      // both the droplist's distinct and the anti join must ride the
+      // bucketed scans' partitioning: any Exchange here means the
+      // shared index failed at its one job (no corpus re-shuffle per
+      // consumer)
+      assert(!plan.contains("Exchange"), s"expected shuffle-free consumer:\n$plan")
+      assert(anti.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("curateFromIndex == CorpusPipeline.curate on the same corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val fromIndex = PairIndex.curateFromIndex(spark, idx, "doc_id", "text")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val recomputed = CorpusPipeline.curate(docs)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromIndex === recomputed)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("clustersFromIndex == components over recomputed survivor pairs") {
+    val survivors = Dedup.dropExactDuplicates(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingles(survivors, "doc_id", "text", 3), 0.6, 100)
+    val cc = graft.operators.Components
+      .connectedComponents(pairs, "doc_id1", "doc_id2")
+    val expected = cc
+      .join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
+      .select(col("v"), col("lbl"), col("cluster_size")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = PairIndex.clustersFromIndex(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("clusterCurationFromIndex keeps exactly one doc per cluster plus singletons") {
+    val out = PairIndex.clusterCurationFromIndex(spark, idx, "doc_id", "text")
+    val rows = out.collect()
+    val survivorCount = spark.table(idx.survivorsTable).count()
+    val clustered = PairIndex.clustersFromIndex(spark, idx)
+    val nClusters = clustered.select("cluster_rep").distinct().count()
+    val nClusteredDocs = clustered.count()
+    // one kept doc per cluster + every un-clustered survivor
+    assert(rows.length === (survivorCount - nClusteredDocs + nClusters))
+    assert(rows.count(_.getString(3) == "best_in_cluster") === nClusters)
+    // kept set is one-per-cluster_rep
+    val reps = rows.map(_.getLong(1))
+    assert(reps.distinct.length === reps.length)
+  }
+}
