@@ -218,7 +218,10 @@ object BenchStages {
     // persisted blocks, so runs stay independent.
     val d12CkptStages: Seq[(String, () => DataFrame)] = Seq(
       "s1_curate_current" -> (() =>
-        CorpusPipeline.curate(docs)
+        // explicit None: after the round-11 default flip this stage is
+        // the recompute ARM of the A/B, not "current" — kept under its
+        // logged name so the r11 logs stay comparable
+        CorpusPipeline.curate(docs, persistSurvivors = None)
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n_docs"),
             sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))),

@@ -18,17 +18,27 @@ import org.apache.spark.storage.StorageLevel
   * inverted-index join for near-dups (never all-pairs, hot shingles
   * capped), zero RNG state anywhere.
   *
-  * Materialization policy: the exact-dedup survivor set is consumed by
-  * TWO branches (the shingle/near-dup pipeline and the anti-join's
-  * left side), so it CAN be materialized once via `persistSurvivors`.
-  * That is a scale-time tuning choice, NOT a default: measured at
-  * sf0.1 the dedup window is far cheaper to recompute than the
-  * InMemoryRelation build plus the codegen break a cache boundary
-  * introduces (~4 s recompute vs ~11 s persisted end-to-end). Persist
-  * only when the survivor scan is genuinely expensive relative to
-  * memory/disk bandwidth (e.g. the input is a wide remote scan), and
-  * release it: `curateManaged` returns an unpersist handle so the
-  * cache cannot squat in executor memory for the rest of the session.
+  * Materialization policy (round-11 REVERSAL, measured): the
+  * exact-dedup survivor set is consumed by TWO branches (the
+  * shingle/near-dup pipeline and the anti-join's left side), and
+  * exchange reuse does NOT reliably cover the shared subtree — the
+  * same failure class the round-10 Components fix closed. A
+  * four-rung same-window A/B (benchlogs_r11/d12ckpt.log +
+  * d12ckpt_small.log, runs 2-3 per stage) measured persisting the
+  * survivors at MEMORY_AND_DISK vs recomputing:
+  *   sf0.1  wall −5%  (CPU +41% — cache-build overhead dominates)
+  *   sf1    wall −25% (CPU −2%)
+  *   sf10   wall −7%  (CPU −34%)
+  *   sf30   wall −30% (CPU −25%)
+  * Persist never loses wall across a 300× scale span and wins CPU
+  * from sf10 up, so it is now the DEFAULT (the round-8 "4 s recompute
+  * vs 11 s persisted" sf0.1 reading did not reproduce under the
+  * hardened same-JVM protocol). The cache is corpus-survivor-sized,
+  * spills under memory pressure by construction, and is released by
+  * `spark.catalog.clearCache()`, session end, or — when running many
+  * curations in one long-lived session — the unpersist handle
+  * `curateManaged` returns (call it after the action that consumes
+  * the curated output). Pass `persistSurvivors = None` to opt out.
   *
   * Near-dup drop policy: a document is dropped iff it is Jaccard-similar
   * (≥ threshold over the capped shingle universe) to ANY smaller-id
@@ -44,7 +54,8 @@ object CorpusPipeline {
              maxDocFreq: Int = 100,
              lang: String = "en",
              minQuality: Double = 0.3,
-             persistSurvivors: Option[StorageLevel] = None): DataFrame =
+             persistSurvivors: Option[StorageLevel] =
+               Some(StorageLevel.MEMORY_AND_DISK)): DataFrame =
     curateManaged(docs, jaccardThreshold, maxDocFreq, lang, minQuality,
       persistSurvivors)._1
 
@@ -56,7 +67,8 @@ object CorpusPipeline {
                     maxDocFreq: Int = 100,
                     lang: String = "en",
                     minQuality: Double = 0.3,
-                    persistSurvivors: Option[StorageLevel] = None)
+                    persistSurvivors: Option[StorageLevel] =
+                      Some(StorageLevel.MEMORY_AND_DISK))
       : (DataFrame, () => Unit) = {
     val survivors = Dedup.dropExactDuplicates(docs, "doc_id", "text")
     val exact = persistSurvivors.fold(survivors)(survivors.persist)
