@@ -53,6 +53,17 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     import os
+    # rows are sorted before every compare, so DuckDB's insertion-order
+    # guarantee only costs memory here — off means large aggregations
+    # stream instead of buffering (big-SF oracle runs spill TBs less)
+    con.sql("SET preserve_insertion_order=false")
+    # big-SF runs (sf30 pins) need explicit spill/memory budgets: the
+    # d21 mirror materializes the shingle+token CTEs, and the default
+    # temp dir (cwd/.tmp) sits on whatever disk the repo does
+    for k in ("temp_directory", "memory_limit", "threads"):
+        v = os.environ.get(f"ORACLE_{k.upper()}")
+        if v:
+            con.sql(f"SET {k}='{v}'")
     for t in TABLES:
         # driver testdata lays each table out as one file; Spark-generated
         # scale dirs (benchdata/sf*) are directories of part files
