@@ -593,19 +593,15 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(strict === Set(1L)) // keep-first: smaller id 1 survives, 3 drops
   }
 
-  test("curation persist is opt-in: default plan is cache-free, opt-in " +
-       "plan reads the survivor cache from both consumers and releases it") {
+  test("curation persists survivors by default (both consumers read the " +
+       "cache); opt-out plan is cache-free; release() drops the cache") {
     import graft.operators.CorpusPipeline
     import org.apache.spark.storage.StorageLevel
-    // default: no cache boundary — recompute beats the InMemoryRelation
-    // build at every scale measured (see CorpusPipeline scaladoc)
-    val defaultPlan = CorpusPipeline.curate(docs, minQuality = 0.1)
-      .queryExecution.executedPlan.toString
-    assert(!defaultPlan.contains("InMemoryTableScan"),
-      s"default curate must not cache:\n$defaultPlan")
-    // opt-in: the survivor set feeds two consumers (shingle pipeline +
-    // anti-join left side); the boundary must surface as
-    // InMemoryTableScan on BOTH reads so the dedup window runs once
+    // round-11 default flip (see CorpusPipeline scaladoc for the
+    // four-rung A/B): the survivor set feeds two consumers (shingle
+    // pipeline + anti-join left side) and exchange reuse does not
+    // reliably cover the shared subtree, so the default plan must
+    // surface the cache boundary as InMemoryTableScan on BOTH reads
     val (curated, release) = CorpusPipeline.curateManaged(docs,
       minQuality = 0.1,
       persistSurvivors = Some(StorageLevel.MEMORY_AND_DISK))
@@ -613,13 +609,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       val plan = curated.queryExecution.executedPlan.toString
       val scans = "InMemoryTableScan".r.findAllIn(plan).size
       assert(scans >= 2, s"expected both consumers to read the cache, got $scans:\n$plan")
+      // default == the managed opt-in level
+      val defaultPlan = CorpusPipeline.curate(docs, minQuality = 0.1)
+        .queryExecution.executedPlan.toString
+      assert(defaultPlan.contains("InMemoryTableScan"),
+        s"default curate must persist survivors:\n$defaultPlan")
     } finally release()
-    // the cache manager matches by logical plan, so if release() leaked
-    // the cache a fresh default curate would silently pick it up
-    val after = CorpusPipeline.curate(docs, minQuality = 0.1)
+    // opt-out: explicit None plans without any cache boundary
+    val optOut = CorpusPipeline.curate(docs, minQuality = 0.1,
+        persistSurvivors = None)
       .queryExecution.executedPlan.toString
-    assert(!after.contains("InMemoryTableScan"),
-      s"release() must drop the survivor cache:\n$after")
+    assert(!optOut.contains("InMemoryTableScan"),
+      s"opt-out curate must not cache:\n$optOut")
+    // the cache manager matches by logical plan, so if release() leaked
+    // the cache the opt-out plan above would have silently picked it
+    // up — the assert doubles as the leak check
   }
 
   test("e05 plan is cartesian-free (the point of blocking)") {
