@@ -1042,6 +1042,51 @@ object TextQueries {
       .orderBy(col("split"))
   }
 
+  /** Shared-pair-index cluster assignment (d29): d18's cluster shape
+    * computed FROM the materialized index (operators.PairIndex) over
+    * the survivor universe — the second consumer of the
+    * compute-once/join-many protocol hash-pinned end-to-end (d28 pins
+    * the curation consumer). The oracle replays exact dedup, the
+    * capped posting-pair universe over the survivors, and the
+    * recursive-CTE components. */
+  private def d29(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.PairIndex.materializeDocIndex(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.operators.PairIndex.clustersFromIndex(s, idx)
+      .orderBy(col("doc_id"))
+  }
+
+  private val d29Sql =
+    s"""WITH RECURSIVE exact AS (
+       | SELECT doc_id, text FROM (
+       |   SELECT doc_id, text,
+       |     row_number() OVER (
+       |       PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |       ORDER BY doc_id) AS rn
+       |   FROM documents) WHERE rn = 1),
+       |sh AS (
+       | SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
+       |         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s
+       | FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM exact)),
+       |${postingPairsCtes("doc_id1", "doc_id2", "n_inter")},
+       |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+       |          JOIN card c1 ON doc_id1 = c1.doc_id
+       |          JOIN card c2 ON doc_id2 = c2.doc_id
+       |          WHERE CAST(n_inter AS DOUBLE)
+       |                / CAST(c1.n + c2.n - n_inter AS DOUBLE) >= 0.6),
+       |sym AS (SELECT doc_id1 AS src, doc_id2 AS dst FROM pairs
+       |        UNION SELECT doc_id2, doc_id1 FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src),
+       |lbl AS (SELECT v AS doc_id, MIN(u) AS cluster_rep FROM reach GROUP BY v)
+       |SELECT doc_id, cluster_rep,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+       |FROM lbl
+       |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -1072,5 +1117,6 @@ object TextQueries {
     QuerySpec("d27_paragraph_dedup", d27, Some(d27Sql)),
     // same oracle text as d12: the from-index result must be
     // row-identical to the recompute protocol
-    QuerySpec("d28_pair_index_curation", d28, Some(d12Sql)))
+    QuerySpec("d28_pair_index_curation", d28, Some(d12Sql)),
+    QuerySpec("d29_pair_index_clusters", d29, Some(d29Sql)))
 }
