@@ -107,6 +107,65 @@ object PairIndex {
         col("cluster_size"))
   }
 
+  /** Standing-corpus artifacts for INCREMENTAL dedup — what
+    * `Dedup.dedupIncrement`'s scaladoc promises a 100 TB pipeline
+    * maintains between daily runs: the corpus canonical-hash set and
+    * the corpus shingle index, so a new batch is deduplicated without
+    * re-hashing or re-shingling the corpus. Shingles are stored as the
+    * RAW strings `Dedup.shingles` emits (not pre-hashed), so the
+    * from-index consumer feeds `crossJaccardPairs` the exact relation
+    * the recompute path does — results are row-identical by
+    * construction (pinned by the d30 oracle entry). */
+  final case class CorpusIndex(hashesTable: String, shinglesTable: String)
+
+  val DefaultCorpusHashesTable = "graft_corpus_hashes"
+  val DefaultCorpusShinglesTable = "graft_corpus_shingles"
+
+  /** Materialize the standing corpus's hash set (bucketed by the hash —
+    * the batch anti-join key) and shingle index (bucketed by the
+    * shingle — the key every downstream aggregation and semi-join
+    * clusters on). Run once per corpus snapshot; consumed by every
+    * incoming batch until the corpus advances. */
+  def materializeCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int = 3, numBuckets: Int = 32,
+                             hashesTable: String = DefaultCorpusHashesTable,
+                             shinglesTable: String = DefaultCorpusShinglesTable)
+      : CorpusIndex = {
+    graft.etl.Layout.writeBucketed(
+      corpus.select(TextAnalysis.textHash(col(textCol)).as("__h")).distinct(),
+      hashesTable, "__h", numBuckets)
+    graft.etl.Layout.writeBucketed(
+      Dedup.shingles(corpus, idCol, textCol, shingleK),
+      shinglesTable, "s", numBuckets)
+    CorpusIndex(hashesTable, shinglesTable)
+  }
+
+  /** `Dedup.dedupIncrement` reading the materialized corpus artifacts:
+    * same three-stage contract (within-batch exact dedup → corpus-hash
+    * anti join → cross-corpus df-capped Jaccard drop), with the corpus
+    * side a bucketed parquet scan instead of a recompute. */
+  def dedupIncrementFromIndex(spark: SparkSession, idx: CorpusIndex,
+                              incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              jaccardThreshold: Double = 0.6,
+                              maxDocFreq: Int = 100,
+                              shingleK: Int = 3): DataFrame = {
+    val batch = Dedup.dropExactDuplicates(incoming, idCol, textCol)
+    // merge, not broadcast, for the same cliff reasons as the recompute
+    // path (Dedup.dedupIncrement scaladoc)
+    val fresh = batch
+      .withColumn("__h", TextAnalysis.textHash(col(textCol)))
+      .join(spark.table(idx.hashesTable).hint("merge"), Seq("__h"), "left_anti")
+      .drop("__h")
+    val nearIds = Dedup.crossJaccardPairs(
+        Dedup.shingles(fresh, idCol, textCol, shingleK),
+        spark.table(idx.shinglesTable),
+        jaccardThreshold, maxDocFreq)
+      .select(col("inc_id").as(idCol))
+      .distinct()
+    fresh.join(nearIds.hint("merge"), Seq(idCol), "left_anti")
+  }
+
   /** d21's keep-best-per-cluster reading the index: components over the
     * materialized pairs, LM-quality best pick (lowest mean neg-log-prob,
     * id tie-break), singletons unioned back — all over the survivor

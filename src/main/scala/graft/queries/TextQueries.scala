@@ -1087,6 +1087,25 @@ object TextQueries {
        |FROM lbl
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup from the standing-corpus index (d30): d13's
+    * daily-crawl contract with the corpus side read from the
+    * MATERIALIZED artifacts (canonical-hash set + shingle index,
+    * operators.PairIndex.materializeCorpusIndex) instead of recomputed
+    * — the third oracle-pinned consumer of the compute-once/join-many
+    * protocol, and the one a daily pipeline actually amortizes (the
+    * corpus artifacts serve every batch until the corpus advances).
+    * Row-identical to d13 by construction; same oracle. */
+  private def d30(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = graft.operators.PairIndex.materializeCorpusIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+    graft.operators.PairIndex.dedupIncrementFromIndex(
+        s, idx, incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -1118,5 +1137,8 @@ object TextQueries {
     // same oracle text as d12: the from-index result must be
     // row-identical to the recompute protocol
     QuerySpec("d28_pair_index_curation", d28, Some(d12Sql)),
-    QuerySpec("d29_pair_index_clusters", d29, Some(d29Sql)))
+    QuerySpec("d29_pair_index_clusters", d29, Some(d29Sql)),
+    // same oracle text as d13: the from-index incremental result must
+    // be row-identical to the recompute protocol
+    QuerySpec("d30_incremental_from_index", d30, Some(d13Sql)))
 }

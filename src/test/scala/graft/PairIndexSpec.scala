@@ -63,6 +63,24 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty)
   }
 
+  test("dedupIncrementFromIndex == Dedup.dedupIncrement on the same split") {
+    import org.apache.spark.sql.functions.pmod
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val cidx = PairIndex.materializeCorpusIndex(corpus, "doc_id", "text",
+      numBuckets = 4,
+      hashesTable = "pis_corpus_hashes", shinglesTable = "pis_corpus_shingles")
+    val fromIndex = PairIndex
+      .dedupIncrementFromIndex(spark, cidx, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val recomputed = Dedup
+      .dedupIncrement(corpus, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromIndex === recomputed)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("clusterCurationFromIndex keeps exactly one doc per cluster plus singletons") {
     val out = PairIndex.clusterCurationFromIndex(spark, idx, "doc_id", "text")
     val rows = out.collect()
