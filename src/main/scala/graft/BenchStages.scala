@@ -188,6 +188,21 @@ object BenchStages {
       "s8_d21_from_index" -> (() =>
         PairIndex.clusterCurationFromIndex(spark, bIdx, "doc_id", "text")
           .orderBy(col("doc_id"))),
+      "s11_d13_recompute" -> registered("d13_incremental_dedup"),
+      "s12_materialize_corpus_index" -> (() => {
+        val cidx = PairIndex.materializeCorpusIndex(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+          hashesTable = "bpi_corpus_hashes",
+          shinglesTable = "bpi_corpus_shingles")
+        spark.table(cidx.shinglesTable)
+      }),
+      "s13_d13_from_index" -> (() =>
+        PairIndex.dedupIncrementFromIndex(spark,
+            PairIndex.CorpusIndex("bpi_corpus_hashes", "bpi_corpus_shingles"),
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .orderBy(col("doc_id"))),
       "s9_materialize_vec_index" -> (() => {
         graft.etl.Layout.writeBucketed(
           graft.operators.Similarity.nearDupLsh(

@@ -115,7 +115,21 @@ object PairIndex {
     * RAW strings `Dedup.shingles` emits (not pre-hashed), so the
     * from-index consumer feeds `crossJaccardPairs` the exact relation
     * the recompute path does — results are row-identical by
-    * construction (pinned by the d30 oracle entry). */
+    * construction (pinned by the d30 oracle entry).
+    *
+    * Measured caveat (benchlogs_r11/pairidx_sf01_r2.log): unlike the
+    * pair index — a 4.7x suite win at sf10 — the SHINGLE index is a
+    * measured LOSS at sf0.1 (consumer 3.75 s vs 3.30 s recompute,
+    * before materialize cost): the native codegen shingle kernel
+    * (plans.ShinglesExpr) makes corpus re-shingling a cheap byte scan,
+    * while the expanded raw-string index is ~10x the text in parquet
+    * I/O. A hashed, pre-capped posting list would be far smaller, but
+    * d13's df-cap is defined over the COMBINED batch+corpus universe,
+    * so pre-capping the corpus side would change the semantics — the
+    * raw index is what preserves exactness. Use this artifact when the
+    * corpus text itself is expensive to re-read (remote store, wide
+    * rows); with cheap local text scans, recompute and keep only the
+    * hash-set artifact. */
   final case class CorpusIndex(hashesTable: String, shinglesTable: String)
 
   val DefaultCorpusHashesTable = "graft_corpus_hashes"
