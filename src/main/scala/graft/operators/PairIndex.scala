@@ -97,10 +97,16 @@ object PairIndex {
 
   /** d18's cluster assignment reading the index (survivor universe):
     * connected components over the materialized pairs plus the size
-    * join — pair generation is a parquet scan here, not a recompute. */
-  def clustersFromIndex(spark: SparkSession, idx: DocIndex): DataFrame = {
+    * join — pair generation is a parquet scan here, not a recompute.
+    * `checkpointDir` selects Components' per-round snapshot durability
+    * (round-12, VERDICT item 5): pass a shared-store path on a real
+    * cluster so an executor loss mid-clustering resumes from the
+    * reliable checkpoint instead of killing the job. */
+  def clustersFromIndex(spark: SparkSession, idx: DocIndex,
+                        checkpointDir: Option[String] = None): DataFrame = {
     val cc = Components.connectedComponents(
-      spark.table(idx.pairsTable), "doc_id1", "doc_id2")
+      spark.table(idx.pairsTable), "doc_id1", "doc_id2",
+      checkpointDir = checkpointDir)
     cc.hint("merge")
       .join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
       .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
@@ -185,11 +191,13 @@ object PairIndex {
     * id tie-break), singletons unioned back — all over the survivor
     * universe the index governs. */
   def clusterCurationFromIndex(spark: SparkSession, idx: DocIndex,
-                               idCol: String, textCol: String): DataFrame = {
+                               idCol: String, textCol: String,
+                               checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val survivors = spark.table(idx.survivorsTable)
     val cc = Components.connectedComponents(
-      spark.table(idx.pairsTable), "doc_id1", "doc_id2")
+      spark.table(idx.pairsTable), "doc_id1", "doc_id2",
+      checkpointDir = checkpointDir)
     val scores = LmScore.score(survivors, idCol, textCol)
       .select(col(idCol), (col("sum_nlp_micro").cast("double")
         / col("n_tokens").cast("double")).as("__score"))

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Reliable-checkpoint directory for the iterative clustering queries
+    * (d18/d21/d29) — round-12, VERDICT item 5. The registry's fixed
+    * (SparkSession, sfDir) signature leaves no room for an operator
+    * knob, so deployment selects durability by env:
+    * SPARK_GRAFT_CHECKPOINT_DIR set → Components snapshots per round
+    * into that (shared-store) path and survives executor loss; unset →
+    * executor-local `localCheckpoint`, right for local[*]. */
+  private def ckDir: Option[String] = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+
   // globs for the shared micro-nat tables graft.Verify materializes
   // (see LmScore scaladoc for the shared-table oracle protocol)
   private val SharedLmCostsGlob =
@@ -589,7 +598,7 @@ object TextQueries {
     val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
     val pairs = Dedup.jaccardPairs(sh, 0.6, maxDocFreq = 100)
     val cc = graft.operators.Components
-      .connectedComponents(pairs, "doc_id1", "doc_id2")
+      .connectedComponents(pairs, "doc_id1", "doc_id2", checkpointDir = ckDir)
     cc.join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
       .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
         col("cluster_size"))
@@ -725,7 +734,7 @@ object TextQueries {
     val pairs = Dedup.jaccardPairs(
       Dedup.shingles(docs, "doc_id", "text", 3), 0.6, maxDocFreq = 100)
     val cc = graft.operators.Components
-      .connectedComponents(pairs, "doc_id1", "doc_id2")
+      .connectedComponents(pairs, "doc_id1", "doc_id2", checkpointDir = ckDir)
     val scores = graft.operators.LmScore.score(docs, "doc_id", "text")
       .select(col("doc_id"), (col("sum_nlp_micro").cast("double")
         / col("n_tokens").cast("double")).as("__score"))
@@ -1052,7 +1061,7 @@ object TextQueries {
   private def d29(s: SparkSession, dir: String): DataFrame = {
     val idx = graft.operators.PairIndex.materializeDocIndex(
       Tables.documents(s, dir), "doc_id", "text")
-    graft.operators.PairIndex.clustersFromIndex(s, idx)
+    graft.operators.PairIndex.clustersFromIndex(s, idx, checkpointDir = ckDir)
       .orderBy(col("doc_id"))
   }
 

@@ -38,15 +38,33 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSession {
     assert(cc(Seq.empty[(Long, Long)]) === Map.empty[Long, Long])
   }
 
-  test("minLabel non-convergence within maxIter fails loudly") {
+  test("minLabel non-convergence within maxIter fails loudly and TYPED") {
     // the raw algorithm keeps the loud-failure contract; the
-    // connectedComponents facade catches exactly this and falls back
+    // connectedComponents facade catches exactly this type and falls
+    // back (round-12, VERDICT item 6: typed signal, not message-sniffed)
     val edges = (1L to 8L).map(i => (i + 1, i))
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[Components.NonConvergenceException] {
       Components.minLabel(
         edges.toDF("a", "b"), "a", "b", maxIter = 2).labels.collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("an unrelated IllegalArgumentException does NOT trigger the star fallback") {
+    // checkpointDir="" raises Hadoop's "Can not create a Path from an
+    // empty string" IllegalArgumentException inside the try — before
+    // the typed-catch fix, any IAE risked being misread; the facade
+    // must propagate it (running a second full pair-generation pass to
+    // "recover" from a config typo would mask the real failure)
+    graft.Telemetry.drain()
+    val edges = Seq((1L, 2L), (2L, 3L))
+    val ex = intercept[IllegalArgumentException] {
+      Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", checkpointDir = Some("")).collect()
+    }
+    assert(!ex.isInstanceOf[Components.NonConvergenceException])
+    assert(graft.Telemetry.drain().get("components.fallback_star").isEmpty,
+      "fallback must not fire on a non-convergence-unrelated IAE")
   }
 
   test("connectedComponents auto-falls back to star on a long-chain graph") {
@@ -110,6 +128,34 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSession {
         edges.toDF("a", "b"), "a", "b", maxIter = 50, checkpointDir = Some(dir))
       .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(starReliable === local)
+  }
+
+  test("clustersFromIndex threads checkpointDir through to reliable snapshots") {
+    // round-12, VERDICT item 5: the index consumers must expose the
+    // durability knob — an executor loss mid-clustering on a real
+    // cluster survives only if Components snapshots into shared store.
+    // Proof of mode: reliable checkpoints are FILES under the dir
+    // (localCheckpoint writes none), so a non-empty rdd-* set after the
+    // call shows the reliable path actually ran; results must be
+    // identical to default (local) mode.
+    import graft.operators.PairIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_pi_ckpt")
+    val idx = PairIndex.materializeDocIndex(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", numBuckets = 4,
+      survivorsTable = "ccs_pi_survivors", pairsTable = "ccs_pi_pairs")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = rows(PairIndex.clustersFromIndex(spark, idx))
+    val reliable = rows(PairIndex.clustersFromIndex(spark, idx,
+      checkpointDir = Some(dir.toString)))
+    assert(reliable === local)
+    assert(reliable.nonEmpty)
+    val walk = java.nio.file.Files.walk(dir)
+    val wroteSnapshots =
+      try walk.anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      finally walk.close()
+    assert(wroteSnapshots, s"no reliable checkpoint written under $dir")
   }
 
   test("iteration telemetry: near-clique graphs converge in few rounds") {
