@@ -43,18 +43,72 @@ object PairIndex {
   /** Catalog table names of one materialized index generation. */
   final case class DocIndex(survivorsTable: String, pairsTable: String)
 
-  val DefaultSurvivorsTable = "graft_pair_survivors"
-  val DefaultPairsTable = "graft_pair_index"
+  val SurvivorsBase = "graft_pair_survivors"
+  val PairsBase = "graft_pair_index"
+  val CorpusHashesBase = "graft_corpus_hashes"
+  val CorpusShinglesBase = "graft_corpus_shingles"
+
+  // per-JVM tag + per-call counter: two concurrent consumers in one
+  // session get distinct generations from the counter; two sessions
+  // sharing a warehouse get distinct generations from the pid
+  private val jvmTag: String = s"p${ProcessHandle.current().pid()}"
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Fresh per-invocation catalog table name (round-12, VERDICT item
+    * 1). The previous FIXED default names made any two concurrent
+    * materialize+consume flows — d28 and d29 in one bench session, or
+    * two corpus snapshots in a long-lived cluster session — race on
+    * writeBucketed's drop/delete/rewrite while the other side was
+    * mid-read. Every generation now gets its own tables; callers that
+    * WANT a shared standing artifact pass explicit names. */
+  def freshName(prefix: String): String =
+    s"${prefix}_${jvmTag}_g${gen.incrementAndGet()}"
+
+  /** Garbage-collect index generations left by PREVIOUS JVMs: drops
+    * catalog tables and deletes orphaned warehouse directories whose
+    * name starts with `prefix` but does not carry this JVM's tag.
+    * Registered queries call this before materializing, so a shared
+    * warehouse (./spark-warehouse across bench runs) holds at most one
+    * JVM's worth of generations. Never touches this JVM's own live
+    * generations — a concurrent flow in this session is safe. */
+  def sweepStale(spark: SparkSession, prefix: String): Unit = {
+    val lower = prefix.toLowerCase
+    def stale(n: String) = n.startsWith(lower) && !n.contains(s"_${jvmTag}_")
+    spark.catalog.listTables().collect().map(_.name).filter(stale)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh))
+      fs.listStatus(wh).foreach { st =>
+        val n = st.getPath.getName
+        if (stale(n) && !spark.catalog.tableExists(n)) fs.delete(st.getPath, true)
+      }
+  }
+
+  /** Drop one generation's tables (call after the consuming action when
+    * the index is no longer needed — e.g. specs and one-shot flows). */
+  def dropDocIndex(spark: SparkSession, idx: DocIndex): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `${idx.survivorsTable}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${idx.pairsTable}`")
+  }
+
+  def dropCorpusIndex(spark: SparkSession, idx: CorpusIndex): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `${idx.hashesTable}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${idx.shinglesTable}`")
+  }
 
   /** Compute survivors + pair index once and write both bucketed.
     * `numBuckets` sizes the co-location unit: at corpus scale it should
     * track executor count × a small factor (buckets are the parallelism
-    * floor of every downstream no-shuffle join). */
+    * floor of every downstream no-shuffle join). Default table names
+    * are per-invocation-unique (`freshName`); pass explicit names for a
+    * standing artifact consumed across sessions. */
   def materializeDocIndex(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.6, maxDocFreq: Int = 100,
                           shingleK: Int = 3, numBuckets: Int = 32,
-                          survivorsTable: String = DefaultSurvivorsTable,
-                          pairsTable: String = DefaultPairsTable): DocIndex = {
+                          survivorsTable: String = freshName(SurvivorsBase),
+                          pairsTable: String = freshName(PairsBase)): DocIndex = {
     val spark = docs.sparkSession
     graft.etl.Layout.writeBucketed(
       Dedup.dropExactDuplicates(docs, idCol, textCol),
@@ -138,18 +192,16 @@ object PairIndex {
     * hash-set artifact. */
   final case class CorpusIndex(hashesTable: String, shinglesTable: String)
 
-  val DefaultCorpusHashesTable = "graft_corpus_hashes"
-  val DefaultCorpusShinglesTable = "graft_corpus_shingles"
-
   /** Materialize the standing corpus's hash set (bucketed by the hash —
     * the batch anti-join key) and shingle index (bucketed by the
     * shingle — the key every downstream aggregation and semi-join
     * clusters on). Run once per corpus snapshot; consumed by every
-    * incoming batch until the corpus advances. */
+    * incoming batch until the corpus advances. Default table names are
+    * per-invocation-unique (`freshName`). */
   def materializeCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
                              shingleK: Int = 3, numBuckets: Int = 32,
-                             hashesTable: String = DefaultCorpusHashesTable,
-                             shinglesTable: String = DefaultCorpusShinglesTable)
+                             hashesTable: String = freshName(CorpusHashesBase),
+                             shinglesTable: String = freshName(CorpusShinglesBase))
       : CorpusIndex = {
     graft.etl.Layout.writeBucketed(
       corpus.select(TextAnalysis.textHash(col(textCol)).as("__h")).distinct(),

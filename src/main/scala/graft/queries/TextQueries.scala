@@ -1042,6 +1042,13 @@ object TextQueries {
     * materialization path itself (write → bucketed scan → no-shuffle
     * anti join → gates). */
   private def d28(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PairIndex
+    // per-invocation generation names (round-12): concurrent d28/d29
+    // runs — or two snapshots in one session — no longer contend on
+    // shared catalog state; stale generations from previous JVMs are
+    // garbage-collected here so the warehouse stays bounded
+    PairIndex.sweepStale(s, PairIndex.SurvivorsBase)
+    PairIndex.sweepStale(s, PairIndex.PairsBase)
     val idx = graft.operators.PairIndex.materializeDocIndex(
       Tables.documents(s, dir), "doc_id", "text")
     graft.operators.PairIndex.curateFromIndex(s, idx, "doc_id", "text")
@@ -1059,6 +1066,9 @@ object TextQueries {
     * capped posting-pair universe over the survivors, and the
     * recursive-CTE components. */
   private def d29(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PairIndex
+    PairIndex.sweepStale(s, PairIndex.SurvivorsBase)
+    PairIndex.sweepStale(s, PairIndex.PairsBase)
     val idx = graft.operators.PairIndex.materializeDocIndex(
       Tables.documents(s, dir), "doc_id", "text")
     graft.operators.PairIndex.clustersFromIndex(s, idx, checkpointDir = ckDir)
@@ -1105,6 +1115,9 @@ object TextQueries {
     * corpus artifacts serve every batch until the corpus advances).
     * Row-identical to d13 by construction; same oracle. */
   private def d30(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PairIndex
+    PairIndex.sweepStale(s, PairIndex.CorpusHashesBase)
+    PairIndex.sweepStale(s, PairIndex.CorpusShinglesBase)
     val docs = Tables.documents(s, dir)
     val idx = graft.operators.PairIndex.materializeCorpusIndex(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")

