@@ -149,9 +149,24 @@ object Dedup {
     // internally consistent. distinct() and the window below both ride
     // the single Exchange (hash(s) clusters (doc_id, s)); no extra
     // shuffle.
-    val sh0 = shingleDf.select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .repartition(col("s"))
-      .distinct()
+    jaccardPairsHashed(
+      shingleDf.select(col("doc_id"), xxhash64(col("s")).as("s"))
+        .repartition(col("s"))
+        .distinct(),
+      threshold, maxDocFreq)
+  }
+
+  /** `jaccardPairs` over an ALREADY-hashed, already-distinct
+    * (doc_id, s:long) posting relation — the entry point for
+    * MATERIALIZED shingle indexes (PairIndex): a bucketed index scan is
+    * already hash-partitioned by `s`, so feeding it here lets the
+    * df-cap window, the distinct and the posting aggregation all ride
+    * the bucketing with ZERO exchanges, where `jaccardPairs` would add
+    * its own repartition. Caller contract: rows are distinct and `s` is
+    * `xxhash64` of the shingle string (collision semantics identical to
+    * `jaccardPairs` by construction). */
+  def jaccardPairsHashed(sh0: DataFrame, threshold: Double,
+                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // df-cap BEFORE the posting-list aggregation: the window counts
     // docs per shingle and drops over-cap shingles, so every
     // collect_list state below — map-side partials included — is
