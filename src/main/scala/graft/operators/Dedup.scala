@@ -184,15 +184,24 @@ object Dedup {
     // on doc_id either way, but sourcing from `sh` reuses the same
     // materialized exchange instead of re-running the shingle transform.
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Posting-list intersection: aggregate the (already df-capped)
-    // postings per shingle ONCE, then explode the bounded ordered
-    // pairs. Replaces the former self-join, whose two sorted copies of
-    // the full index (dual sort + sort-merge join) made wall time
-    // superlinear at the sf10 decade (28× for 10× data): one
-    // aggregation over one sorted pass of the index, pair volume
-    // unchanged (≤ C(maxDocFreq,2) per shingle, linear in corpus size
-    // by construction). sort_array makes doc_id1 < doc_id2 positional
-    // instead of a join predicate.
+    scoreJaccardPairs(pairIntersections(sh), card, threshold)
+  }
+
+  /** Shared-shingle counts per ordered doc pair from a capped
+    * (doc_id, s) posting relation: aggregate the postings per shingle
+    * ONCE, then explode the bounded ordered pairs. Replaces the former
+    * self-join, whose two sorted copies of the full index (dual sort +
+    * sort-merge join) made wall time superlinear at the sf10 decade
+    * (28× for 10× data): one aggregation over one sorted pass of the
+    * index, pair volume unchanged (≤ C(maxDocFreq,2) per shingle,
+    * linear in corpus size by construction). sort_array makes
+    * doc_id1 < doc_id2 positional instead of a join predicate.
+    *
+    * Shared by `jaccardPairsHashed` (full run) and
+    * `PairIndex.advanceDocIndex` (delta rescore over candidate
+    * shingles) — one kernel, so the incremental path is row-identical
+    * to the full path by construction. */
+  private[operators] def pairIntersections(sh: DataFrame): DataFrame = {
     val postings = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -201,9 +210,17 @@ object Dedup {
       .select(posexplode(col("ids")).as(Seq("__i", "doc_id1")), col("ids"))
       .select(col("doc_id1"),
         explode(slice(col("ids"), col("__i") + lit(2), size(col("ids")))).as("doc_id2"))
-    val inter = pairs
+    pairs
       .groupBy(col("doc_id1"), col("doc_id2"))
       .agg(count(lit(1)).as("n_inter"))
+  }
+
+  /** Scoring tail shared by the full and incremental Jaccard paths:
+    * join per-doc capped-universe cardinalities `card` (doc_id, n) onto
+    * the intersection counts, threshold, and round. `card` must cover
+    * every doc appearing in `inter` (inner joins). */
+  private[operators] def scoreJaccardPairs(inter: DataFrame, card: DataFrame,
+                                           threshold: Double): DataFrame = {
     val jac = col("n_inter").cast("double") / col("n_union").cast("double")
     // merge hints, not broadcasts, for the cardinality joins: Catalyst's
     // static size estimate of the pair aggregate shrinks below the

@@ -40,11 +40,20 @@ import org.apache.spark.sql.functions._
   */
 object PairIndex {
 
-  /** Catalog table names of one materialized index generation. */
-  final case class DocIndex(survivorsTable: String, pairsTable: String)
+  /** Catalog table names of one materialized index generation.
+    * `postingsTable` (present when materialized with
+    * `keepPostings = true`) is the hashed shingle posting relation
+    * (doc_id, s: long) bucketed by `s` — the third standing artifact
+    * that makes EXACT incremental advance possible
+    * (`advanceDocIndex`): without it, a batch that pushes a shingle's
+    * document frequency across the df-cap would require re-shingling
+    * the whole corpus to rescore the affected pairs. */
+  final case class DocIndex(survivorsTable: String, pairsTable: String,
+                            postingsTable: Option[String] = None)
 
   val SurvivorsBase = "graft_pair_survivors"
   val PairsBase = "graft_pair_index"
+  val PostingsBase = "graft_pair_postings"
   val CorpusHashesBase = "graft_corpus_hashes"
   val CorpusShinglesBase = "graft_corpus_shingles"
 
@@ -91,6 +100,7 @@ object PairIndex {
   def dropDocIndex(spark: SparkSession, idx: DocIndex): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `${idx.survivorsTable}`")
     spark.sql(s"DROP TABLE IF EXISTS `${idx.pairsTable}`")
+    idx.postingsTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   def dropCorpusIndex(spark: SparkSession, idx: CorpusIndex): Unit = {
@@ -108,7 +118,9 @@ object PairIndex {
                           threshold: Double = 0.6, maxDocFreq: Int = 100,
                           shingleK: Int = 3, numBuckets: Int = 32,
                           survivorsTable: String = freshName(SurvivorsBase),
-                          pairsTable: String = freshName(PairsBase)): DocIndex = {
+                          pairsTable: String = freshName(PairsBase),
+                          keepPostings: Boolean = false,
+                          postingsTable: String = freshName(PostingsBase)): DocIndex = {
     val spark = docs.sparkSession
     graft.etl.Layout.writeBucketed(
       Dedup.dropExactDuplicates(docs, idCol, textCol),
@@ -118,12 +130,304 @@ object PairIndex {
     // and the shingle pipeline scans bucketed parquet — on a cluster
     // that read is the cheap, re-runnable part
     val survivors = spark.table(survivorsTable)
-    graft.etl.Layout.writeBucketed(
-      Dedup.jaccardPairs(
-        Dedup.shingles(survivors, idCol, textCol, shingleK),
-        threshold, maxDocFreq),
-      pairsTable, "doc_id2", numBuckets)
-    DocIndex(survivorsTable, pairsTable)
+    val pairsDf =
+      if (!keepPostings)
+        Dedup.jaccardPairs(
+          Dedup.shingles(survivors, idCol, textCol, shingleK),
+          threshold, maxDocFreq)
+      else {
+        // standing-artifact mode: persist the hashed posting relation
+        // first and score pairs FROM the written table — the bucketed
+        // scan already clusters by `s`, so the df-cap window and the
+        // posting aggregation plan with no exchange, and the same
+        // artifact later feeds advanceDocIndex's delta rescore
+        graft.etl.Layout.writeBucketed(
+          Dedup.shingles(survivors, idCol, textCol, shingleK)
+            .select(col("doc_id"), xxhash64(col("s")).as("s"))
+            .distinct(),
+          postingsTable, "s", numBuckets)
+        Dedup.jaccardPairsHashed(spark.table(postingsTable), threshold, maxDocFreq)
+      }
+    graft.etl.Layout.writeBucketed(pairsDf, pairsTable, "doc_id2", numBuckets)
+    // record the materialization parameters on the artifact itself:
+    // advanceDocIndex derives its semantics from these, so an advance
+    // can never silently run with a different cap/threshold than the
+    // index it extends
+    spark.sql(
+      s"ALTER TABLE `$pairsTable` SET TBLPROPERTIES(" +
+        s"'graft.threshold'='$threshold','graft.maxDocFreq'='$maxDocFreq'," +
+        s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets')")
+    DocIndex(survivorsTable, pairsTable,
+      if (keepPostings) Some(postingsTable) else None)
+  }
+
+  /** Outcome of one `advanceDocIndex` call. `appended == true` means
+    * the standing tables were extended in place (the common daily
+    * case); `false` means a new generation was written (and `idx`
+    * names the NEW tables — the caller drops the old generation when
+    * its readers are done). */
+  final case class AdvanceResult(idx: DocIndex, appended: Boolean,
+                                 newDocs: Long, evicted: Long,
+                                 affectedOld: Long)
+
+  /** Advance a standing doc index with a new batch WITHOUT full
+    * rematerialization (round-12, VERDICT item 2) — what a daily
+    * 100 TB pipeline does between corpus snapshots. The post-advance
+    * index is row-identical to `materializeDocIndex` on corpus ∪ batch
+    * (PairIndexSpec pins all three tables on both code paths; the
+    * registered d31 query pins the curation consumer against the d12
+    * oracle end-to-end).
+    *
+    * Why append-only is NOT exact, and what is: the pair scores are
+    * Jaccard over the df-CAPPED shingle universe, and the batch moves
+    * document frequencies. A shingle crossing the cap (either way —
+    * batch postings push it over, an eviction pulls it back under)
+    * changes the capped universe, which changes intersection counts
+    * AND per-doc cardinalities of OLD pairs; shrinking a pair's union
+    * can even lift a previously sub-threshold pair above threshold, so
+    * the delta is not purely additive. The exact affected set is
+    *
+    *   A = batch survivors ∪ evicted corpus docs
+    *       ∪ old docs holding any shingle whose cap status changed
+    *
+    * — every pair with BOTH endpoints outside A is unchanged (its
+    * shared shingles kept their status, and each endpoint's
+    * cardinality is a function of its own shingles' statuses alone).
+    * So the advance rescores exactly the pairs touching A, over the
+    * candidate shingles SA = shingles of A docs (any pair touching A
+    * shares only shingles its A-endpoint holds, so SA covers every
+    * intersection it needs), with cardinalities recomputed for the
+    * delta-pair participants over the full capped combined universe.
+    *
+    * Physical shape (nothing here shuffles the full index):
+    *  - every doc-keyed access goes through `survivorsTable` (bucketed
+    *    by the id: affected/participant docs are re-shingled from a
+    *    bucket-co-located semi join + the native shingle kernel, never
+    *    by re-keying the posting table);
+    *  - every shingle-keyed access goes through `postingsTable`
+    *    (bucketed by `s`: the corpus-wide df aggregation and the
+    *    candidate semi joins ride the bucketing with no exchange);
+    *  - everything else is batch- or delta-scale. The advance costs a
+    *    few LINEAR index scans plus delta-sized compute, vs the full
+    *    pair regeneration (dominant by 30-500× per the r11 suite A/B)
+    *    a rematerialization pays.
+    *
+    * When A is exactly the batch (no evictions, no cap crossings —
+    * detected with two scalar counts), all three artifacts are
+    * APPENDED in place via `Layout.appendBucketed` and the delta is
+    * purely the new cross+within pairs. Otherwise a fresh generation
+    * of all three tables is written (copy-forward of unaffected rows —
+    * I/O-linear in index size, still no pair regeneration) and the old
+    * generation is left intact for concurrent readers; the caller
+    * drops it via `dropDocIndex`.
+    *
+    * Semantics parameters (threshold/cap/k/buckets) are read from the
+    * TBLPROPERTIES `materializeDocIndex` stamped on the pairs table —
+    * an advance can never run with different semantics than the index
+    * it extends. Preconditions: the index was materialized with
+    * `keepPostings = true`; batch ids are distinct from surviving
+    * corpus ids; batch schema matches the corpus schema.
+    *
+    * Append-path atomicity caveat: in-place appends are sequenced
+    * (pairs, then survivors, then postings — each append's plan reads
+    * only pre-append table state), but a concurrent reader of the SAME
+    * DocIndex can observe a partially advanced index; readers needing
+    * snapshot isolation should read a generation that is not being
+    * advanced (the rewrite path provides exactly that). */
+  def advanceDocIndex(spark: SparkSession, idx: DocIndex, batch: DataFrame,
+                      idCol: String, textCol: String): AdvanceResult = {
+    import org.apache.spark.storage.StorageLevel
+    val postingsTable = idx.postingsTable.getOrElse(throw new IllegalArgumentException(
+      s"advanceDocIndex needs the postings artifact: materialize ${idx.pairsTable} " +
+        "with keepPostings = true"))
+    val props = spark.sql(s"SHOW TBLPROPERTIES `${idx.pairsTable}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def prop(k: String): String = props.getOrElse(s"graft.$k",
+      throw new IllegalArgumentException(
+        s"${idx.pairsTable} lacks TBLPROPERTY graft.$k — not a materializeDocIndex artifact"))
+    val threshold = prop("threshold").toDouble
+    val cap = prop("maxDocFreq").toInt
+    val shingleK = prop("shingleK").toInt
+    val numBuckets = prop("numBuckets").toInt
+
+    val survivors = spark.table(idx.survivorsTable)
+    val stored = spark.table(postingsTable)
+    def hashedPostings(docs: DataFrame): DataFrame =
+      Dedup.shingles(docs, idCol, textCol, shingleK)
+        .select(col("doc_id"), xxhash64(col("s")).as("s"))
+        .distinct()
+
+    // ---- exact-dedup advance (eviction-aware) ----
+    // Corpus survivors are unique per canonical hash, so the left join
+    // fans out at most 1:1; the decision relation is batch-scale and is
+    // persisted so every downstream plan (counts, three writes) reads
+    // the decided state instead of replaying the join against a table
+    // that later appends mutate.
+    val decided = Dedup.dropExactDuplicates(batch, idCol, textCol)
+      .withColumn("__h", TextAnalysis.textHash(col(textCol)))
+      .join(survivors.select(col(idCol).as("__cid"),
+          TextAnalysis.textHash(col(textCol)).as("__h")).hint("merge"),
+        Seq("__h"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newSurv = decided
+      .filter(col("__cid").isNull || col(idCol) < col("__cid"))
+      .drop("__h", "__cid")
+    val evictedIds = decided
+      .filter(col("__cid").isNotNull && col(idCol) < col("__cid"))
+      .select(col("__cid").as(idCol))
+    val nEvicted = evictedIds.count()
+    val nNew = newSurv.count()
+
+    val shB = hashedPostings(newSurv).persist(StorageLevel.MEMORY_AND_DISK)
+    val dfB = shB.groupBy(col("s")).agg(count(lit(1)).as("__dfb"))
+    // per-shingle df deltas: batch additions minus eviction removals —
+    // df can only change for shingles present in one of these
+    val dfDelta =
+      (if (nEvicted == 0) dfB.withColumn("__dfe", lit(0L))
+       else dfB.join(
+           hashedPostings(survivors.join(evictedIds, Seq(idCol), "left_semi"))
+             .groupBy(col("s")).agg(count(lit(1)).as("__dfe")),
+           Seq("s"), "full_outer")
+         .select(col("s"), coalesce(col("__dfb"), lit(0L)).as("__dfb"),
+           coalesce(col("__dfe"), lit(0L)).as("__dfe")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // corpus-wide df: aggregation over the bucketed posting scan — no
+    // exchange; joined only against batch-scale key sets
+    val dfOldAll = stored.groupBy(col("s")).agg(count(lit(1)).as("__dfo"))
+    def dfComb(keys: DataFrame): DataFrame =
+      keys.hint("merge").join(dfOldAll, Seq("s"), "left")
+        .join(dfDelta, Seq("s"), "left")
+        .select(col("s"), coalesce(col("__dfo"), lit(0L)).as("__dfo0"),
+          (coalesce(col("__dfo"), lit(0L)) - coalesce(col("__dfe"), lit(0L))
+            + coalesce(col("__dfb"), lit(0L))).as("__dfc"))
+
+    // shingles whose cap status changes AND that some old doc holds:
+    // only these can perturb old-old pairs / old cardinalities
+    val changedKeys = dfComb(dfDelta.select(col("s")))
+      .filter(col("__dfo0") >= 1 &&
+        ((col("__dfo0") <= cap) =!= (col("__dfc") <= cap)))
+      .select(col("s"))
+    val nChanged = changedKeys.count()
+    val affectedOld =
+      if (nChanged == 0) newSurv.select(col(idCol)).limit(0)
+      else stored.join(changedKeys, Seq("s"), "left_semi")
+        .select(col("doc_id").as(idCol)).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAffected = if (nChanged == 0) 0L else affectedOld.count()
+
+    // ---- delta pair rescore over candidate shingles SA ----
+    val aOldDocs = affectedOld // evicted docs carry no postings → no pairs
+    val shAOld =
+      if (nAffected == 0) shB.limit(0)
+      else hashedPostings(survivors.join(
+        aOldDocs.select(col(idCol)), Seq(idCol), "left_semi"))
+    val candKeys = dfB.select(col("s"))
+      .unionByName(shAOld.select(col("s"))).distinct()
+    val cappedCandKeys = dfComb(candKeys)
+      .filter(col("__dfc") <= cap).select(col("s"))
+    // evictions are bounded by the batch's duplicate count — broadcast
+    // the anti side only when the measured count says it fits, else a
+    // plain equi anti join (AQE may still promote it at runtime)
+    def evictedSide: DataFrame = {
+      val e = evictedIds.select(col(idCol).as("__eid"))
+      if (nEvicted <= 5000000L) broadcast(e) else e
+    }
+    val storedCand = {
+      val sc = stored.join(cappedCandKeys, Seq("s"), "left_semi")
+      if (nEvicted == 0) sc
+      else sc.join(evictedSide, sc("doc_id") === col("__eid"), "left_anti")
+    }
+    val candPost = storedCand.select(col("doc_id"), col("s"))
+      .unionByName(shB.join(cappedCandKeys, Seq("s"), "left_semi"))
+    val interAll = Dedup.pairIntersections(candPost)
+    // keep only pairs touching A (the two branches are disjoint by the
+    // anti join, so the union introduces no duplicates); pairs between
+    // two unaffected old docs generated via a shared candidate shingle
+    // are dropped here — their counts over SA alone would be partial
+    val aIds = newSurv.select(col(idCol).as("__aid"))
+      .unionByName(aOldDocs.select(col(idCol).as("__aid")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val interA = interAll
+      .join(aIds, col("doc_id1") === col("__aid"), "left_semi")
+      .unionByName(interAll
+        .join(aIds, col("doc_id1") === col("__aid"), "left_anti")
+        .join(aIds, col("doc_id2") === col("__aid"), "left_semi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cardinalities over the FULL capped combined universe, for every
+    // delta-pair participant: batch docs from shB; old participants
+    // re-shingled via the survivors bucketing (never a doc-keyed pass
+    // over the s-bucketed posting table)
+    val participants = interA.select(col("doc_id1").as("__pid"))
+      .unionByName(interA.select(col("doc_id2").as("__pid"))).distinct()
+    val partOldSh = hashedPostings(survivors.join(
+      participants.select(col("__pid").as(idCol))
+        .join(newSurv.select(col(idCol)), Seq(idCol), "left_anti"),
+      Seq(idCol), "left_semi"))
+    val partPost = shB.unionByName(partOldSh)
+    val cappedPartKeys = dfComb(partPost.select(col("s")).distinct())
+      .filter(col("__dfc") <= cap).select(col("s"))
+    val card = partPost.join(cappedPartKeys, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val delta = Dedup.scoreJaccardPairs(interA, card, threshold)
+
+    // ---- write ----
+    val survCols = spark.table(idx.survivorsTable).columns.toIndexedSeq.map(col)
+    val result =
+      if (nEvicted == 0 && nAffected == 0) {
+        // pure append: A == batch, so the delta is exactly the new
+        // cross+within pairs and no existing row changes. Order is
+        // load-bearing: an insert into a table REFRESHES every cached
+        // plan that reads it (CacheManager), so `decided`'s cache — a
+        // join against the survivors table — would silently recompute
+        // against the mutated table (each batch doc then matches
+        // itself and newSurv collapses to empty). Every append whose
+        // plan reads table T therefore runs BEFORE T is mutated; the
+        // survivors self-append goes last (its file listing snapshots
+        // at planning, so it reads pre-append state even on task
+        // retry).
+        graft.etl.Layout.appendBucketed(delta, idx.pairsTable, "doc_id2", numBuckets)
+        graft.etl.Layout.appendBucketed(shB, postingsTable, "s", numBuckets)
+        graft.etl.Layout.appendBucketed(newSurv.select(survCols: _*),
+          idx.survivorsTable, idCol, numBuckets)
+        AdvanceResult(idx, appended = true, nNew, 0L, 0L)
+      } else {
+        // rewrite: fresh generation, copy-forward of unaffected rows
+        val sTab = freshName(SurvivorsBase)
+        val pTab = freshName(PairsBase)
+        val postTab = freshName(PostingsBase)
+        val liveSurv =
+          if (nEvicted == 0) survivors
+          else survivors.join(evictedSide, survivors(idCol) === col("__eid"), "left_anti")
+        graft.etl.Layout.writeBucketed(
+          liveSurv.select(survCols: _*).unionByName(newSurv.select(survCols: _*)),
+          sTab, idCol, numBuckets)
+        val livePost =
+          if (nEvicted == 0) stored
+          else stored.join(evictedSide, stored("doc_id") === col("__eid"), "left_anti")
+        graft.etl.Layout.writeBucketed(
+          livePost.select(col("doc_id"), col("s")).unionByName(shB),
+          postTab, "s", numBuckets)
+        val removal = aIds.unionByName(evictedIds.select(col(idCol).as("__aid")))
+        val oldPairs = spark.table(idx.pairsTable)
+        val keptPairs = oldPairs
+          .join(removal, col("doc_id1") === col("__aid"), "left_anti")
+          .join(removal, col("doc_id2") === col("__aid"), "left_anti")
+        graft.etl.Layout.writeBucketed(
+          keptPairs.unionByName(delta), pTab, "doc_id2", numBuckets)
+        spark.sql(
+          s"ALTER TABLE `$pTab` SET TBLPROPERTIES(" +
+            s"'graft.threshold'='$threshold','graft.maxDocFreq'='$cap'," +
+            s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets')")
+        AdvanceResult(DocIndex(sTab, pTab, Some(postTab)),
+          appended = false, nNew, nEvicted, nAffected)
+      }
+    interA.unpersist()
+    aIds.unpersist()
+    if (nChanged > 0) affectedOld.unpersist()
+    dfDelta.unpersist()
+    shB.unpersist()
+    decided.unpersist()
+    result
   }
 
   /** Near-dup drop list from the index: distinct doc_id2. Rides the

@@ -1128,6 +1128,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental pair-index advance (d31, round-12): the daily-run
+    * protocol end-to-end — materialize the standing three-artifact
+    * index (survivors + hashed postings + pairs) on an 80% corpus
+    * snapshot, ADVANCE it with the remaining 20% batch via
+    * `PairIndex.advanceDocIndex` (delta rescore, never full pair
+    * regeneration), then run the curation consumer off the advanced
+    * index. Because the advanced index is row-identical to a
+    * from-scratch materialization on the combined corpus, the result
+    * is pinned by d12's oracle over the FULL documents table — the
+    * oracle hash-checks the advance algebra (eviction handling,
+    * df-cap status changes, delta scoring) end-to-end. The %5 split
+    * interleaves batch ids below corpus ids, so the advance exercises
+    * the eviction-aware exact-dedup path at every scale too. */
+  private def d31(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PairIndex
+    PairIndex.sweepStale(s, PairIndex.SurvivorsBase)
+    PairIndex.sweepStale(s, PairIndex.PairsBase)
+    PairIndex.sweepStale(s, PairIndex.PostingsBase)
+    val docs = Tables.documents(s, dir)
+    val idx = PairIndex.materializeDocIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      keepPostings = true)
+    val adv = PairIndex.advanceDocIndex(
+      s, idx, docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+    PairIndex.curateFromIndex(s, adv.idx, "doc_id", "text")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+      .orderBy(col("split"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_doc_stats", d01, Some(d01Sql)),
     QuerySpec("d02_source_profile", d02, Some(d02Sql)),
@@ -1162,5 +1193,6 @@ object TextQueries {
     QuerySpec("d29_pair_index_clusters", d29, Some(d29Sql)),
     // same oracle text as d13: the from-index incremental result must
     // be row-identical to the recompute protocol
-    QuerySpec("d30_incremental_from_index", d30, Some(d13Sql)))
+    QuerySpec("d30_incremental_from_index", d30, Some(d13Sql)),
+    QuerySpec("d31_pair_index_advance", d31, Some(d12Sql)))
 }

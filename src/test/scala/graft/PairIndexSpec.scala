@@ -126,6 +126,126 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     PairIndex.dropDocIndex(spark, mine)
   }
 
+  // ---------- advanceDocIndex (round-12, VERDICT item 2) ----------
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def assertTablesEqual(a: PairIndex.DocIndex, b: PairIndex.DocIndex): Unit = {
+    def eq(ta: String, tb: String): Unit = {
+      val da = spark.table(ta)
+      val db = spark.table(tb)
+      assert(da.exceptAll(db).isEmpty && db.exceptAll(da).isEmpty,
+        s"$ta vs $tb differ:\n${da.collect().mkString("\n")}\n--\n${db.collect().mkString("\n")}")
+    }
+    eq(a.survivorsTable, b.survivorsTable)
+    eq(a.pairsTable, b.pairsTable)
+    eq(a.postingsTable.get, b.postingsTable.get)
+  }
+
+  test("advanceDocIndex append path is row-identical to from-scratch materialization") {
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",
+      3L -> "totally unrelated content sits here quietly")
+    val batch = docsDf(
+      101L -> "a b c d e f g y", // cross near-dup of 1 and 2
+      102L -> "m n o p q r s t",
+      103L -> "m n o p q r s u") // within-batch near-dup of 102
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text")
+    assert(r.appended && r.newDocs === 3 && r.evicted === 0 && r.affectedOld === 0)
+    assert(r.idx === idx) // in-place advance keeps the table names
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    // the advanced index must actually hold cross AND within-batch pairs
+    val pairKeys = spark.table(r.idx.pairsTable)
+      .select("doc_id1", "doc_id2").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairKeys.contains((102L, 103L)))
+    assert(pairKeys.exists { case (x, y) => x <= 2 && y === 101L })
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("advanceDocIndex rescores old pairs when the batch pushes a shingle over the df-cap") {
+    // cap 2: corpus pair (1,2) scores 3/5 = 0.6 via shared shingles
+    // {p q r, q r s, r s t}; the batch doc re-uses "p q r", pushing its
+    // df to 3 > cap — the shingle leaves the capped universe, the old
+    // pair drops to 2/4 = 0.5 < 0.6 and must DISAPPEAR from the
+    // advanced index, which append-only maintenance could never do
+    val corpus = docsDf(
+      1L -> "p q r s t u",
+      2L -> "p q r s t v")
+    val batch = docsDf(101L -> "p q r z1 z2 z3")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    assert(spark.table(idx.pairsTable).count() === 1) // (1,2) pre-advance
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text")
+    assert(!r.appended && r.affectedOld === 2 && r.evicted === 0)
+    assert(r.idx.pairsTable !== idx.pairsTable) // fresh generation
+    assert(spark.table(r.idx.pairsTable).count() === 0)
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    // old generation stays intact for concurrent readers until dropped
+    assert(spark.table(idx.pairsTable).count() === 1)
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("advanceDocIndex handles a smaller-id batch duplicate evicting a corpus survivor") {
+    val corpus = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta",
+      11L -> "alpha beta gamma delta epsilon eta",
+      12L -> "completely different text lives in this row")
+    val batch = docsDf(5L -> "alpha beta gamma delta epsilon zeta") // == doc 10
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text")
+    assert(!r.appended && r.evicted === 1 && r.newDocs === 1)
+    val survivors = spark.table(r.idx.survivorsTable)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(5L, 11L, 12L))
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("two successive advances equal one-shot materialization (B2 pairs with B1)") {
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "totally unrelated content sits here quietly")
+    val b1 = docsDf(101L -> "j k l m n o p q")
+    val b2 = docsDf(201L -> "j k l m n o p r") // near-dup of B1's doc
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    val r1 = PairIndex.advanceDocIndex(spark, idx, b1, "doc_id", "text")
+    val r2 = PairIndex.advanceDocIndex(spark, r1.idx, b2, "doc_id", "text")
+    assert(r1.appended && r2.appended)
+    val pairKeys = spark.table(r2.idx.pairsTable)
+      .select("doc_id1", "doc_id2").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairKeys.contains((101L, 201L))) // advance 2 saw B1's postings
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(b1).unionByName(b2), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r2.idx, scratch)
+    PairIndex.dropDocIndex(spark, r2.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
   test("clusterCurationFromIndex keeps exactly one doc per cluster plus singletons") {
     val out = PairIndex.clusterCurationFromIndex(spark, idx, "doc_id", "text")
     val rows = out.collect()
