@@ -172,6 +172,44 @@ object BenchStages {
       "s2_d18_recompute" -> registered("d18_dup_clusters"),
       "s3_d21_recompute" -> registered("d21_cluster_curation"),
       "s4_e07_recompute" -> registered("e07_embed_dup_clusters"),
+      // ADVICE r11: the from-index cluster consumers (s7/s8) run over
+      // the exact-dedup SURVIVOR universe while the registered queries
+      // (s2/s3) run over raw docs — these twins recompute the
+      // consumers' exact workload from scratch so the headline
+      // recompute-vs-index ratio has apples-to-apples arms (s2/s3 stay
+      // under their r11 names for cross-round comparability)
+      "s2b_d18_recompute_surv" -> (() => {
+        val pairs = Dedup.jaccardPairs(
+          Dedup.shingles(exact, "doc_id", "text", 3), 0.6, maxDocFreq = 100)
+        val cc = Components.connectedComponents(pairs, "doc_id1", "doc_id2")
+        cc.hint("merge")
+          .join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
+            col("cluster_size"))
+          .orderBy(col("doc_id"))
+      }),
+      "s3b_d21_recompute_surv" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Dedup.jaccardPairs(
+          Dedup.shingles(exact, "doc_id", "text", 3), 0.6, maxDocFreq = 100)
+        val cc = Components.connectedComponents(pairs, "doc_id1", "doc_id2")
+        val scores = graft.operators.LmScore.score(exact, "doc_id", "text")
+          .select(col("doc_id"), (col("sum_nlp_micro").cast("double")
+            / col("n_tokens").cast("double")).as("__score"))
+        val sized = cc.hint("merge")
+          .join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
+        val best = sized.join(scores, sized("v") === scores("doc_id"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("lbl")).orderBy(col("__score"), col("v"))))
+          .filter(col("__rk") === 1)
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
+            col("cluster_size"), lit("best_in_cluster").as("kept_reason"))
+        val singletons = exact.select(col("doc_id"))
+          .join(cc, exact("doc_id") === cc("v"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster_rep"),
+            lit(1L).as("cluster_size"), lit("singleton").as("kept_reason"))
+        best.unionByName(singletons).orderBy(col("doc_id"))
+      }),
       "s5_materialize_doc_index" -> (() => {
         PairIndex.materializeDocIndex(docs, "doc_id", "text",
           survivorsTable = bIdx.survivorsTable, pairsTable = bIdx.pairsTable)
@@ -247,14 +285,59 @@ object BenchStages {
           .agg(count(lit(1)).as("n_docs"),
             sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))))
 
+    // Advance economy (round-12, VERDICT item 2): what the daily run
+    // actually compares — ADVANCING a standing 80% index with the 20%
+    // batch (a2 − a1) vs REMATERIALIZING the full index (a3). Each
+    // stage is self-contained (fresh per-invocation generations,
+    // dropped before returning) so repeated runs neither compound an
+    // index nor accumulate warehouse scratch; the timed closure does
+    // the real writes itself and hands the harness a sentinel row.
+    // The %5 split interleaves batch ids below corpus ids, so at real
+    // SFs the advance takes the honest rewrite path (evictions +
+    // cap-status changes) — telemetry records which path ran.
+    val advIdxStages: Seq[(String, () => DataFrame)] = {
+      def corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      def batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      def sentinel = spark.range(1).toDF("ok")
+      Seq(
+        "a1_materialize_corpus80" -> (() => {
+          val i = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+            keepPostings = true)
+          PairIndex.dropDocIndex(spark, i); sentinel
+        }),
+        "a2_materialize80_advance20" -> (() => {
+          val i = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+            keepPostings = true)
+          val r = PairIndex.advanceDocIndex(spark, i, batch, "doc_id", "text")
+          if (!r.appended) PairIndex.dropDocIndex(spark, i)
+          PairIndex.dropDocIndex(spark, r.idx); sentinel
+        }),
+        "a3_materialize_full" -> (() => {
+          val i = PairIndex.materializeDocIndex(docs, "doc_id", "text",
+            keepPostings = true)
+          PairIndex.dropDocIndex(spark, i); sentinel
+        }))
+    }
+
     val ladder = sys.env.getOrElse("SPARK_GRAFT_STAGES", "d12")
-    val stages = ladder match {
+    val allStages = ladder match {
       case "d18" => d18Stages
       case "q32" => q32Stages
       case "d12alt" => d12AltStages
       case "pairidx" => pairIdxStages
+      case "advidx" => advIdxStages
       case "d12ckpt" => d12CkptStages
       case _ => d12Stages
+    }
+    // optional comma-separated stage-name subset, so expensive rungs
+    // (sf30) can run just the arms a given A/B needs — order preserved
+    // from the ladder definition (materialize stages stay ahead of
+    // their consumers)
+    val stages = sys.env.get("SPARK_GRAFT_STAGE_FILTER") match {
+      case Some(f) =>
+        val keep = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        allStages.filter { case (n, _) => keep(n) }
+      case None => allStages
     }
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean

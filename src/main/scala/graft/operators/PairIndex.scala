@@ -237,6 +237,15 @@ object PairIndex {
   def advanceDocIndex(spark: SparkSession, idx: DocIndex, batch: DataFrame,
                       idCol: String, textCol: String): AdvanceResult = {
     import org.apache.spark.storage.StorageLevel
+    val __dbg = sys.env.get("SPARK_GRAFT_ADV_DEBUG").contains("1")
+    def ph[T](name: String)(f: => T): T =
+      if (!__dbg) f else {
+        spark.sparkContext.setJobDescription(s"adv:$name")
+        val t0 = System.nanoTime(); val r = f
+        println(f"ADVPHASE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        spark.sparkContext.setJobDescription(null)
+        r
+      }
     val postingsTable = idx.postingsTable.getOrElse(throw new IllegalArgumentException(
       s"advanceDocIndex needs the postings artifact: materialize ${idx.pairsTable} " +
         "with keepPostings = true"))
@@ -275,8 +284,8 @@ object PairIndex {
     val evictedIds = decided
       .filter(col("__cid").isNotNull && col(idCol) < col("__cid"))
       .select(col("__cid").as(idCol))
-    val nEvicted = evictedIds.count()
-    val nNew = newSurv.count()
+    val nEvicted = ph("count_evicted")(evictedIds.count())
+    val nNew = ph("count_new")(newSurv.count())
 
     val shB = hashedPostings(newSurv).persist(StorageLevel.MEMORY_AND_DISK)
     val dfB = shB.groupBy(col("s")).agg(count(lit(1)).as("__dfb"))
@@ -307,13 +316,13 @@ object PairIndex {
       .filter(col("__dfo0") >= 1 &&
         ((col("__dfo0") <= cap) =!= (col("__dfc") <= cap)))
       .select(col("s"))
-    val nChanged = changedKeys.count()
+    val nChanged = ph("count_changed")(changedKeys.count())
     val affectedOld =
       if (nChanged == 0) newSurv.select(col(idCol)).limit(0)
       else stored.join(changedKeys, Seq("s"), "left_semi")
         .select(col("doc_id").as(idCol)).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-    val nAffected = if (nChanged == 0) 0L else affectedOld.count()
+    val nAffected = ph("count_affected")(if (nChanged == 0) 0L else affectedOld.count())
 
     // ---- delta pair rescore over candidate shingles SA ----
     val aOldDocs = affectedOld // evicted docs carry no postings → no pairs
@@ -323,8 +332,12 @@ object PairIndex {
         aOldDocs.select(col(idCol)), Seq(idCol), "left_semi"))
     val candKeys = dfB.select(col("s"))
       .unionByName(shAOld.select(col("s"))).distinct()
+    // batch-scale key set, re-walked by aPart (twice: A-B join and
+    // A-A kernel) and bPart — persist so the dfComb subtree (a full
+    // posting-table aggregation plus two joins) runs once per advance
     val cappedCandKeys = dfComb(candKeys)
       .filter(col("__dfc") <= cap).select(col("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // evictions are bounded by the batch's duplicate count — broadcast
     // the anti side only when the measured count says it fits, else a
     // plain equi anti join (AQE may still promote it at runtime)
@@ -337,21 +350,43 @@ object PairIndex {
       if (nEvicted == 0) sc
       else sc.join(evictedSide, sc("doc_id") === col("__eid"), "left_anti")
     }
-    val candPost = storedCand.select(col("doc_id"), col("s"))
-      .unionByName(shB.join(cappedCandKeys, Seq("s"), "left_semi"))
-    val interAll = Dedup.pairIntersections(candPost)
-    // keep only pairs touching A (the two branches are disjoint by the
-    // anti join, so the union introduces no duplicates); pairs between
-    // two unaffected old docs generated via a shared candidate shingle
-    // are dropped here — their counts over SA alone would be partial
+    // Pairs touching A, built ASYMMETRICALLY by provenance rather than
+    // generate-all-then-filter: the capped candidate postings split
+    // into disjoint halves — aPart (batch postings + affected-old
+    // stored postings: exactly A's docs) and bPart (every other stored
+    // holder). A×B intersections are one linear join (≤ |aPart| × cap
+    // rows — batch-scale × cap, the true output bound); A×A runs the
+    // shared pairIntersections kernel over batch-scale postings only.
+    // The symmetric alternative (pairIntersections over ALL candidate
+    // holders, then semi-join to A) pays df² per candidate shingle for
+    // B×B pairs it immediately discards — measured 7× slower at
+    // sf0.01, and the gap grows with near-dup density since a batch
+    // shingle's holders are mostly old docs.
+    val shBCap = shB.join(cappedCandKeys, Seq("s"), "left_semi")
+    val (aPart0, bPart) =
+      if (nAffected == 0) (shBCap, storedCand.select(col("doc_id"), col("s")))
+      else {
+        val sc = storedCand.select(col("doc_id"), col("s"))
+        val aOldSet = aOldDocs.select(col(idCol).as("__aoid"))
+        (shBCap.unionByName(
+           sc.join(aOldSet, sc("doc_id") === col("__aoid"), "left_semi")),
+         sc.join(aOldSet, sc("doc_id") === col("__aoid"), "left_anti"))
+      }
+    // batch-scale postings, consumed by both the A-B join and the A-A
+    // kernel — one evaluation instead of two
+    val aPart = aPart0.persist(StorageLevel.MEMORY_AND_DISK)
+    // candidate keys cover every pair-touching-A intersection: a shared
+    // shingle of any such pair is held by its A-side doc, and candKeys
+    // = dfB ∪ shAOld = all shingles of all A docs
+    val interAB = aPart.select(col("s"), col("doc_id").as("__a"))
+      .join(bPart.select(col("s"), col("doc_id").as("__b")), Seq("s"))
+      .groupBy(least(col("__a"), col("__b")).as("doc_id1"),
+        greatest(col("__a"), col("__b")).as("doc_id2"))
+      .agg(count(lit(1)).as("n_inter"))
     val aIds = newSurv.select(col(idCol).as("__aid"))
       .unionByName(aOldDocs.select(col(idCol).as("__aid")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val interA = interAll
-      .join(aIds, col("doc_id1") === col("__aid"), "left_semi")
-      .unionByName(interAll
-        .join(aIds, col("doc_id1") === col("__aid"), "left_anti")
-        .join(aIds, col("doc_id2") === col("__aid"), "left_semi"))
+    val interA = Dedup.pairIntersections(aPart).unionByName(interAB)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // cardinalities over the FULL capped combined universe, for every
     // delta-pair participant: batch docs from shB; old participants
@@ -366,11 +401,35 @@ object PairIndex {
     val partPost = shB.unionByName(partOldSh)
     val cappedPartKeys = dfComb(partPost.select(col("s")).distinct())
       .filter(col("__dfc") <= cap).select(col("s"))
+    // participant-count rows (one per delta-pair doc) — persist so the
+    // scoring tail's two joins don't each re-walk the re-shingle +
+    // df-filter chain
     val card = partPost.join(cappedPartKeys, Seq("s"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The delta is batch-scale-tiny; persist and force it ONCE so the
+    // candidate pipeline (whose `card` subtree alone is ~half the
+    // advance CPU) executes exactly once — the write path then reads
+    // the cache instead of re-walking the tree, and at small SF the
+    // advance cost is ~halved (the pipeline is stage-count-bound
+    // there, data-bound at corpus scale).
     val delta = Dedup.scoreJaccardPairs(interA, card, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ph("force_delta")(delta.count())
 
     // ---- write ----
+    def unpersistAll(): Unit = {
+      delta.unpersist()
+      card.unpersist()
+      interA.unpersist()
+      aPart.unpersist()
+      cappedCandKeys.unpersist()
+      aIds.unpersist()
+      if (nChanged > 0) affectedOld.unpersist()
+      dfDelta.unpersist()
+      shB.unpersist()
+      decided.unpersist()
+    }
     val survCols = spark.table(idx.survivorsTable).columns.toIndexedSeq.map(col)
     val result =
       if (nEvicted == 0 && nAffected == 0) {
@@ -385,10 +444,20 @@ object PairIndex {
         // survivors self-append goes last (its file listing snapshots
         // at planning, so it reads pre-append state even on task
         // retry).
-        graft.etl.Layout.appendBucketed(delta, idx.pairsTable, "doc_id2", numBuckets)
-        graft.etl.Layout.appendBucketed(shB, postingsTable, "s", numBuckets)
-        graft.etl.Layout.appendBucketed(newSurv.select(survCols: _*),
-          idx.survivorsTable, idCol, numBuckets)
+        ph("append_pairs")(graft.etl.Layout.appendBucketed(delta, idx.pairsTable, "doc_id2", numBuckets))
+        // drop the cached intermediates BEFORE mutating the tables
+        // their plans read: an insert also RE-EXECUTES every
+        // registered cache entry whose plan contains the table
+        // (CacheManager refresh), which replayed the whole candidate
+        // pipeline per append — measured as a 10× CPU storm at
+        // sf0.01. The two remaining appends recompute shB/newSurv
+        // from lineage instead (batch-scale work plus one survivors
+        // scan each), reading pre-append table state by plan-time
+        // file-listing snapshots.
+        unpersistAll()
+        ph("append_postings")(graft.etl.Layout.appendBucketed(shB, postingsTable, "s", numBuckets))
+        ph("append_survivors")(graft.etl.Layout.appendBucketed(newSurv.select(survCols: _*),
+          idx.survivorsTable, idCol, numBuckets))
         AdvanceResult(idx, appended = true, nNew, 0L, 0L)
       } else {
         // rewrite: fresh generation, copy-forward of unaffected rows
@@ -418,15 +487,14 @@ object PairIndex {
           s"ALTER TABLE `$pTab` SET TBLPROPERTIES(" +
             s"'graft.threshold'='$threshold','graft.maxDocFreq'='$cap'," +
             s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets')")
+        unpersistAll()
         AdvanceResult(DocIndex(sTab, pTab, Some(postTab)),
           appended = false, nNew, nEvicted, nAffected)
       }
-    interA.unpersist()
-    aIds.unpersist()
-    if (nChanged > 0) affectedOld.unpersist()
-    dfDelta.unpersist()
-    shB.unpersist()
-    decided.unpersist()
+    graft.Telemetry.record("pairindex.advance_appended", if (result.appended) 1L else 0L)
+    graft.Telemetry.record("pairindex.advance_new_docs", result.newDocs)
+    graft.Telemetry.record("pairindex.advance_evicted", result.evicted)
+    graft.Telemetry.record("pairindex.advance_affected_old", result.affectedOld)
     result
   }
 
