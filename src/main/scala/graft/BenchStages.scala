@@ -295,9 +295,14 @@ object BenchStages {
     // The %5 split interleaves batch ids below corpus ids, so at real
     // SFs the advance takes the honest rewrite path (evictions +
     // cap-status changes) — telemetry records which path ran.
+    // batch fraction knob: mod=5 → 20% batch (stress: at sf1+ the df-cap
+    // crossing cascade marks ~the whole corpus affected and the advance
+    // degrades to a rewrite); mod=64 → 1.6% batch (the realistic daily
+    // increment, append path)
+    val advMod = sys.env.getOrElse("SPARK_GRAFT_ADV_MOD", "5").toInt
     val advIdxStages: Seq[(String, () => DataFrame)] = {
-      def corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      def batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      def corpus = docs.filter(pmod(col("doc_id"), lit(advMod)) =!= 0)
+      def batch = docs.filter(pmod(col("doc_id"), lit(advMod)) === 0)
       def sentinel = spark.range(1).toDF("ok")
       Seq(
         "a1_materialize_corpus80" -> (() => {
@@ -309,7 +314,7 @@ object BenchStages {
           val i = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
             keepPostings = true)
           val r = PairIndex.advanceDocIndex(spark, i, batch, "doc_id", "text")
-          if (!r.appended) PairIndex.dropDocIndex(spark, i)
+          PairIndex.dropSuperseded(spark, i, r.idx)
           PairIndex.dropDocIndex(spark, r.idx); sentinel
         }),
         "a3_materialize_full" -> (() => {

@@ -162,13 +162,24 @@ object PairIndex {
   }
 
   /** Outcome of one `advanceDocIndex` call. `appended == true` means
-    * the standing tables were extended in place (the common daily
-    * case); `false` means a new generation was written (and `idx`
-    * names the NEW tables — the caller drops the old generation when
-    * its readers are done). */
+    * all three standing tables were extended in place; `false` means
+    * at least the pairs table is a new generation (`idx` names the
+    * live tables — some may be REUSED from the input index, so release
+    * the superseded ones via `dropSuperseded`, not a blind drop of the
+    * old index). */
   final case class AdvanceResult(idx: DocIndex, appended: Boolean,
                                  newDocs: Long, evicted: Long,
                                  affectedOld: Long)
+
+  /** Drop the tables of a superseded generation that the advanced
+    * index does NOT reuse (a partial rewrite keeps the old survivors
+    * and postings tables live inside `advanced`). Call once the old
+    * generation's readers are done. */
+  def dropSuperseded(spark: SparkSession, old: DocIndex, advanced: DocIndex): Unit = {
+    val live = Set(advanced.survivorsTable, advanced.pairsTable) ++ advanced.postingsTable
+    (Seq(old.survivorsTable, old.pairsTable) ++ old.postingsTable)
+      .filterNot(live).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
 
   /** Advance a standing doc index with a new batch WITHOUT full
     * rematerialization (round-12, VERDICT item 2) — what a daily
@@ -212,14 +223,22 @@ object PairIndex {
     *    pair regeneration (dominant by 30-500× per the r11 suite A/B)
     *    a rematerialization pays.
     *
-    * When A is exactly the batch (no evictions, no cap crossings —
-    * detected with two scalar counts), all three artifacts are
-    * APPENDED in place via `Layout.appendBucketed` and the delta is
-    * purely the new cross+within pairs. Otherwise a fresh generation
-    * of all three tables is written (copy-forward of unaffected rows —
-    * I/O-linear in index size, still no pair regeneration) and the old
-    * generation is left intact for concurrent readers; the caller
-    * drops it via `dropDocIndex`.
+    * Write strategy, chosen from two scalar counts:
+    *  - no evictions, no cap crossings → all three artifacts APPENDED
+    *    in place (`Layout.appendBucketed`); the delta is purely the
+    *    new cross+within pairs.
+    *  - no evictions, cap crossings (the NORMAL daily case at scale —
+    *    every large corpus has a band of shingles near the df-cap and
+    *    any batch flips some) → survivors and postings still append in
+    *    place (no existing row of either changes), and only the PAIRS
+    *    table is rewritten to a fresh generation (copy-forward of
+    *    pairs not touching A, plus the delta).
+    *  - evictions → all three tables get a fresh generation with
+    *    copy-forward of live rows. Still no pair regeneration.
+    * Rewritten generations leave the old tables intact for concurrent
+    * readers; release superseded tables with `dropSuperseded` (NOT a
+    * blind `dropDocIndex(old)` — a partial rewrite REUSES the old
+    * survivors/postings tables in the advanced index).
     *
     * Semantics parameters (threshold/cap/k/buckets) are read from the
     * TBLPROPERTIES `materializeDocIndex` stamped on the pairs table —
@@ -284,8 +303,15 @@ object PairIndex {
     val evictedIds = decided
       .filter(col("__cid").isNotNull && col(idCol) < col("__cid"))
       .select(col("__cid").as(idCol))
-    val nEvicted = ph("count_evicted")(evictedIds.count())
-    val nNew = ph("count_new")(newSurv.count())
+    // both decision counts in ONE action over the persisted relation —
+    // each count() here is a full multi-stage job at small batch sizes
+    val cnts = ph("count_new_evicted")(decided.agg(
+      sum(when(col("__cid").isNotNull && col(idCol) < col("__cid"), 1L)
+        .otherwise(0L)).as("e"),
+      sum(when(col("__cid").isNull || col(idCol) < col("__cid"), 1L)
+        .otherwise(0L)).as("n")).head())
+    val nEvicted = if (cnts.isNullAt(0)) 0L else cnts.getLong(0)
+    val nNew = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
 
     val shB = hashedPostings(newSurv).persist(StorageLevel.MEMORY_AND_DISK)
     val dfB = shB.groupBy(col("s")).agg(count(lit(1)).as("__dfb"))
@@ -416,6 +442,22 @@ object PairIndex {
     val delta = Dedup.scoreJaccardPairs(interA, card, threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ph("force_delta")(delta.count())
+    // Sever the write inputs from the advance DAG: every write below is
+    // a NEW action whose logical plan would otherwise be the full
+    // multi-join advance tree — Catalyst re-analyzes and re-optimizes
+    // that tree per write even though execution hits the caches, a
+    // driver-serial cost (~seconds per write here, and the optimizer is
+    // single-threaded on a 1000-executor driver too). The three write
+    // inputs are batch-scale, so localCheckpoint them once off the warm
+    // caches: the write plans become flat scans of checkpointed blocks,
+    // and — since they reference no catalog table — they are
+    // structurally immune to the CacheManager refresh storm that
+    // in-place appends trigger on plans reading the mutated tables.
+    val survCols = spark.table(idx.survivorsTable).columns.toIndexedSeq.map(col)
+    val (deltaCk, shBCk, newSurvCk) = ph("checkpoint_writes")((
+      delta.localCheckpoint(true),
+      shB.localCheckpoint(true),
+      newSurv.select(survCols: _*).localCheckpoint(true)))
 
     // ---- write ----
     def unpersistAll(): Unit = {
@@ -430,37 +472,59 @@ object PairIndex {
       shB.unpersist()
       decided.unpersist()
     }
-    val survCols = spark.table(idx.survivorsTable).columns.toIndexedSeq.map(col)
     val result =
       if (nEvicted == 0 && nAffected == 0) {
         // pure append: A == batch, so the delta is exactly the new
-        // cross+within pairs and no existing row changes. Order is
-        // load-bearing: an insert into a table REFRESHES every cached
-        // plan that reads it (CacheManager), so `decided`'s cache — a
-        // join against the survivors table — would silently recompute
-        // against the mutated table (each batch doc then matches
-        // itself and newSurv collapses to empty). Every append whose
-        // plan reads table T therefore runs BEFORE T is mutated; the
-        // survivors self-append goes last (its file listing snapshots
-        // at planning, so it reads pre-append state even on task
-        // retry).
-        ph("append_pairs")(graft.etl.Layout.appendBucketed(delta, idx.pairsTable, "doc_id2", numBuckets))
-        // drop the cached intermediates BEFORE mutating the tables
-        // their plans read: an insert also RE-EXECUTES every
-        // registered cache entry whose plan contains the table
-        // (CacheManager refresh), which replayed the whole candidate
-        // pipeline per append — measured as a 10× CPU storm at
-        // sf0.01. The two remaining appends recompute shB/newSurv
-        // from lineage instead (batch-scale work plus one survivors
-        // scan each), reading pre-append table state by plan-time
-        // file-listing snapshots.
+        // cross+within pairs and no existing row changes. The caches
+        // are released BEFORE the tables they read are mutated —
+        // an insert RE-EXECUTES every registered cache entry whose
+        // plan contains the table (CacheManager refresh), which
+        // replayed the whole candidate pipeline per append before the
+        // round-12 fix (a measured 10× CPU storm at sf0.01). The
+        // appends themselves write the CHECKPOINTED frames, whose
+        // plans reference no catalog table, so they can run in any
+        // order relative to the mutations.
         unpersistAll()
-        ph("append_postings")(graft.etl.Layout.appendBucketed(shB, postingsTable, "s", numBuckets))
-        ph("append_survivors")(graft.etl.Layout.appendBucketed(newSurv.select(survCols: _*),
+        ph("append_pairs")(graft.etl.Layout.appendBucketed(deltaCk, idx.pairsTable, "doc_id2", numBuckets))
+        ph("append_postings")(graft.etl.Layout.appendBucketed(shBCk, postingsTable, "s", numBuckets))
+        ph("append_survivors")(graft.etl.Layout.appendBucketed(newSurvCk,
           idx.survivorsTable, idCol, numBuckets))
         AdvanceResult(idx, appended = true, nNew, 0L, 0L)
+      } else if (nEvicted == 0) {
+        // partial rewrite (the common cap-cascade case): with no
+        // evictions, NO existing survivor or posting row changes —
+        // affected-old docs keep their rows; only their PAIR scores
+        // move. So survivors and postings append in place exactly like
+        // the pure-append path, and only the pairs table gets the
+        // copy-forward rewrite (drop pairs touching A, add the delta).
+        // This matters at scale: the cap cascade is inherent — any
+        // large corpus has a band of shingles sitting near the df-cap,
+        // and ANY batch flips some of them, each flip touching up to
+        // `cap` docs — so nAffected>0 is the NORMAL daily outcome, and
+        // before this split the advance paid a full three-table
+        // copy-forward (I/O ≈ a rematerialization) for it. The pairs
+        // rewrite reads the OLD pairs table and writes a fresh
+        // generation, so it runs before the cache release; the
+        // appends write checkpointed frames afterwards.
+        val pTab = freshName(PairsBase)
+        val keptPairs = spark.table(idx.pairsTable)
+          .join(aIds, col("doc_id1") === col("__aid"), "left_anti")
+          .join(aIds, col("doc_id2") === col("__aid"), "left_anti")
+        graft.etl.Layout.writeBucketed(
+          keptPairs.unionByName(deltaCk), pTab, "doc_id2", numBuckets)
+        spark.sql(
+          s"ALTER TABLE `$pTab` SET TBLPROPERTIES(" +
+            s"'graft.threshold'='$threshold','graft.maxDocFreq'='$cap'," +
+            s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets')")
+        unpersistAll()
+        ph("append_postings")(graft.etl.Layout.appendBucketed(shBCk, postingsTable, "s", numBuckets))
+        ph("append_survivors")(graft.etl.Layout.appendBucketed(newSurvCk,
+          idx.survivorsTable, idCol, numBuckets))
+        AdvanceResult(DocIndex(idx.survivorsTable, pTab, Some(postingsTable)),
+          appended = false, nNew, 0L, nAffected)
       } else {
-        // rewrite: fresh generation, copy-forward of unaffected rows
+        // full rewrite: evictions delete rows from all three tables, so
+        // each gets a fresh generation with copy-forward of live rows
         val sTab = freshName(SurvivorsBase)
         val pTab = freshName(PairsBase)
         val postTab = freshName(PostingsBase)
@@ -468,13 +532,13 @@ object PairIndex {
           if (nEvicted == 0) survivors
           else survivors.join(evictedSide, survivors(idCol) === col("__eid"), "left_anti")
         graft.etl.Layout.writeBucketed(
-          liveSurv.select(survCols: _*).unionByName(newSurv.select(survCols: _*)),
+          liveSurv.select(survCols: _*).unionByName(newSurvCk),
           sTab, idCol, numBuckets)
         val livePost =
           if (nEvicted == 0) stored
           else stored.join(evictedSide, stored("doc_id") === col("__eid"), "left_anti")
         graft.etl.Layout.writeBucketed(
-          livePost.select(col("doc_id"), col("s")).unionByName(shB),
+          livePost.select(col("doc_id"), col("s")).unionByName(shBCk),
           postTab, "s", numBuckets)
         val removal = aIds.unionByName(evictedIds.select(col(idCol).as("__aid")))
         val oldPairs = spark.table(idx.pairsTable)
@@ -482,7 +546,7 @@ object PairIndex {
           .join(removal, col("doc_id1") === col("__aid"), "left_anti")
           .join(removal, col("doc_id2") === col("__aid"), "left_anti")
         graft.etl.Layout.writeBucketed(
-          keptPairs.unionByName(delta), pTab, "doc_id2", numBuckets)
+          keptPairs.unionByName(deltaCk), pTab, "doc_id2", numBuckets)
         spark.sql(
           s"ALTER TABLE `$pTab` SET TBLPROPERTIES(" +
             s"'graft.threshold'='$threshold','graft.maxDocFreq'='$cap'," +

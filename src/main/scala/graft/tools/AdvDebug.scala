@@ -66,8 +66,8 @@ object AdvDebug {
     }
     println(s"appended=${r.appended} new=${r.newDocs} evicted=${r.evicted} affected=${r.affectedOld}")
     phase("drop") {
+      graft.operators.PairIndex.dropSuperseded(spark, idx, r.idx)
       graft.operators.PairIndex.dropDocIndex(spark, r.idx)
-      if (!r.appended) graft.operators.PairIndex.dropDocIndex(spark, idx)
     }
     import scala.jdk.CollectionConverters._
     stageCpu.asScala.toSeq.sortBy(-_._2).take(20).foreach { case (n, ms) =>
