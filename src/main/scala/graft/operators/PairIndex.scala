@@ -47,13 +47,25 @@ object PairIndex {
     * that makes EXACT incremental advance possible
     * (`advanceDocIndex`): without it, a batch that pushes a shingle's
     * document frequency across the df-cap would require re-shingling
-    * the whole corpus to rescore the affected pairs. */
+    * the whole corpus to rescore the affected pairs.
+    *
+    * `dfTable` (round-13) is the FOURTH standing artifact: per-shingle
+    * document-frequency DELTA rows (s: long, cnt: long), bucketed by
+    * `s`. The current df of a shingle is `sum(cnt)` over its rows —
+    * append-only by construction (a batch appends +counts, an eviction
+    * appends −counts), so every advance maintains it with a bucketed
+    * append instead of a rewrite, and reading it costs a bucket-local
+    * aggregation over ~|distinct shingles| rows instead of re-counting
+    * the full posting relation (~|doc,shingle| rows) — the dominant
+    * advance overhead the round-12 measurements flagged. */
   final case class DocIndex(survivorsTable: String, pairsTable: String,
-                            postingsTable: Option[String] = None)
+                            postingsTable: Option[String] = None,
+                            dfTable: Option[String] = None)
 
   val SurvivorsBase = "graft_pair_survivors"
   val PairsBase = "graft_pair_index"
   val PostingsBase = "graft_pair_postings"
+  val DfBase = "graft_pair_df"
   val CorpusHashesBase = "graft_corpus_hashes"
   val CorpusShinglesBase = "graft_corpus_shingles"
 
@@ -73,16 +85,34 @@ object PairIndex {
   def freshName(prefix: String): String =
     s"${prefix}_${jvmTag}_g${gen.incrementAndGet()}"
 
-  /** Garbage-collect index generations left by PREVIOUS JVMs: drops
+  /** Garbage-collect index generations left by DEAD JVMs: drops
     * catalog tables and deletes orphaned warehouse directories whose
-    * name starts with `prefix` but does not carry this JVM's tag.
+    * name starts with `prefix`, does not carry this JVM's tag, AND
+    * whose embedded `_p<pid>_` owner is no longer a live process on
+    * this host (round-13, ADVICE: a liveness check, so a second
+    * concurrently running JVM sharing the warehouse — the very
+    * scenario the pid-tagged naming exists for — never has its live
+    * index dropped mid-read). A name without a parseable pid tag is
+    * treated as stale; for that reason explicit standing-artifact
+    * names passed by callers MUST NOT start with the reserved
+    * `graft_pair_*` / `graft_corpus_*` prefixes. Liveness is
+    * host-local — on a multi-host cluster sharing a metastore, gate
+    * sweeps on artifact age instead (don't call this blindly).
     * Registered queries call this before materializing, so a shared
-    * warehouse (./spark-warehouse across bench runs) holds at most one
-    * JVM's worth of generations. Never touches this JVM's own live
+    * warehouse (./spark-warehouse across bench runs) holds at most the
+    * live JVMs' generations. Never touches this JVM's own live
     * generations — a concurrent flow in this session is safe. */
   def sweepStale(spark: SparkSession, prefix: String): Unit = {
     val lower = prefix.toLowerCase
-    def stale(n: String) = n.startsWith(lower) && !n.contains(s"_${jvmTag}_")
+    val pidTag = "_p([0-9]+)_".r
+    def ownerAlive(n: String): Boolean = pidTag.findFirstMatchIn(n) match {
+      case Some(m) =>
+        val o = ProcessHandle.of(m.group(1).toLong)
+        o.isPresent && o.get.isAlive
+      case None => false
+    }
+    def stale(n: String) =
+      n.startsWith(lower) && !n.contains(s"_${jvmTag}_") && !ownerAlive(n)
     spark.catalog.listTables().collect().map(_.name).filter(stale)
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
     val wh = new org.apache.hadoop.fs.Path(
@@ -97,11 +127,38 @@ object PairIndex {
 
   /** Drop one generation's tables (call after the consuming action when
     * the index is no longer needed — e.g. specs and one-shot flows). */
-  def dropDocIndex(spark: SparkSession, idx: DocIndex): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `${idx.survivorsTable}`")
-    spark.sql(s"DROP TABLE IF EXISTS `${idx.pairsTable}`")
-    idx.postingsTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  def dropDocIndex(spark: SparkSession, idx: DocIndex): Unit =
+    (Seq(idx.survivorsTable, idx.pairsTable)
+      ++ idx.postingsTable ++ idx.dfTable)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  // ---- own-JVM generation bound (round-13, VERDICT item 4) ----
+  // The registered queries (d28-d32) materialize a fresh generation per
+  // invocation; sweepStale deliberately spares the own JVM, so a
+  // long-lived bench/verify session used to accumulate one full index
+  // copy per run — unbounded warehouse growth AND Derby metastore DDL
+  // bloat that measurably slowed UNRELATED queries (round-12 NOTES:
+  // 13.3 s vs 4.2 s for the same materialize). keepLatest bounds a
+  // session at ≤1 live generation per key: registering a new
+  // generation drops every table of the previous one that the new one
+  // does not reuse. Callers must register AFTER the previous
+  // generation's consuming action has completed (registered queries
+  // run strictly sequentially in bench/verify, so the call at the top
+  // of each invocation satisfies this).
+  private val lastTablesByKey =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  def keepLatest(spark: SparkSession, key: String, tables: Seq[String]): Unit = {
+    val prev = lastTablesByKey.put(key, tables)
+    if (prev != null) {
+      val live = tables.toSet
+      prev.filterNot(live).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
   }
+
+  def keepLatest(spark: SparkSession, key: String, idx: DocIndex): Unit =
+    keepLatest(spark, key,
+      Seq(idx.survivorsTable, idx.pairsTable) ++ idx.postingsTable ++ idx.dfTable)
 
   def dropCorpusIndex(spark: SparkSession, idx: CorpusIndex): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `${idx.hashesTable}`")
@@ -120,7 +177,8 @@ object PairIndex {
                           survivorsTable: String = freshName(SurvivorsBase),
                           pairsTable: String = freshName(PairsBase),
                           keepPostings: Boolean = false,
-                          postingsTable: String = freshName(PostingsBase)): DocIndex = {
+                          postingsTable: String = freshName(PostingsBase),
+                          dfTable: String = freshName(DfBase)): DocIndex = {
     val spark = docs.sparkSession
     graft.etl.Layout.writeBucketed(
       Dedup.dropExactDuplicates(docs, idCol, textCol),
@@ -146,23 +204,35 @@ object PairIndex {
             .select(col("doc_id"), xxhash64(col("s")).as("s"))
             .distinct(),
           postingsTable, "s", numBuckets)
+        // fourth standing artifact: per-shingle df delta rows, derived
+        // from the freshly written postings (bucketed scan → bucket-
+        // local count → bucketed write, no exchange). Advances append
+        // ±delta rows; consumers read sum(cnt) per shingle.
+        graft.etl.Layout.writeBucketed(
+          spark.table(postingsTable).groupBy(col("s"))
+            .agg(count(lit(1)).as("cnt")),
+          dfTable, "s", numBuckets)
         Dedup.jaccardPairsHashed(spark.table(postingsTable), threshold, maxDocFreq)
       }
     graft.etl.Layout.writeBucketed(pairsDf, pairsTable, "doc_id2", numBuckets)
     // record the materialization parameters on the artifact itself:
     // advanceDocIndex derives its semantics from these, so an advance
     // can never silently run with a different cap/threshold than the
-    // index it extends
+    // index it extends. nDocs (survivor count — a parquet metadata
+    // read) feeds the advance's economy guard.
+    val nDocs = spark.table(survivorsTable).count()
     spark.sql(
       s"ALTER TABLE `$pairsTable` SET TBLPROPERTIES(" +
         s"'graft.threshold'='$threshold','graft.maxDocFreq'='$maxDocFreq'," +
-        s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets')")
+        s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets'," +
+        s"'graft.nDocs'='$nDocs')")
     DocIndex(survivorsTable, pairsTable,
-      if (keepPostings) Some(postingsTable) else None)
+      if (keepPostings) Some(postingsTable) else None,
+      if (keepPostings) Some(dfTable) else None)
   }
 
   /** Outcome of one `advanceDocIndex` call. `appended == true` means
-    * all three standing tables were extended in place; `false` means
+    * all standing tables were extended in place; `false` means
     * at least the pairs table is a new generation (`idx` names the
     * live tables — some may be REUSED from the input index, so release
     * the superseded ones via `dropSuperseded`, not a blind drop of the
@@ -172,12 +242,13 @@ object PairIndex {
                                  affectedOld: Long)
 
   /** Drop the tables of a superseded generation that the advanced
-    * index does NOT reuse (a partial rewrite keeps the old survivors
-    * and postings tables live inside `advanced`). Call once the old
+    * index does NOT reuse (a partial rewrite keeps the old survivors,
+    * postings and df tables live inside `advanced`). Call once the old
     * generation's readers are done. */
   def dropSuperseded(spark: SparkSession, old: DocIndex, advanced: DocIndex): Unit = {
-    val live = Set(advanced.survivorsTable, advanced.pairsTable) ++ advanced.postingsTable
-    (Seq(old.survivorsTable, old.pairsTable) ++ old.postingsTable)
+    val live = Set(advanced.survivorsTable, advanced.pairsTable) ++
+      advanced.postingsTable ++ advanced.dfTable
+    (Seq(old.survivorsTable, old.pairsTable) ++ old.postingsTable ++ old.dfTable)
       .filterNot(live).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
@@ -215,30 +286,71 @@ object PairIndex {
     *    by the id: affected/participant docs are re-shingled from a
     *    bucket-co-located semi join + the native shingle kernel, never
     *    by re-keying the posting table);
-    *  - every shingle-keyed access goes through `postingsTable`
-    *    (bucketed by `s`: the corpus-wide df aggregation and the
-    *    candidate semi joins ride the bucketing with no exchange);
-    *  - everything else is batch- or delta-scale. The advance costs a
-    *    few LINEAR index scans plus delta-sized compute, vs the full
-    *    pair regeneration (dominant by 30-500× per the r11 suite A/B)
-    *    a rematerialization pays.
+    *  - every shingle-keyed access goes through `postingsTable` /
+    *    `dfTable` (bucketed by `s`: the candidate semi joins and the
+    *    df aggregation ride the bucketing with no exchange);
+    *  - the combined per-shingle cap-status relation is computed in
+    *    ONE pass per advance — off the standing df artifact
+    *    (~|distinct shingles| delta rows) when present, off a single
+    *    postings aggregation otherwise — persisted, and probed by all
+    *    three key sets. (Round 12 shipped this as three separate
+    *    full-postings aggregations; measured at 2.6-6.6× the cost of
+    *    rematerialization at sf0.1-sf1, which round 13 exists to fix.)
+    *  - everything else is batch- or delta-scale, EXCEPT the
+    *    copy-forward pairs rewrite a cap-cascade forces (linear in the
+    *    pairs table). Honest cost model: a handful of linear scans of
+    *    the standing artifacts plus affected-set-sized compute — the
+    *    advance wins when pair GENERATION dominates rematerialization
+    *    (it does from the second decade up, per BENCH_decades), and
+    *    the economy guard below falls back when the affected set says
+    *    it won't.
     *
     * Write strategy, chosen from two scalar counts:
-    *  - no evictions, no cap crossings → all three artifacts APPENDED
+    *  - no evictions, no cap crossings → all four artifacts APPENDED
     *    in place (`Layout.appendBucketed`); the delta is purely the
     *    new cross+within pairs.
     *  - no evictions, cap crossings (the NORMAL daily case at scale —
     *    every large corpus has a band of shingles near the df-cap and
-    *    any batch flips some) → survivors and postings still append in
-    *    place (no existing row of either changes), and only the PAIRS
-    *    table is rewritten to a fresh generation (copy-forward of
-    *    pairs not touching A, plus the delta).
-    *  - evictions → all three tables get a fresh generation with
+    *    any batch flips some) → survivors, postings and df still
+    *    append in place (no existing row of any changes), and only the
+    *    PAIRS table is rewritten to a fresh generation (copy-forward
+    *    of pairs not touching A, plus the delta).
+    *  - evictions → all four tables get a fresh generation with
     *    copy-forward of live rows. Still no pair regeneration.
-    * Rewritten generations leave the old tables intact for concurrent
-    * readers; release superseded tables with `dropSuperseded` (NOT a
-    * blind `dropDocIndex(old)` — a partial rewrite REUSES the old
-    * survivors/postings tables in the advanced index).
+    *  - economy guard (`economyGuard`, round-13): when
+    *    nNew + nEvicted + nAffected exceeds `economyGuard` × corpus
+    *    docs (from the stamped `graft.nDocs`), the delta path cannot
+    *    beat a rebuild — the advance INTERNALLY rematerializes fresh
+    *    generations instead (reusing the already-made survivor
+    *    decisions), so callers get the same row-identical result
+    *    either way; telemetry `pairindex.advance_fallback` records it.
+    *    Pass `Double.PositiveInfinity` to force the delta path (specs
+    *    pinning the delta algebra do).
+    *
+    * `frozenCaps = true` selects the cheap daily mode (round-13): NEW
+    * pairs are scored over the CURRENT capped universe exactly as the
+    * exact mode scores them, but existing pairs KEEP their birth
+    * scores — the cap-flip detection, affected-set rescore and the
+    * pairs copy-forward are all skipped, so a no-eviction frozen
+    * advance is pure batch-scale compute + four bucketed appends.
+    * When no shingle's cap status actually flips, frozen and exact
+    * advances are ROW-IDENTICAL (PairIndexSpec pins this); when flips
+    * occur, old-pair scores drift from the exact universe until the
+    * next rematerialization absorbs them — run exact advances (or
+    * periodic rebuilds) on an audit cadence and frozen advances
+    * day-to-day.
+    *
+    * Snapshot isolation is per-TABLE, scoped to what a path rewrites:
+    * a partial rewrite leaves the old PAIRS generation intact for
+    * concurrent readers but appends to the survivors/postings/df
+    * tables the superseded DocIndex shares, so a reader of the OLD
+    * index can observe appended survivor/posting rows with no
+    * corresponding pairs. Readers needing a full-index snapshot must
+    * read a generation that is not being advanced (the full-rewrite
+    * and fallback paths provide exactly that). Release superseded
+    * tables with `dropSuperseded` (NOT a blind `dropDocIndex(old)` —
+    * a partial rewrite REUSES the old survivors/postings/df tables in
+    * the advanced index).
     *
     * Semantics parameters (threshold/cap/k/buckets) are read from the
     * TBLPROPERTIES `materializeDocIndex` stamped on the pairs table —
@@ -247,24 +359,31 @@ object PairIndex {
     * `keepPostings = true`; batch ids are distinct from surviving
     * corpus ids; batch schema matches the corpus schema.
     *
-    * Append-path atomicity caveat: in-place appends are sequenced
-    * (pairs, then survivors, then postings — each append's plan reads
-    * only pre-append table state), but a concurrent reader of the SAME
-    * DocIndex can observe a partially advanced index; readers needing
-    * snapshot isolation should read a generation that is not being
-    * advanced (the rewrite path provides exactly that). */
+    * Append-path atomicity caveat: in-place appends are sequenced and
+    * each append's plan reads only pre-append table state, but a
+    * concurrent reader of the SAME DocIndex can observe a partially
+    * advanced index. */
   def advanceDocIndex(spark: SparkSession, idx: DocIndex, batch: DataFrame,
-                      idCol: String, textCol: String): AdvanceResult = {
+                      idCol: String, textCol: String,
+                      frozenCaps: Boolean = false,
+                      economyGuard: Double = 0.3): AdvanceResult = {
     import org.apache.spark.storage.StorageLevel
+    // per-phase wall is ALWAYS exported to Telemetry (round-13, VERDICT
+    // item 7) so a bench regression in the advance is attributable from
+    // BENCH_wall.json without a debug rerun; the env flag only adds the
+    // live print + job-description tagging for UI drill-down
     val __dbg = sys.env.get("SPARK_GRAFT_ADV_DEBUG").contains("1")
-    def ph[T](name: String)(f: => T): T =
-      if (!__dbg) f else {
-        spark.sparkContext.setJobDescription(s"adv:$name")
-        val t0 = System.nanoTime(); val r = f
-        println(f"ADVPHASE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    def ph[T](name: String)(f: => T): T = {
+      if (__dbg) spark.sparkContext.setJobDescription(s"adv:$name")
+      val t0 = System.nanoTime(); val r = f
+      val ms = (System.nanoTime() - t0) / 1000000L
+      graft.Telemetry.record(s"pairindex.advance_ms_$name", ms)
+      if (__dbg) {
+        println(f"ADVPHASE $name%-24s ${ms / 1e3}%8.2f s")
         spark.sparkContext.setJobDescription(null)
-        r
       }
+      r
+    }
     val postingsTable = idx.postingsTable.getOrElse(throw new IllegalArgumentException(
       s"advanceDocIndex needs the postings artifact: materialize ${idx.pairsTable} " +
         "with keepPostings = true"))
@@ -326,29 +445,118 @@ object PairIndex {
          .select(col("s"), coalesce(col("__dfb"), lit(0L)).as("__dfb"),
            coalesce(col("__dfe"), lit(0L)).as("__dfe")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // corpus-wide df: aggregation over the bucketed posting scan — no
-    // exchange; joined only against batch-scale key sets
-    val dfOldAll = stored.groupBy(col("s")).agg(count(lit(1)).as("__dfo"))
+    // ---- ONE corpus-wide df pass per advance (round-13, VERDICT 1a).
+    // The df source is the standing df artifact when present — a
+    // bucketed scan + bucket-local sum over ~|distinct shingles| delta
+    // rows — with a single postings aggregation as back-compat for
+    // pre-round-13 indexes. The combined cap-status relation is
+    // computed once, persisted, and PROBED by every consumer; round 12
+    // instead re-ran the full postings aggregation under each of three
+    // key sets, the measured dominant overhead of the whole advance.
+    val dfAgg = idx.dfTable match {
+      case Some(t) =>
+        spark.table(t).groupBy(col("s")).agg(sum(col("cnt")).as("__dfo"))
+      case None => stored.groupBy(col("s")).agg(count(lit(1)).as("__dfo"))
+    }
+    val dfCombFull = dfAgg
+      .join(dfDelta, Seq("s"), "full_outer")
+      .select(col("s"), coalesce(col("__dfo"), lit(0L)).as("__dfo0"),
+        (coalesce(col("__dfo"), lit(0L)) - coalesce(col("__dfe"), lit(0L))
+          + coalesce(col("__dfb"), lit(0L))).as("__dfc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // merge hints, not broadcast, on the probes: at corpus scale a key
+    // set can outgrow any broadcast limit (AQE still upgrades small
+    // ones at runtime from real sizes)
     def dfComb(keys: DataFrame): DataFrame =
-      keys.hint("merge").join(dfOldAll, Seq("s"), "left")
-        .join(dfDelta, Seq("s"), "left")
-        .select(col("s"), coalesce(col("__dfo"), lit(0L)).as("__dfo0"),
-          (coalesce(col("__dfo"), lit(0L)) - coalesce(col("__dfe"), lit(0L))
-            + coalesce(col("__dfb"), lit(0L))).as("__dfc"))
+      keys.hint("merge").join(dfCombFull, Seq("s"), "left")
+        .select(col("s"), coalesce(col("__dfo0"), lit(0L)).as("__dfo0"),
+          coalesce(col("__dfc"), lit(0L)).as("__dfc"))
 
     // shingles whose cap status changes AND that some old doc holds:
-    // only these can perturb old-old pairs / old cardinalities
-    val changedKeys = dfComb(dfDelta.select(col("s")))
+    // only these can perturb old-old pairs / old cardinalities. Comes
+    // straight off the persisted relation — a flip requires a df
+    // change, and rows absent from dfDelta have __dfc == __dfo0, so no
+    // key-set join is needed at all. frozenCaps skips flip detection
+    // by definition (existing pairs keep their birth scores).
+    val changedKeys = dfCombFull
       .filter(col("__dfo0") >= 1 &&
         ((col("__dfo0") <= cap) =!= (col("__dfc") <= cap)))
       .select(col("s"))
-    val nChanged = ph("count_changed")(changedKeys.count())
+    val nChanged = if (frozenCaps) 0L else ph("count_changed")(changedKeys.count())
     val affectedOld =
       if (nChanged == 0) newSurv.select(col(idCol)).limit(0)
       else stored.join(changedKeys, Seq("s"), "left_semi")
         .select(col("doc_id").as(idCol)).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     val nAffected = ph("count_affected")(if (nChanged == 0) 0L else affectedOld.count())
+
+    // evictions are bounded by the batch's duplicate count — broadcast
+    // the anti side only when the measured count says it fits, else a
+    // plain equi anti join (AQE may still promote it at runtime)
+    def evictedSide: DataFrame = {
+      val e = evictedIds.select(col(idCol).as("__eid"))
+      if (nEvicted <= 5000000L) broadcast(e) else e
+    }
+    val survCols = spark.table(idx.survivorsTable).columns.toIndexedSeq.map(col)
+    def stampProps(tab: String, n: Long): Unit = spark.sql(
+      s"ALTER TABLE `$tab` SET TBLPROPERTIES(" +
+        s"'graft.threshold'='$threshold','graft.maxDocFreq'='$cap'," +
+        s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets'," +
+        s"'graft.nDocs'='$n')")
+    def finish(result: AdvanceResult, fallback: Boolean): AdvanceResult = {
+      graft.Telemetry.record("pairindex.advance_appended",
+        if (result.appended) 1L else 0L)
+      graft.Telemetry.record("pairindex.advance_fallback", if (fallback) 1L else 0L)
+      graft.Telemetry.record("pairindex.advance_frozen", if (frozenCaps) 1L else 0L)
+      graft.Telemetry.record("pairindex.advance_new_docs", result.newDocs)
+      graft.Telemetry.record("pairindex.advance_evicted", result.evicted)
+      graft.Telemetry.record("pairindex.advance_affected_old", result.affectedOld)
+      result
+    }
+
+    // ---- economy guard (round-13, VERDICT item 1b) ----
+    // The delta path's cost scales with the touched set (new + evicted
+    // + affected docs drive the re-shingles, the rescore and the
+    // copy-forward rewrites); once that set approaches a sizable
+    // fraction of the corpus, from-scratch pair generation is cheaper
+    // than grinding through a losing delta. The three scalars are
+    // already counted, the corpus size is stamped on the artifact —
+    // compare and fall back BEFORE any delta work. The fallback reuses
+    // the survivor DECISIONS made above (no second exact-dedup window)
+    // and writes fresh generations exactly like materializeDocIndex,
+    // so the result is row-identical to the delta path either way.
+    val nCorpus = props.get("graft.nDocs").map(_.toLong)
+      .getOrElse(ph("count_corpus")(survivors.count()))
+    if (!frozenCaps &&
+        (nNew + nEvicted + nAffected).toDouble > economyGuard * nCorpus) {
+      val sTab = freshName(SurvivorsBase); val pTab = freshName(PairsBase)
+      val postTab = freshName(PostingsBase); val dTab = freshName(DfBase)
+      ph("fallback_rematerialize") {
+        val liveSurv =
+          if (nEvicted == 0) survivors
+          else survivors.join(evictedSide,
+            survivors(idCol) === col("__eid"), "left_anti")
+        graft.etl.Layout.writeBucketed(
+          liveSurv.select(survCols: _*)
+            .unionByName(newSurv.select(survCols: _*)),
+          sTab, idCol, numBuckets)
+        graft.etl.Layout.writeBucketed(
+          hashedPostings(spark.table(sTab)), postTab, "s", numBuckets)
+        graft.etl.Layout.writeBucketed(
+          spark.table(postTab).groupBy(col("s")).agg(count(lit(1)).as("cnt")),
+          dTab, "s", numBuckets)
+        graft.etl.Layout.writeBucketed(
+          Dedup.jaccardPairsHashed(spark.table(postTab), threshold, cap),
+          pTab, "doc_id2", numBuckets)
+        stampProps(pTab, nCorpus + nNew - nEvicted)
+      }
+      dfCombFull.unpersist(); dfDelta.unpersist(); shB.unpersist()
+      decided.unpersist()
+      if (nChanged > 0) affectedOld.unpersist()
+      return finish(AdvanceResult(
+        DocIndex(sTab, pTab, Some(postTab), Some(dTab)),
+        appended = false, nNew, nEvicted, nAffected), fallback = true)
+    }
 
     // ---- delta pair rescore over candidate shingles SA ----
     val aOldDocs = affectedOld // evicted docs carry no postings → no pairs
@@ -359,18 +567,10 @@ object PairIndex {
     val candKeys = dfB.select(col("s"))
       .unionByName(shAOld.select(col("s"))).distinct()
     // batch-scale key set, re-walked by aPart (twice: A-B join and
-    // A-A kernel) and bPart — persist so the dfComb subtree (a full
-    // posting-table aggregation plus two joins) runs once per advance
+    // A-A kernel) and bPart — persist so the dfComb probe runs once
     val cappedCandKeys = dfComb(candKeys)
       .filter(col("__dfc") <= cap).select(col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // evictions are bounded by the batch's duplicate count — broadcast
-    // the anti side only when the measured count says it fits, else a
-    // plain equi anti join (AQE may still promote it at runtime)
-    def evictedSide: DataFrame = {
-      val e = evictedIds.select(col(idCol).as("__eid"))
-      if (nEvicted <= 5000000L) broadcast(e) else e
-    }
     val storedCand = {
       val sc = stored.join(cappedCandKeys, Seq("s"), "left_semi")
       if (nEvicted == 0) sc
@@ -453,11 +653,16 @@ object PairIndex {
     // and — since they reference no catalog table — they are
     // structurally immune to the CacheManager refresh storm that
     // in-place appends trigger on plans reading the mutated tables.
-    val survCols = spark.table(idx.survivorsTable).columns.toIndexedSeq.map(col)
     val (deltaCk, shBCk, newSurvCk) = ph("checkpoint_writes")((
       delta.localCheckpoint(true),
       shB.localCheckpoint(true),
       newSurv.select(survCols: _*).localCheckpoint(true)))
+    // df artifact maintenance rows (append paths): the batch's
+    // per-shingle +counts — no eviction variant is needed on the
+    // append paths (they only run with nEvicted == 0); the full
+    // rewrite compacts a fresh df table from dfCombFull instead
+    val dfBCk = idx.dfTable.map(_ =>
+      dfB.select(col("s"), col("__dfb").as("cnt")).localCheckpoint(true))
 
     // ---- write ----
     def unpersistAll(): Unit = {
@@ -466,6 +671,7 @@ object PairIndex {
       interA.unpersist()
       aPart.unpersist()
       cappedCandKeys.unpersist()
+      dfCombFull.unpersist()
       aIds.unpersist()
       if (nChanged > 0) affectedOld.unpersist()
       dfDelta.unpersist()
@@ -489,6 +695,9 @@ object PairIndex {
         ph("append_postings")(graft.etl.Layout.appendBucketed(shBCk, postingsTable, "s", numBuckets))
         ph("append_survivors")(graft.etl.Layout.appendBucketed(newSurvCk,
           idx.survivorsTable, idCol, numBuckets))
+        idx.dfTable.foreach(t => ph("append_df")(
+          graft.etl.Layout.appendBucketed(dfBCk.get, t, "s", numBuckets)))
+        stampProps(idx.pairsTable, nCorpus + nNew)
         AdvanceResult(idx, appended = true, nNew, 0L, 0L)
       } else if (nEvicted == 0) {
         // partial rewrite (the common cap-cascade case): with no
@@ -510,17 +719,17 @@ object PairIndex {
         val keptPairs = spark.table(idx.pairsTable)
           .join(aIds, col("doc_id1") === col("__aid"), "left_anti")
           .join(aIds, col("doc_id2") === col("__aid"), "left_anti")
-        graft.etl.Layout.writeBucketed(
-          keptPairs.unionByName(deltaCk), pTab, "doc_id2", numBuckets)
-        spark.sql(
-          s"ALTER TABLE `$pTab` SET TBLPROPERTIES(" +
-            s"'graft.threshold'='$threshold','graft.maxDocFreq'='$cap'," +
-            s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets')")
+        ph("rewrite_pairs")(graft.etl.Layout.writeBucketed(
+          keptPairs.unionByName(deltaCk), pTab, "doc_id2", numBuckets))
+        stampProps(pTab, nCorpus + nNew)
         unpersistAll()
         ph("append_postings")(graft.etl.Layout.appendBucketed(shBCk, postingsTable, "s", numBuckets))
         ph("append_survivors")(graft.etl.Layout.appendBucketed(newSurvCk,
           idx.survivorsTable, idCol, numBuckets))
-        AdvanceResult(DocIndex(idx.survivorsTable, pTab, Some(postingsTable)),
+        idx.dfTable.foreach(t => ph("append_df")(
+          graft.etl.Layout.appendBucketed(dfBCk.get, t, "s", numBuckets)))
+        AdvanceResult(DocIndex(idx.survivorsTable, pTab, Some(postingsTable),
+            idx.dfTable),
           appended = false, nNew, 0L, nAffected)
       } else {
         // full rewrite: evictions delete rows from all three tables, so
@@ -545,21 +754,25 @@ object PairIndex {
         val keptPairs = oldPairs
           .join(removal, col("doc_id1") === col("__aid"), "left_anti")
           .join(removal, col("doc_id2") === col("__aid"), "left_anti")
-        graft.etl.Layout.writeBucketed(
-          keptPairs.unionByName(deltaCk), pTab, "doc_id2", numBuckets)
-        spark.sql(
-          s"ALTER TABLE `$pTab` SET TBLPROPERTIES(" +
-            s"'graft.threshold'='$threshold','graft.maxDocFreq'='$cap'," +
-            s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets')")
+        ph("rewrite_pairs")(graft.etl.Layout.writeBucketed(
+          keptPairs.unionByName(deltaCk), pTab, "doc_id2", numBuckets))
+        stampProps(pTab, nCorpus + nNew - nEvicted)
+        // fresh COMPACTED df generation straight off the persisted
+        // cap-status relation (so it must be written before the
+        // unpersist); net-zero shingles (all holders evicted) drop out
+        val newDf = idx.dfTable.map { _ =>
+          val dTab = freshName(DfBase)
+          graft.etl.Layout.writeBucketed(
+            dfCombFull.filter(col("__dfc") > 0)
+              .select(col("s"), col("__dfc").as("cnt")),
+            dTab, "s", numBuckets)
+          dTab
+        }
         unpersistAll()
-        AdvanceResult(DocIndex(sTab, pTab, Some(postTab)),
+        AdvanceResult(DocIndex(sTab, pTab, Some(postTab), newDf),
           appended = false, nNew, nEvicted, nAffected)
       }
-    graft.Telemetry.record("pairindex.advance_appended", if (result.appended) 1L else 0L)
-    graft.Telemetry.record("pairindex.advance_new_docs", result.newDocs)
-    graft.Telemetry.record("pairindex.advance_evicted", result.evicted)
-    graft.Telemetry.record("pairindex.advance_affected_old", result.affectedOld)
-    result
+    finish(result, fallback = false)
   }
 
   /** Near-dup drop list from the index: distinct doc_id2. Rides the

@@ -1045,12 +1045,18 @@ object TextQueries {
     import graft.operators.PairIndex
     // per-invocation generation names (round-12): concurrent d28/d29
     // runs — or two snapshots in one session — no longer contend on
-    // shared catalog state; stale generations from previous JVMs are
-    // garbage-collected here so the warehouse stays bounded
+    // shared catalog state; stale generations from DEAD JVMs are
+    // garbage-collected here so a shared warehouse stays bounded, and
+    // keepLatest (round-13, VERDICT item 4) drops THIS session's
+    // previous d28 generation — whose consuming action completed
+    // before this invocation — so a runs=N bench session holds at
+    // most one live generation per query instead of N (the unbounded
+    // growth + Derby DDL bloat that inflated the round-12 suite 2×)
     PairIndex.sweepStale(s, PairIndex.SurvivorsBase)
     PairIndex.sweepStale(s, PairIndex.PairsBase)
     val idx = graft.operators.PairIndex.materializeDocIndex(
       Tables.documents(s, dir), "doc_id", "text")
+    PairIndex.keepLatest(s, "d28", idx)
     graft.operators.PairIndex.curateFromIndex(s, idx, "doc_id", "text")
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1071,6 +1077,7 @@ object TextQueries {
     PairIndex.sweepStale(s, PairIndex.PairsBase)
     val idx = graft.operators.PairIndex.materializeDocIndex(
       Tables.documents(s, dir), "doc_id", "text")
+    PairIndex.keepLatest(s, "d29", idx)
     graft.operators.PairIndex.clustersFromIndex(s, idx, checkpointDir = ckDir)
       .orderBy(col("doc_id"))
   }
@@ -1121,6 +1128,7 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val idx = graft.operators.PairIndex.materializeCorpusIndex(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+    PairIndex.keepLatest(s, "d30", Seq(idx.hashesTable, idx.shinglesTable))
     graft.operators.PairIndex.dedupIncrementFromIndex(
         s, idx, incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
         idCol = "doc_id", textCol = "text")
@@ -1128,17 +1136,17 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Incremental pair-index advance (d31, round-12): the daily-run
-    * protocol end-to-end — materialize the standing three-artifact
-    * index (survivors + hashed postings + pairs) on an 80% corpus
-    * snapshot, ADVANCE it with the remaining 20% batch via
-    * `PairIndex.advanceDocIndex` (delta rescore, never full pair
+  /** Incremental pair-index advance (d31, round-12; reshaped round-13):
+    * the daily-run protocol end-to-end — materialize the standing
+    * four-artifact index (survivors + hashed postings + pairs + df) on
+    * a 15/16 corpus snapshot, ADVANCE it with the remaining 1/16 batch
+    * via `PairIndex.advanceDocIndex` (delta rescore, never full pair
     * regeneration), then run the curation consumer off the advanced
     * index. Because the advanced index is row-identical to a
     * from-scratch materialization on the combined corpus, the result
     * is pinned by d12's oracle over the FULL documents table — the
     * oracle hash-checks the advance algebra (eviction handling,
-    * df-cap status changes, delta scoring) end-to-end. The %5 split
+    * df-cap status changes, delta scoring) end-to-end. The mod split
     * interleaves batch ids below corpus ids, so the advance exercises
     * the eviction-aware exact-dedup path at every scale too. */
   private def d31(s: SparkSession, dir: String): DataFrame = {
@@ -1146,12 +1154,59 @@ object TextQueries {
     PairIndex.sweepStale(s, PairIndex.SurvivorsBase)
     PairIndex.sweepStale(s, PairIndex.PairsBase)
     PairIndex.sweepStale(s, PairIndex.PostingsBase)
+    PairIndex.sweepStale(s, PairIndex.DfBase)
     val docs = Tables.documents(s, dir)
     val idx = PairIndex.materializeDocIndex(
-      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(16)) =!= 0), "doc_id", "text",
+      keepPostings = true)
+    // guard disabled: this query exists to oracle-pin the EXACT delta
+    // algebra end-to-end, so it must never silently take the fallback.
+    // The batch is 1/16th (a realistic daily increment) — round 12's
+    // 20% batch made one registered query a third of the whole suite
+    val adv = PairIndex.advanceDocIndex(
+      s, idx, docs.filter(pmod(col("doc_id"), lit(16)) === 0), "doc_id", "text",
+      economyGuard = Double.PositiveInfinity)
+    // advance writes are eager, so the superseded generation's tables
+    // (a rewrite path leaves them live for concurrent readers; this
+    // flow has none) can drop immediately; keepLatest then bounds the
+    // session to this one advanced generation
+    PairIndex.dropSuperseded(s, idx, adv.idx)
+    PairIndex.keepLatest(s, "d31", adv.idx)
+    PairIndex.curateFromIndex(s, adv.idx, "doc_id", "text")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+      .orderBy(col("split"))
+  }
+
+  /** Frozen-cap pair-index advance (d32, round-13): the CHEAP daily
+    * path — same standing three+one-artifact index, advanced with
+    * `frozenCaps = true`: new pairs are scored over the current capped
+    * universe, existing pairs keep their birth scores, and no cap-flip
+    * detection, affected-set rescore or pairs copy-forward runs — a
+    * no-eviction frozen advance is batch-scale compute plus four
+    * bucketed appends. Row-identical to the exact advance (and hence
+    * to d12's full-corpus oracle, which pins this query) whenever the
+    * batch flips no shingle's cap status — empirically true for the
+    * testdata's mod-16 split at every driver-verified SF; if a data
+    * regeneration ever breaks that precondition, the oracle
+    * hash-compare goes red LOUDLY (the frozen-vs-exact divergence is
+    * exactly what it would detect) instead of silently drifting. */
+  private def d32(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PairIndex
+    PairIndex.sweepStale(s, PairIndex.SurvivorsBase)
+    PairIndex.sweepStale(s, PairIndex.PairsBase)
+    PairIndex.sweepStale(s, PairIndex.PostingsBase)
+    PairIndex.sweepStale(s, PairIndex.DfBase)
+    val docs = Tables.documents(s, dir)
+    val idx = PairIndex.materializeDocIndex(
+      docs.filter(pmod(col("doc_id"), lit(16)) =!= 0), "doc_id", "text",
       keepPostings = true)
     val adv = PairIndex.advanceDocIndex(
-      s, idx, docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      s, idx, docs.filter(pmod(col("doc_id"), lit(16)) === 0), "doc_id", "text",
+      frozenCaps = true)
+    PairIndex.dropSuperseded(s, idx, adv.idx)
+    PairIndex.keepLatest(s, "d32", adv.idx)
     PairIndex.curateFromIndex(s, adv.idx, "doc_id", "text")
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1194,5 +1249,6 @@ object TextQueries {
     // same oracle text as d13: the from-index incremental result must
     // be row-identical to the recompute protocol
     QuerySpec("d30_incremental_from_index", d30, Some(d13Sql)),
-    QuerySpec("d31_pair_index_advance", d31, Some(d12Sql)))
+    QuerySpec("d31_pair_index_advance", d31, Some(d12Sql)),
+    QuerySpec("d32_frozen_cap_advance", d32, Some(d12Sql)))
 }

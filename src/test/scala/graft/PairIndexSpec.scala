@@ -116,11 +116,19 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
   test("sweepStale collects other-JVM generations but spares this JVM's") {
     val mine = PairIndex.materializeDocIndex(
       Tables.documents(spark, sfDir), "doc_id", "text", numBuckets = 4)
-    // fake another JVM's leftover: catalog table with a foreign pid tag
+    // fake a DEAD JVM's leftover (pid far past the kernel pid ceiling)
+    // and a LIVE foreign JVM's (pid 1 — the container init process):
+    // the round-13 liveness gate must collect the first and spare the
+    // second (ADVICE: a concurrent JVM sharing the warehouse must not
+    // have its live index dropped mid-read)
+    spark.range(3).toDF("x")
+      .write.mode("overwrite").saveAsTable("graft_pair_survivors_p999999999_g1")
     spark.range(3).toDF("x")
       .write.mode("overwrite").saveAsTable("graft_pair_survivors_p1_g1")
     PairIndex.sweepStale(spark, PairIndex.SurvivorsBase)
-    assert(!spark.catalog.tableExists("graft_pair_survivors_p1_g1"))
+    assert(!spark.catalog.tableExists("graft_pair_survivors_p999999999_g1"))
+    assert(spark.catalog.tableExists("graft_pair_survivors_p1_g1"))
+    spark.sql("DROP TABLE IF EXISTS graft_pair_survivors_p1_g1")
     assert(spark.catalog.tableExists(mine.survivorsTable))
     assert(spark.table(mine.survivorsTable).count() > 0)
     PairIndex.dropDocIndex(spark, mine)
@@ -143,6 +151,13 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     eq(a.survivorsTable, b.survivorsTable)
     eq(a.pairsTable, b.pairsTable)
     eq(a.postingsTable.get, b.postingsTable.get)
+    // the df artifact stores append-only DELTA rows — semantic content
+    // is the per-shingle sum, so equality is over the aggregate
+    def dfAgg(t: String) = spark.table(t).groupBy(col("s"))
+      .agg(sum(col("cnt")).as("df")).filter(col("df") > 0)
+    val (da, db) = (dfAgg(a.dfTable.get), dfAgg(b.dfTable.get))
+    assert(da.exceptAll(db).isEmpty && db.exceptAll(da).isEmpty,
+      s"df artifacts ${a.dfTable.get} vs ${b.dfTable.get} differ")
   }
 
   test("advanceDocIndex append path is row-identical to from-scratch materialization") {
@@ -156,7 +171,8 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
       103L -> "m n o p q r s u") // within-batch near-dup of 102
     val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
       numBuckets = 4, keepPostings = true)
-    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text")
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity)
     assert(r.appended && r.newDocs === 3 && r.evicted === 0 && r.affectedOld === 0)
     assert(r.idx === idx) // in-place advance keeps the table names
     val scratch = PairIndex.materializeDocIndex(
@@ -186,7 +202,8 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
       threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
     assert(spark.table(idx.pairsTable).count() === 1) // (1,2) pre-advance
-    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text")
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity)
     assert(!r.appended && r.affectedOld === 2 && r.evicted === 0)
     assert(r.idx.pairsTable !== idx.pairsTable) // fresh generation
     assert(spark.table(r.idx.pairsTable).count() === 0)
@@ -209,7 +226,8 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     val batch = docsDf(5L -> "alpha beta gamma delta epsilon zeta") // == doc 10
     val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
       numBuckets = 4, keepPostings = true)
-    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text")
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity)
     assert(!r.appended && r.evicted === 1 && r.newDocs === 1)
     val survivors = spark.table(r.idx.survivorsTable)
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -231,8 +249,10 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     val b2 = docsDf(201L -> "j k l m n o p r") // near-dup of B1's doc
     val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
       numBuckets = 4, keepPostings = true)
-    val r1 = PairIndex.advanceDocIndex(spark, idx, b1, "doc_id", "text")
-    val r2 = PairIndex.advanceDocIndex(spark, r1.idx, b2, "doc_id", "text")
+    val r1 = PairIndex.advanceDocIndex(spark, idx, b1, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity)
+    val r2 = PairIndex.advanceDocIndex(spark, r1.idx, b2, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity)
     assert(r1.appended && r2.appended)
     val pairKeys = spark.table(r2.idx.pairsTable)
       .select("doc_id1", "doc_id2").collect()
@@ -244,6 +264,120 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     assertTablesEqual(r2.idx, scratch)
     PairIndex.dropDocIndex(spark, r2.idx)
     PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("economy guard falls back to rematerialization and stays row-identical") {
+    // default guard (0.3): a batch as large as the corpus can never
+    // win on the delta path — the advance must take the internal
+    // rematerialize and still produce the exact combined-corpus index
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "totally unrelated content sits here quietly")
+    val batch = docsDf(
+      101L -> "a b c d e f g y",
+      102L -> "m n o p q r s t")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    Telemetry.drain()
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text")
+    val tel = Telemetry.drain()
+    assert(tel.get("pairindex.advance_fallback").contains(1L))
+    assert(!r.appended && r.newDocs === 2)
+    // fallback writes FRESH generations — nothing reused from the old
+    assert(r.idx.survivorsTable !== idx.survivorsTable)
+    assert(r.idx.pairsTable !== idx.pairsTable)
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    // the advanced index stays advanceable: semantics + nDocs stamped
+    val props = spark.sql(s"SHOW TBLPROPERTIES `${r.idx.pairsTable}`")
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(props("graft.nDocs") === "4")
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("frozen-cap advance == exact advance == from-scratch when no cap flips") {
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",
+      3L -> "totally unrelated content sits here quietly")
+    val batch = docsDf(
+      101L -> "a b c d e f g y",
+      102L -> "m n o p q r s t",
+      103L -> "m n o p q r s u")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      frozenCaps = true)
+    assert(r.appended && r.newDocs === 3 && r.affectedOld === 0)
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("frozen-cap advance keeps stale old-pair scores across a cap flip (documented drift)") {
+    // same fixture as the exact-mode rescore spec: the batch pushes
+    // "p q r" over cap 2, the exact advance DROPS the old pair (1,2);
+    // frozen mode must keep it (birth score), while still adding
+    // nothing spurious — and new-pair scoring still uses the CURRENT
+    // capped universe
+    val corpus = docsDf(
+      1L -> "p q r s t u",
+      2L -> "p q r s t v")
+    val batch = docsDf(101L -> "p q r z1 z2 z3")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      frozenCaps = true)
+    assert(r.appended && r.affectedOld === 0)
+    val pairs = spark.table(r.idx.pairsTable)
+      .select("doc_id1", "doc_id2").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L))) // stale-but-kept; no new pair clears 0.6
+    PairIndex.dropDocIndex(spark, r.idx)
+  }
+
+  test("frozen-cap advance handles evictions by pure row removal") {
+    val corpus = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta",
+      11L -> "alpha beta gamma delta epsilon eta",
+      12L -> "completely different text lives in this row")
+    val batch = docsDf(5L -> "alpha beta gamma delta epsilon zeta") // == doc 10
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      frozenCaps = true)
+    assert(!r.appended && r.evicted === 1 && r.newDocs === 1)
+    // no cap flips in this fixture, so frozen == exact == from-scratch
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("keepLatest bounds a session to one live generation per key") {
+    val docs = Tables.documents(spark, sfDir)
+    val g1 = PairIndex.materializeDocIndex(docs, "doc_id", "text", numBuckets = 4)
+    PairIndex.keepLatest(spark, "spec-key", g1)
+    assert(spark.catalog.tableExists(g1.survivorsTable))
+    val g2 = PairIndex.materializeDocIndex(docs, "doc_id", "text", numBuckets = 4)
+    PairIndex.keepLatest(spark, "spec-key", g2)
+    // generation 1 dropped the moment generation 2 registered
+    assert(!spark.catalog.tableExists(g1.survivorsTable))
+    assert(!spark.catalog.tableExists(g1.pairsTable))
+    assert(spark.catalog.tableExists(g2.survivorsTable))
+    assert(spark.table(g2.pairsTable).count() >= 0)
+    PairIndex.keepLatest(spark, "spec-key", Seq.empty)
+    assert(!spark.catalog.tableExists(g2.survivorsTable))
   }
 
   test("clusterCurationFromIndex keeps exactly one doc per cluster plus singletons") {
