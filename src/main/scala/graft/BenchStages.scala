@@ -318,6 +318,16 @@ object BenchStages {
           PairIndex.dropSuperseded(spark, i, r.idx)
           PairIndex.dropDocIndex(spark, r.idx); sentinel
         }),
+        // frozen-cap daily path (round-13): same advance, existing
+        // pairs keep birth scores — telemetry distinguishes it
+        "a2f_materialize80_frozen20" -> (() => {
+          val i = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+            keepPostings = true)
+          val r = PairIndex.advanceDocIndex(spark, i, batch, "doc_id", "text",
+            frozenCaps = true)
+          PairIndex.dropSuperseded(spark, i, r.idx)
+          PairIndex.dropDocIndex(spark, r.idx); sentinel
+        }),
         "a3_materialize_full" -> (() => {
           val i = PairIndex.materializeDocIndex(docs, "doc_id", "text",
             keepPostings = true)

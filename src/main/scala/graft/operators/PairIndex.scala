@@ -432,11 +432,23 @@ object PairIndex {
     val nEvicted = if (cnts.isNullAt(0)) 0L else cnts.getLong(0)
     val nNew = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
 
-    val shB = hashedPostings(newSurv).persist(StorageLevel.MEMORY_AND_DISK)
+    // Batch-scale waypoints are EAGERLY localCheckpoint'd, not
+    // persisted (round-13): the advance's lazy DAG grew multiplicative
+    // — every downstream plan embedded the full upstream tree, so
+    // Catalyst re-analyzed thousands of nodes per action (a
+    // driver-serial cost measured as ~half the advance wall at sf0.1,
+    // and an explain-string heap blowout in long sessions). Each
+    // checkpoint is a small eager job whose output the rest of the
+    // advance consumes as a flat block scan; blocks are released by
+    // ContextCleaner (set spark.cleaner.periodicGC.interval low on
+    // long-lived sessions). Same executor-loss caveat as the write
+    // checkpoints below: advance-internal state is not recoverable
+    // mid-call — rerun the advance on failure.
+    val shB = ph("ckpt_shb")(hashedPostings(newSurv).localCheckpoint(true))
     val dfB = shB.groupBy(col("s")).agg(count(lit(1)).as("__dfb"))
     // per-shingle df deltas: batch additions minus eviction removals —
     // df can only change for shingles present in one of these
-    val dfDelta =
+    val dfDelta = ph("ckpt_dfdelta")(
       (if (nEvicted == 0) dfB.withColumn("__dfe", lit(0L))
        else dfB.join(
            hashedPostings(survivors.join(evictedIds, Seq(idCol), "left_semi"))
@@ -444,7 +456,7 @@ object PairIndex {
            Seq("s"), "full_outer")
          .select(col("s"), coalesce(col("__dfb"), lit(0L)).as("__dfb"),
            coalesce(col("__dfe"), lit(0L)).as("__dfe")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true))
     // ---- ONE corpus-wide df pass per advance (round-13, VERDICT 1a).
     // The df source is the standing df artifact when present — a
     // bucketed scan + bucket-local sum over ~|distinct shingles| delta
@@ -485,9 +497,9 @@ object PairIndex {
     val nChanged = if (frozenCaps) 0L else ph("count_changed")(changedKeys.count())
     val affectedOld =
       if (nChanged == 0) newSurv.select(col(idCol)).limit(0)
-      else stored.join(changedKeys, Seq("s"), "left_semi")
+      else ph("ckpt_affected")(stored.join(changedKeys, Seq("s"), "left_semi")
         .select(col("doc_id").as(idCol)).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true))
     val nAffected = ph("count_affected")(if (nChanged == 0) 0L else affectedOld.count())
 
     // evictions are bounded by the batch's duplicate count — broadcast
@@ -550,9 +562,7 @@ object PairIndex {
           pTab, "doc_id2", numBuckets)
         stampProps(pTab, nCorpus + nNew - nEvicted)
       }
-      dfCombFull.unpersist(); dfDelta.unpersist(); shB.unpersist()
-      decided.unpersist()
-      if (nChanged > 0) affectedOld.unpersist()
+      dfCombFull.unpersist(); decided.unpersist()
       return finish(AdvanceResult(
         DocIndex(sTab, pTab, Some(postTab), Some(dTab)),
         appended = false, nNew, nEvicted, nAffected), fallback = true)
@@ -568,9 +578,9 @@ object PairIndex {
       .unionByName(shAOld.select(col("s"))).distinct()
     // batch-scale key set, re-walked by aPart (twice: A-B join and
     // A-A kernel) and bPart — persist so the dfComb probe runs once
-    val cappedCandKeys = dfComb(candKeys)
+    val cappedCandKeys = ph("ckpt_capped_cand")(dfComb(candKeys)
       .filter(col("__dfc") <= cap).select(col("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true))
     val storedCand = {
       val sc = stored.join(cappedCandKeys, Seq("s"), "left_semi")
       if (nEvicted == 0) sc
@@ -598,9 +608,9 @@ object PairIndex {
            sc.join(aOldSet, sc("doc_id") === col("__aoid"), "left_semi")),
          sc.join(aOldSet, sc("doc_id") === col("__aoid"), "left_anti"))
       }
-    // batch-scale postings, consumed by both the A-B join and the A-A
-    // kernel — one evaluation instead of two
-    val aPart = aPart0.persist(StorageLevel.MEMORY_AND_DISK)
+    // batch-scale postings, consumed by the A-B join, the A-A kernel
+    // and the naA cardinalities — one evaluation, flat thereafter
+    val aPart = ph("ckpt_apart")(aPart0.localCheckpoint(true))
     // candidate keys cover every pair-touching-A intersection: a shared
     // shingle of any such pair is held by its A-side doc, and candKeys
     // = dfB ∪ shAOld = all shingles of all A docs
@@ -609,73 +619,81 @@ object PairIndex {
       .groupBy(least(col("__a"), col("__b")).as("doc_id1"),
         greatest(col("__a"), col("__b")).as("doc_id2"))
       .agg(count(lit(1)).as("n_inter"))
-    val aIds = newSurv.select(col(idCol).as("__aid"))
+    val aIds = ph("ckpt_aids")(newSurv.select(col(idCol).as("__aid"))
       .unionByName(aOldDocs.select(col(idCol).as("__aid")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true))
     val interA = Dedup.pairIntersections(aPart).unionByName(interAB)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // cardinalities over the FULL capped combined universe, for every
-    // delta-pair participant: batch docs from shB; old participants
-    // re-shingled via the survivors bucketing (never a doc-keyed pass
-    // over the s-bucketed posting table)
-    val participants = interA.select(col("doc_id1").as("__pid"))
-      .unionByName(interA.select(col("doc_id2").as("__pid"))).distinct()
-    val partOldSh = hashedPostings(survivors.join(
-      participants.select(col("__pid").as(idCol))
-        .join(newSurv.select(col(idCol)), Seq(idCol), "left_anti"),
-      Seq(idCol), "left_semi"))
-    val partPost = shB.unionByName(partOldSh)
-    val cappedPartKeys = dfComb(partPost.select(col("s")).distinct())
+    // A-side capped-universe cardinalities come FREE from aPart: an A
+    // doc's shingles are all in candKeys by construction, so its aPart
+    // rows are exactly its capped shingle set — no re-shingle, no df
+    // probe, batch-scale
+    val naA = ph("ckpt_naa")(
+      aPart.groupBy(col("doc_id")).agg(count(lit(1)).as("__na"))
+        .localCheckpoint(true))
+    // ---- exact length-bound prune (round-13, the advance's real
+    // scale fix). interA holds every ordered pair sharing >=1 capped
+    // candidate shingle — overwhelmingly n_inter=1-2 junk from common
+    // shingles sitting under the df-cap, connecting the batch to a
+    // large fraction of the corpus (measured at sf0.1: participants
+    // ~ corpus-sized, making the cardinality stage re-shingle most of
+    // the corpus — the dominant advance cost). But a qualifying pair
+    // needs j = i/(n1+n2-i) >= t, and n2 >= i forces i >= t*n1 for
+    // EACH endpoint — so any pair with i < t*na on a known (A-side)
+    // endpoint can never pass, and dropping it is exact. Survivors of
+    // the prune are true near-dup candidates: batch-scale, so the
+    // B-side cardinality stage below touches only them. The epsilon
+    // keeps FP rounding from dropping an exactly-boundary pair (the
+    // exact scorer re-filters anyway).
+    val interPruned = ph("ckpt_inter_pruned")(interA
+      .join(naA.select(col("doc_id").as("doc_id1"), col("__na").as("__na1")),
+        Seq("doc_id1"), "left")
+      .join(naA.select(col("doc_id").as("doc_id2"), col("__na").as("__na2")),
+        Seq("doc_id2"), "left")
+      .filter(
+        (col("__na1").isNull ||
+          col("n_inter").cast("double") >= lit(threshold) * col("__na1") - lit(1e-9)) &&
+        (col("__na2").isNull ||
+          col("n_inter").cast("double") >= lit(threshold) * col("__na2") - lit(1e-9)))
+      .select(col("doc_id1"), col("doc_id2"), col("n_inter"))
+      .localCheckpoint(true))
+    // cardinalities for the pruned pairs' B-side participants only
+    // (A-side is naA): re-shingled via the survivors bucketing (never
+    // a doc-keyed pass over the s-bucketed posting table), then df
+    // probed — all delta-scale after the prune
+    val bParticipants = interPruned.select(col("doc_id1").as("__pid"))
+      .unionByName(interPruned.select(col("doc_id2").as("__pid"))).distinct()
+      .join(aIds, col("__pid") === col("__aid"), "left_anti")
+    val bSh = ph("ckpt_bsh")(hashedPostings(survivors.join(
+      bParticipants.select(col("__pid").as(idCol)), Seq(idCol), "left_semi"))
+      .localCheckpoint(true))
+    val cappedBKeys = dfComb(bSh.select(col("s")).distinct())
       .filter(col("__dfc") <= cap).select(col("s"))
-    // participant-count rows (one per delta-pair doc) — persist so the
-    // scoring tail's two joins don't each re-walk the re-shingle +
-    // df-filter chain
-    val card = partPost.join(cappedPartKeys, Seq("s"), "left_semi")
+    val card = ph("ckpt_card")(bSh.join(cappedBKeys, Seq("s"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // The delta is batch-scale-tiny; persist and force it ONCE so the
-    // candidate pipeline (whose `card` subtree alone is ~half the
-    // advance CPU) executes exactly once — the write path then reads
-    // the cache instead of re-walking the tree, and at small SF the
-    // advance cost is ~halved (the pipeline is stage-count-bound
-    // there, data-bound at corpus scale).
-    val delta = Dedup.scoreJaccardPairs(interA, card, threshold)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ph("force_delta")(delta.count())
-    // Sever the write inputs from the advance DAG: every write below is
-    // a NEW action whose logical plan would otherwise be the full
-    // multi-join advance tree — Catalyst re-analyzes and re-optimizes
-    // that tree per write even though execution hits the caches, a
-    // driver-serial cost (~seconds per write here, and the optimizer is
-    // single-threaded on a 1000-executor driver too). The three write
-    // inputs are batch-scale, so localCheckpoint them once off the warm
-    // caches: the write plans become flat scans of checkpointed blocks,
-    // and — since they reference no catalog table — they are
-    // structurally immune to the CacheManager refresh storm that
-    // in-place appends trigger on plans reading the mutated tables.
-    val (deltaCk, shBCk, newSurvCk) = ph("checkpoint_writes")((
-      delta.localCheckpoint(true),
-      shB.localCheckpoint(true),
-      newSurv.select(survCols: _*).localCheckpoint(true)))
-    // df artifact maintenance rows (append paths): the batch's
-    // per-shingle +counts — no eviction variant is needed on the
-    // append paths (they only run with nEvicted == 0); the full
-    // rewrite compacts a fresh df table from dfCombFull instead
+      .unionByName(naA.select(col("doc_id"), col("__na").as("n")))
+      .localCheckpoint(true))
+    // the delta itself is checkpointed too: every write below then
+    // reads flat blocks, and — since the write plans reference no
+    // catalog table — they are structurally immune to the CacheManager
+    // refresh storm that in-place appends trigger on plans reading the
+    // mutated tables
+    val delta = ph("force_delta")(
+      Dedup.scoreJaccardPairs(interPruned, card, threshold)
+        .localCheckpoint(true))
+    // remaining write inputs: delta and shB are already checkpointed;
+    // newSurv reads the decided cache (about to be released) so it
+    // gets its own flat copy, and the df maintenance rows are a flat
+    // scan+agg off the shB checkpoint (no catalog refs — immune to
+    // the CacheManager refresh storm in-place appends trigger)
+    val (deltaCk, shBCk) = (delta, shB)
+    val newSurvCk = ph("checkpoint_writes")(
+      newSurv.select(survCols: _*).localCheckpoint(true))
     val dfBCk = idx.dfTable.map(_ =>
-      dfB.select(col("s"), col("__dfb").as("cnt")).localCheckpoint(true))
+      dfB.select(col("s"), col("__dfb").as("cnt")))
 
     // ---- write ----
     def unpersistAll(): Unit = {
-      delta.unpersist()
-      card.unpersist()
-      interA.unpersist()
-      aPart.unpersist()
-      cappedCandKeys.unpersist()
       dfCombFull.unpersist()
-      aIds.unpersist()
-      if (nChanged > 0) affectedOld.unpersist()
-      dfDelta.unpersist()
-      shB.unpersist()
       decided.unpersist()
     }
     val result =

@@ -39,7 +39,8 @@ object AdvDebug {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val info = sc.stageInfo
-        val key = stageDesc.getOrDefault(info.stageId, "<none>").take(120)
+        val key = (stageDesc.getOrDefault(info.stageId, "<none>") +
+          " | " + info.name).take(160)
         stageCpu.merge(key, info.taskMetrics.executorCpuTime / 1000000L,
           (a: Long, b: Long) => a + b)
       }
