@@ -470,12 +470,17 @@ object PairIndex {
         spark.table(t).groupBy(col("s")).agg(sum(col("cnt")).as("__dfo"))
       case None => stored.groupBy(col("s")).agg(count(lit(1)).as("__dfo"))
     }
+    // serialized storage: this is the advance's one corpus-scale cache
+    // (~|distinct shingles| rows) — serialized columnar batches keep it
+    // 2-3x smaller so it doesn't squeeze execution memory out of the
+    // unified pool under full task concurrency (measured at sf10:
+    // deserialized caching starved the bucketed sorts to OOM)
     val dfCombFull = dfAgg
       .join(dfDelta, Seq("s"), "full_outer")
       .select(col("s"), coalesce(col("__dfo"), lit(0L)).as("__dfo0"),
         (coalesce(col("__dfo"), lit(0L)) - coalesce(col("__dfe"), lit(0L))
           + coalesce(col("__dfb"), lit(0L))).as("__dfc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // merge hints, not broadcast, on the probes: at corpus scale a key
     // set can outgrow any broadcast limit (AQE still upgrades small
     // ones at runtime from real sizes)

@@ -1139,7 +1139,7 @@ object TextQueries {
   /** Incremental pair-index advance (d31, round-12; reshaped round-13):
     * the daily-run protocol end-to-end — materialize the standing
     * four-artifact index (survivors + hashed postings + pairs + df) on
-    * a 15/16 corpus snapshot, ADVANCE it with the remaining 1/16 batch
+    * a 63/64 corpus snapshot, ADVANCE it with the remaining 1/64 batch
     * via `PairIndex.advanceDocIndex` (delta rescore, never full pair
     * regeneration), then run the curation consumer off the advanced
     * index. Because the advanced index is row-identical to a
@@ -1157,14 +1157,14 @@ object TextQueries {
     PairIndex.sweepStale(s, PairIndex.DfBase)
     val docs = Tables.documents(s, dir)
     val idx = PairIndex.materializeDocIndex(
-      docs.filter(pmod(col("doc_id"), lit(16)) =!= 0), "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(64)) =!= 0), "doc_id", "text",
       keepPostings = true)
     // guard disabled: this query exists to oracle-pin the EXACT delta
     // algebra end-to-end, so it must never silently take the fallback.
-    // The batch is 1/16th (a realistic daily increment) — round 12's
+    // The batch is 1/64th (a realistic daily increment) — round 12's
     // 20% batch made one registered query a third of the whole suite
     val adv = PairIndex.advanceDocIndex(
-      s, idx, docs.filter(pmod(col("doc_id"), lit(16)) === 0), "doc_id", "text",
+      s, idx, docs.filter(pmod(col("doc_id"), lit(64)) === 0), "doc_id", "text",
       economyGuard = Double.PositiveInfinity)
     // advance writes are eager, so the superseded generation's tables
     // (a rewrite path leaves them live for concurrent readers; this
@@ -1188,7 +1188,7 @@ object TextQueries {
     * bucketed appends. Row-identical to the exact advance (and hence
     * to d12's full-corpus oracle, which pins this query) whenever the
     * batch flips no shingle's cap status — empirically true for the
-    * testdata's mod-16 split at every driver-verified SF; if a data
+    * testdata's mod-64 split at every driver-verified SF; if a data
     * regeneration ever breaks that precondition, the oracle
     * hash-compare goes red LOUDLY (the frozen-vs-exact divergence is
     * exactly what it would detect) instead of silently drifting. */
@@ -1200,10 +1200,10 @@ object TextQueries {
     PairIndex.sweepStale(s, PairIndex.DfBase)
     val docs = Tables.documents(s, dir)
     val idx = PairIndex.materializeDocIndex(
-      docs.filter(pmod(col("doc_id"), lit(16)) =!= 0), "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(64)) =!= 0), "doc_id", "text",
       keepPostings = true)
     val adv = PairIndex.advanceDocIndex(
-      s, idx, docs.filter(pmod(col("doc_id"), lit(16)) === 0), "doc_id", "text",
+      s, idx, docs.filter(pmod(col("doc_id"), lit(64)) === 0), "doc_id", "text",
       frozenCaps = true)
     PairIndex.dropSuperseded(s, idx, adv.idx)
     PairIndex.keepLatest(s, "d32", adv.idx)
