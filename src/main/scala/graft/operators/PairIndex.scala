@@ -296,14 +296,20 @@ object PairIndex {
     *    three key sets. (Round 12 shipped this as three separate
     *    full-postings aggregations; measured at 2.6-6.6× the cost of
     *    rematerialization at sf0.1-sf1, which round 13 exists to fix.)
-    *  - everything else is batch- or delta-scale, EXCEPT the
-    *    copy-forward pairs rewrite a cap-cascade forces (linear in the
-    *    pairs table). Honest cost model: a handful of linear scans of
-    *    the standing artifacts plus affected-set-sized compute — the
-    *    advance wins when pair GENERATION dominates rematerialization
-    *    (it does from the second decade up, per BENCH_decades), and
-    *    the economy guard below falls back when the affected set says
-    *    it won't.
+    *  - everything else is batch- or delta-scale, EXCEPT what the
+    *    cap-cascade forces: the affected set scales with the CORPUS
+    *    for a fixed batch fraction (shingles sit in a band near the
+    *    df-cap and any batch flips some; measured 27.7k affected docs
+    *    at sf1 → 277k at sf10 for the same 1.6% batch), so the
+    *    rescore + the copy-forward pairs rewrite are an irreducible
+    *    corpus-coupled tax of EXACT global-df-cap semantics. Honest,
+    *    measured cost model (BENCH_decades_r13.json): the exact
+    *    advance lands at ~1.0-1.3× a full rematerialization at every
+    *    decade tried — use it as the AUDITED path (and after
+    *    eviction-heavy batches), not the daily one. The daily path is
+    *    `frozenCaps` below (0.38× rebuild wall at sf1 → 0.27× at
+    *    sf10, growing with scale); the economy guard turns the
+    *    stress case into plain rebuild cost automatically.
     *
     * Write strategy, chosen from two scalar counts:
     *  - no evictions, no cap crossings → all four artifacts APPENDED

@@ -33,11 +33,17 @@ object CrossJvmPin {
 
   def main(args: Array[String]): Unit = {
     val Array(mode, sfDir) = args
+    // Hive catalog, not the in-memory default: the whole point is a
+    // catalog that OUTLIVES the JVM (bucket spec + TBLPROPERTIES
+    // recovered from the metastore by a different application) — the
+    // embedded Derby metastore_db in cwd plays the served metastore a
+    // real cluster shares between jobs
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, sfDir)

@@ -9,9 +9,9 @@ cd /root/repo
 SF=${1:-/root/testdata/sf0.01}
 rm -rf spark-warehouse metastore_db
 sbt -batch "runMain graft.tools.CrossJvmPin write $SF" 2>/dev/null \
-  | grep '^XJVM' | sort > /tmp/xjvm_write.txt
+  | grep -o 'XJVM.*' | sort > /tmp/xjvm_write.txt
 sbt -batch "runMain graft.tools.CrossJvmPin read $SF" 2>/dev/null \
-  | grep '^XJVM' | sort > /tmp/xjvm_read.txt
+  | grep -o 'XJVM.*' | sort > /tmp/xjvm_read.txt
 grep '^XJVM corpus80' /tmp/xjvm_read.txt > /tmp/xjvm_read_c80.txt
 echo "--- writer vs reader consumption"
 diff /tmp/xjvm_write.txt /tmp/xjvm_read_c80.txt
