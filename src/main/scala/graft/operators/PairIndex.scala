@@ -732,8 +732,8 @@ object PairIndex {
         // partial rewrite (the common cap-cascade case): with no
         // evictions, NO existing survivor or posting row changes —
         // affected-old docs keep their rows; only their PAIR scores
-        // move. So survivors and postings append in place exactly like
-        // the pure-append path, and only the pairs table gets the
+        // move. So survivors, postings and df append in place exactly
+        // like the pure-append path, and only the pairs table gets the
         // copy-forward rewrite (drop pairs touching A, add the delta).
         // This matters at scale: the cap cascade is inherent — any
         // large corpus has a band of shingles sitting near the df-cap,
@@ -761,8 +761,10 @@ object PairIndex {
             idx.dfTable),
           appended = false, nNew, 0L, nAffected)
       } else {
-        // full rewrite: evictions delete rows from all three tables, so
+        // full rewrite: evictions delete rows from all four tables, so
         // each gets a fresh generation with copy-forward of live rows
+        // (the df table is compacted from the persisted cap-status
+        // relation below rather than copy-forwarded)
         val sTab = freshName(SurvivorsBase)
         val pTab = freshName(PairsBase)
         val postTab = freshName(PostingsBase)

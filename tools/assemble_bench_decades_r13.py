@@ -28,6 +28,10 @@ INPUTS = {
     "sf1_batch1.6pct": "advidx_sf1_mod64_v2.log",
     "sf1_batch20pct": "advidx_sf1_mod5_v2.log",
     "sf10_batch1.6pct": "advidx_sf10_mod64.log",
+    # fourth decade: frozen-vs-rebuild only (exact already characterized
+    # as ~1.2x at sf1/sf10; a2 at sf30 would cost ~an hour for a known
+    # answer) — a2f/a1/a3 via SPARK_GRAFT_STAGE_FILTER
+    "sf30_batch1.6pct_frozen_only": "advidx_sf30_mod64_frozen.log",
 }
 
 
@@ -54,19 +58,40 @@ def advance_economy(j):
     sec = {"runs": j.get("runs"), "sf": j.get("sf"),
            "wall_sec": w, "cpu_sec": c,
            "telemetry": j.get("telemetry", {})}
+    runs = j.get("runs") or 1
     for mode, rung in (("exact", "a2_materialize80_advance20"),
                        ("frozen", "a2f_materialize80_frozen20")):
         if rung not in w or "a1_materialize_corpus80" not in w:
             continue
         aw = w[rung] - w["a1_materialize_corpus80"]
         ac = c[rung] - c["a1_materialize_corpus80"]
+        # the operator's own per-phase wall telemetry (summed over the
+        # stage's runs) is the drift-immune advance measurement — the
+        # a2-a1 subtraction assumes the two rungs saw the same window,
+        # which the sf30 run disproves (a1 absorbed the cold start and
+        # exceeds a3); when the subtraction goes negative, the phase
+        # sum is the only honest number and the ratio uses it
+        tel = j.get("telemetry", {}).get(rung, {})
+        phase_ms = sum(v for k, v in tel.items()
+                       if k.startswith("pairindex.advance_ms_"))
+        phase_wall = phase_ms / 1000.0 / runs if phase_ms else None
+        if phase_wall is not None:
+            sec[f"{mode}_advance_phase_wall_sec"] = round(phase_wall, 3)
         sec[f"{mode}_advance_wall_sec"] = round(aw, 3)
         sec[f"{mode}_advance_cpu_sec"] = round(ac, 3)
         if "a3_materialize_full" in w:
-            sec[f"{mode}_advance_vs_rebuild_wall"] = round(
-                aw / w["a3_materialize_full"], 3)
-            sec[f"{mode}_advance_vs_rebuild_cpu"] = round(
-                ac / c["a3_materialize_full"], 3)
+            if aw > 0:
+                sec[f"{mode}_advance_vs_rebuild_wall"] = round(
+                    aw / w["a3_materialize_full"], 3)
+            elif phase_wall is not None:
+                sec[f"{mode}_advance_vs_rebuild_wall_from_phases"] = round(
+                    phase_wall / w["a3_materialize_full"], 3)
+                sec[f"{mode}_note"] = (
+                    "a2-a1 negative (a1 window-contaminated); "
+                    "ratio from per-phase telemetry")
+            if ac > 0:
+                sec[f"{mode}_advance_vs_rebuild_cpu"] = round(
+                    ac / c["a3_materialize_full"], 3)
     return sec
 
 
