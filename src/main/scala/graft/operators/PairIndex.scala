@@ -165,24 +165,49 @@ object PairIndex {
     spark.sql(s"DROP TABLE IF EXISTS `${idx.shinglesTable}`")
   }
 
+  /** Bucket count for a corpus artifact set when the caller doesn't
+    * pin one (round-13): Catalyst's pre-scan size estimate of the
+    * input divided by a per-bucket input target, clamped to
+    * [32, 4096]. Buckets are simultaneously the parallelism floor and
+    * the per-task sort/memory unit of every downstream no-shuffle
+    * join, so a FIXED count fails at one end or the other: 32 buckets
+    * over a multi-TB corpus means ~100 GB bucket sorts (the sf10
+    * ladder's OOM mode), while 4096 buckets over 60k docs is file-
+    * count overhead. The 128 MB input target assumes the ~10x
+    * text→posting expansion of the shingle pipeline, i.e. ~1 GB of
+    * postings per bucket — comfortably inside one executor task's
+    * memory. The floor keeps every driver-verified SF at the pinned
+    * 32 (bucket-compatible with the bench's
+    * spark.sql.shuffle.partitions=32), so small-scale plans are
+    * unchanged; the stats read costs no job. */
+  def autoBuckets(df: DataFrame,
+                  targetInputBytesPerBucket: Long = 128L << 20): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes / targetInputBytesPerBucket).min(BigInt(4096)).max(BigInt(32))
+    n.toInt
+  }
+
   /** Compute survivors + pair index once and write both bucketed.
-    * `numBuckets` sizes the co-location unit: at corpus scale it should
-    * track executor count × a small factor (buckets are the parallelism
-    * floor of every downstream no-shuffle join). Default table names
-    * are per-invocation-unique (`freshName`); pass explicit names for a
-    * standing artifact consumed across sessions. */
+    * `numBuckets` sizes the co-location unit — pass 0 (the default)
+    * to derive it from the input size (`autoBuckets`); at corpus
+    * scale it should track executor count × a small factor (buckets
+    * are the parallelism floor of every downstream no-shuffle join).
+    * Default table names are per-invocation-unique (`freshName`);
+    * pass explicit names for a standing artifact consumed across
+    * sessions. */
   def materializeDocIndex(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.6, maxDocFreq: Int = 100,
-                          shingleK: Int = 3, numBuckets: Int = 32,
+                          shingleK: Int = 3, numBuckets: Int = 0,
                           survivorsTable: String = freshName(SurvivorsBase),
                           pairsTable: String = freshName(PairsBase),
                           keepPostings: Boolean = false,
                           postingsTable: String = freshName(PostingsBase),
                           dfTable: String = freshName(DfBase)): DocIndex = {
     val spark = docs.sparkSession
+    val buckets = if (numBuckets > 0) numBuckets else autoBuckets(docs)
     graft.etl.Layout.writeBucketed(
       Dedup.dropExactDuplicates(docs, idCol, textCol),
-      survivorsTable, idCol, numBuckets)
+      survivorsTable, idCol, buckets)
     // pair generation reads the WRITTEN survivors artifact (not the
     // lazy dedup plan): the exact-dedup window runs once at write time,
     // and the shingle pipeline scans bucketed parquet — on a cluster
@@ -203,7 +228,7 @@ object PairIndex {
           Dedup.shingles(survivors, idCol, textCol, shingleK)
             .select(col("doc_id"), xxhash64(col("s")).as("s"))
             .distinct(),
-          postingsTable, "s", numBuckets)
+          postingsTable, "s", buckets)
         // fourth standing artifact: per-shingle df delta rows, derived
         // from the freshly written postings (bucketed scan → bucket-
         // local count → bucketed write, no exchange). Advances append
@@ -211,10 +236,10 @@ object PairIndex {
         graft.etl.Layout.writeBucketed(
           spark.table(postingsTable).groupBy(col("s"))
             .agg(count(lit(1)).as("cnt")),
-          dfTable, "s", numBuckets)
+          dfTable, "s", buckets)
         Dedup.jaccardPairsHashed(spark.table(postingsTable), threshold, maxDocFreq)
       }
-    graft.etl.Layout.writeBucketed(pairsDf, pairsTable, "doc_id2", numBuckets)
+    graft.etl.Layout.writeBucketed(pairsDf, pairsTable, "doc_id2", buckets)
     // record the materialization parameters on the artifact itself:
     // advanceDocIndex derives its semantics from these, so an advance
     // can never silently run with a different cap/threshold than the
@@ -224,7 +249,7 @@ object PairIndex {
     spark.sql(
       s"ALTER TABLE `$pairsTable` SET TBLPROPERTIES(" +
         s"'graft.threshold'='$threshold','graft.maxDocFreq'='$maxDocFreq'," +
-        s"'graft.shingleK'='$shingleK','graft.numBuckets'='$numBuckets'," +
+        s"'graft.shingleK'='$shingleK','graft.numBuckets'='$buckets'," +
         s"'graft.nDocs'='$nDocs')")
     DocIndex(survivorsTable, pairsTable,
       if (keepPostings) Some(postingsTable) else None,
@@ -879,16 +904,17 @@ object PairIndex {
     * incoming batch until the corpus advances. Default table names are
     * per-invocation-unique (`freshName`). */
   def materializeCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
-                             shingleK: Int = 3, numBuckets: Int = 32,
+                             shingleK: Int = 3, numBuckets: Int = 0,
                              hashesTable: String = freshName(CorpusHashesBase),
                              shinglesTable: String = freshName(CorpusShinglesBase))
       : CorpusIndex = {
+    val buckets = if (numBuckets > 0) numBuckets else autoBuckets(corpus)
     graft.etl.Layout.writeBucketed(
       corpus.select(TextAnalysis.textHash(col(textCol)).as("__h")).distinct(),
-      hashesTable, "__h", numBuckets)
+      hashesTable, "__h", buckets)
     graft.etl.Layout.writeBucketed(
       Dedup.shingles(corpus, idCol, textCol, shingleK),
-      shinglesTable, "s", numBuckets)
+      shinglesTable, "s", buckets)
     CorpusIndex(hashesTable, shinglesTable)
   }
 

@@ -364,6 +364,42 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     PairIndex.dropDocIndex(spark, scratch)
   }
 
+  test("two successive FROZEN advances equal one-shot materialization when flip-free") {
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "totally unrelated content sits here quietly")
+    val b1 = docsDf(101L -> "j k l m n o p q")
+    val b2 = docsDf(201L -> "j k l m n o p r") // near-dup of B1's doc
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    val r1 = PairIndex.advanceDocIndex(spark, idx, b1, "doc_id", "text",
+      frozenCaps = true)
+    val r2 = PairIndex.advanceDocIndex(spark, r1.idx, b2, "doc_id", "text",
+      frozenCaps = true)
+    assert(r1.appended && r2.appended)
+    // advance 2 saw B1's appended postings AND df rows
+    val pairKeys = spark.table(r2.idx.pairsTable)
+      .select("doc_id1", "doc_id2").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairKeys.contains((101L, 201L)))
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(b1).unionByName(b2), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r2.idx, scratch)
+    PairIndex.dropDocIndex(spark, r2.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("autoBuckets floors small inputs at 32 and scales big ones to the 4096 cap") {
+    // tiny real table → the pinned small-scale floor
+    assert(PairIndex.autoBuckets(Tables.documents(spark, sfDir)) === 32)
+    // range() carries an exact 8-bytes/row size estimate with no data
+    // materialized: 2^37 rows ≈ 1 TiB → target count far past the cap
+    assert(PairIndex.autoBuckets(spark.range(1L << 37).toDF("x")) === 4096)
+    // mid-scale: ~32 GiB at the 128 MiB target → 256 buckets
+    assert(PairIndex.autoBuckets(spark.range(1L << 32).toDF("x")) === 256)
+  }
+
   test("keepLatest bounds a session to one live generation per key") {
     val docs = Tables.documents(spark, sfDir)
     val g1 = PairIndex.materializeDocIndex(docs, "doc_id", "text", numBuckets = 4)
