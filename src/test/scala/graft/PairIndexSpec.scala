@@ -390,6 +390,34 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     PairIndex.dropDocIndex(spark, scratch)
   }
 
+  test("advance on a pre-df-artifact index (back-compat) falls back to the postings aggregation") {
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "totally unrelated content sits here quietly")
+    val batch = docsDf(101L -> "a b c d e f g y")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    // simulate an index materialized before the df artifact existed
+    idx.dfTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val legacy = idx.copy(dfTable = None)
+    val r = PairIndex.advanceDocIndex(spark, legacy, batch, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity)
+    assert(r.appended && r.idx.dfTable.isEmpty) // stays df-less
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    // pairs/survivors/postings row-identical; no df table to compare
+    def eq(ta: String, tb: String): Unit = {
+      val (da, db) = (spark.table(ta), spark.table(tb))
+      assert(da.exceptAll(db).isEmpty && db.exceptAll(da).isEmpty, s"$ta vs $tb")
+    }
+    eq(r.idx.survivorsTable, scratch.survivorsTable)
+    eq(r.idx.pairsTable, scratch.pairsTable)
+    eq(r.idx.postingsTable.get, scratch.postingsTable.get)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
   test("autoBuckets floors small inputs at 32 and scales big ones to the 4096 cap") {
     // tiny real table → the pinned small-scale floor
     assert(PairIndex.autoBuckets(Tables.documents(spark, sfDir)) === 32)
