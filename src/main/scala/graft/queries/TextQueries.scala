@@ -1202,9 +1202,14 @@ object TextQueries {
     val idx = PairIndex.materializeDocIndex(
       docs.filter(pmod(col("doc_id"), lit(64)) =!= 0), "doc_id", "text",
       keepPostings = true)
+    // assertNoCapFlips (round-14, ADVICE): this query's oracle pin is
+    // only valid when the mod-64 batch flips no shingle's cap status —
+    // asserting it makes a regenerated fixture that breaks the
+    // precondition fail with an attributable message instead of an
+    // anonymous hash mismatch read as an advance bug
     val adv = PairIndex.advanceDocIndex(
       s, idx, docs.filter(pmod(col("doc_id"), lit(64)) === 0), "doc_id", "text",
-      frozenCaps = true)
+      frozenCaps = true, assertNoCapFlips = true)
     PairIndex.dropSuperseded(s, idx, adv.idx)
     PairIndex.keepLatest(s, "d32", adv.idx)
     PairIndex.curateFromIndex(s, adv.idx, "doc_id", "text")

@@ -428,20 +428,217 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(PairIndex.autoBuckets(spark.range(1L << 32).toDF("x")) === 256)
   }
 
-  test("keepLatest bounds a session to one live generation per key") {
+  test("keepLatest retains one grace generation, drops at the second supersede") {
+    // round-14 ADVICE: keepLatest runs at query-CONSTRUCTION time, so
+    // dropping the immediately-previous generation raced a re-entrant
+    // invocation still reading it — the ring keeps gen_{k-1} live and
+    // drops gen_{k-2}, making a single in-flight overlap safe
     val docs = Tables.documents(spark, sfDir)
     val g1 = PairIndex.materializeDocIndex(docs, "doc_id", "text", numBuckets = 4)
     PairIndex.keepLatest(spark, "spec-key", g1)
     assert(spark.catalog.tableExists(g1.survivorsTable))
     val g2 = PairIndex.materializeDocIndex(docs, "doc_id", "text", numBuckets = 4)
     PairIndex.keepLatest(spark, "spec-key", g2)
-    // generation 1 dropped the moment generation 2 registered
+    // generation 1 is the GRACE generation — still live for a
+    // concurrent reader that registered g2 while g1 was being consumed
+    assert(spark.catalog.tableExists(g1.survivorsTable))
+    assert(spark.catalog.tableExists(g2.survivorsTable))
+    val g3 = PairIndex.materializeDocIndex(docs, "doc_id", "text", numBuckets = 4)
+    PairIndex.keepLatest(spark, "spec-key", g3)
+    // second supersede: generation 1 dropped, 2 (grace) and 3 live
     assert(!spark.catalog.tableExists(g1.survivorsTable))
     assert(!spark.catalog.tableExists(g1.pairsTable))
     assert(spark.catalog.tableExists(g2.survivorsTable))
-    assert(spark.table(g2.pairsTable).count() >= 0)
-    PairIndex.keepLatest(spark, "spec-key", Seq.empty)
+    assert(spark.catalog.tableExists(g3.survivorsTable))
+    // flush ends the session at <=1 live generation per key
+    PairIndex.flushKeepLatest(spark)
     assert(!spark.catalog.tableExists(g2.survivorsTable))
+    assert(spark.catalog.tableExists(g3.survivorsTable))
+    assert(spark.table(g3.pairsTable).count() >= 0)
+    PairIndex.keepLatest(spark, "spec-key", Seq.empty)
+    PairIndex.keepLatest(spark, "spec-key", Seq.empty)
+    assert(!spark.catalog.tableExists(g3.survivorsTable))
+  }
+
+  test("keepLatest never drops a table a retained generation reuses") {
+    val docs = Tables.documents(spark, sfDir)
+    val g1 = PairIndex.materializeDocIndex(docs, "doc_id", "text", numBuckets = 4)
+    PairIndex.keepLatest(spark, "reuse-key", g1)
+    // a partial-rewrite advance REUSES the survivors table: register a
+    // "generation 2" sharing g1's survivors, then a fresh generation 3
+    // — the shared survivors table must survive g1's eviction
+    val g2 = g1.copy(pairsTable = PairIndex.freshName(PairIndex.PairsBase))
+    spark.table(g1.pairsTable).write.saveAsTable(g2.pairsTable)
+    PairIndex.keepLatest(spark, "reuse-key", g2)
+    val g3 = PairIndex.materializeDocIndex(docs, "doc_id", "text", numBuckets = 4)
+    PairIndex.keepLatest(spark, "reuse-key", g3)
+    assert(spark.catalog.tableExists(g2.survivorsTable)) // shared with g1
+    assert(!spark.catalog.tableExists(g1.pairsTable))    // g1-only: dropped
+    PairIndex.flushKeepLatest(spark)
+    PairIndex.keepLatest(spark, "reuse-key", Seq.empty)
+    PairIndex.keepLatest(spark, "reuse-key", Seq.empty)
+  }
+
+  test("sweepStale treats an unparseable pid tag as stale instead of crashing") {
+    // ADVICE round-14: a >19-digit pid-like tag overflowed Long and the
+    // NumberFormatException killed every registered query that swept
+    val weird = "graft_pair_survivors_p99999999999999999999_g1"
+    spark.range(3).toDF("x").write.mode("overwrite").saveAsTable(weird)
+    PairIndex.sweepStale(spark, PairIndex.SurvivorsBase) // must not throw
+    assert(!spark.catalog.tableExists(weird))
+  }
+
+  test("autoBuckets falls back to the floor on unknown-stats inputs") {
+    // a LogicalRDD (createDataFrame over an RDD) reports Catalyst's
+    // defaultSizeInBytes sentinel, not a real estimate — trusting it
+    // clamped tiny data to 4096 buckets (ADVICE round-14)
+    import org.apache.spark.sql.types._
+    val rdd = spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)))
+    val df = spark.createDataFrame(rdd, StructType(Seq(StructField("x", LongType))))
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes))
+    assert(PairIndex.autoBuckets(df) === 32)
+  }
+
+  test("autoBuckets per-bucket target is conf-tunable") {
+    val docs = Tables.documents(spark, sfDir)
+    val dflt = PairIndex.autoBuckets(docs)
+    assert(dflt === 32) // tiny table at the 128 MB default target
+    spark.conf.set("spark.graft.autoBuckets.targetBytes", "64")
+    try {
+      val tuned = PairIndex.autoBuckets(docs)
+      assert(tuned > 32, s"expected a 64-byte target to beat the floor, got $tuned")
+    } finally spark.conf.unset("spark.graft.autoBuckets.targetBytes")
+  }
+
+  test("guard fallback re-derives the bucket count from the combined survivors") {
+    // round-14, VERDICT item 3: the fallback replaces ALL four tables,
+    // so an index born small must escape its birth bucket count there.
+    // A tiny conf target makes the combined survivors exceed the floor.
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "totally unrelated content sits here quietly")
+    val batch = docsDf(
+      101L -> "a b c d e f g y",
+      102L -> "m n o p q r s t")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    spark.conf.set("spark.graft.autoBuckets.targetBytes", "8")
+    val r =
+      try PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+        economyGuard = 0.0) // force the fallback
+      finally spark.conf.unset("spark.graft.autoBuckets.targetBytes")
+    assert(!r.appended)
+    val props = spark.sql(s"SHOW TBLPROPERTIES `${r.idx.pairsTable}`")
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    val stamped = props("graft.numBuckets").toInt
+    assert(stamped > 4, s"fallback kept the birth bucket count: $stamped")
+    // the physical table really carries the re-derived bucket spec, and
+    // all four artifacts share it (the co-location contract)
+    def bucketsOf(t: String): String = spark.sql(s"DESCRIBE EXTENDED `$t`")
+      .collect().find(_.getString(0) == "Num Buckets").map(_.getString(1)).getOrElse("?")
+    assert(bucketsOf(r.idx.pairsTable) === stamped.toString)
+    assert(bucketsOf(r.idx.survivorsTable) === stamped.toString)
+    assert(bucketsOf(r.idx.postingsTable.get) === stamped.toString)
+    assert(bucketsOf(r.idx.dfTable.get) === stamped.toString)
+    // results stay row-identical to a from-scratch materialization
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    // and the grown index stays consumable with zero exchanges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val anti = spark.table(r.idx.survivorsTable)
+        .join(PairIndex.droplist(spark, r.idx, "doc_id"), Seq("doc_id"), "left_anti")
+      val plan = anti.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free consumer:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("assertNoCapFlips turns a flip under frozen caps into an attributable failure") {
+    // the d32 gate's precondition (ADVICE round-14): a frozen advance
+    // pinned to the exact oracle must fail LOUDLY when the batch flips
+    // a cap status, instead of an anonymous hash mismatch downstream
+    val corpus = docsDf(
+      1L -> "p q r s t u",
+      2L -> "p q r s t v")
+    val batch = docsDf(101L -> "p q r z1 z2 z3") // pushes "p q r" over cap 2
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    val e = intercept[IllegalStateException] {
+      PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+        frozenCaps = true, assertNoCapFlips = true)
+    }
+    assert(e.getMessage.contains("cap-status flip"))
+    // flip-free batch passes with the assertion on
+    val ok = PairIndex.advanceDocIndex(spark, idx,
+      docsDf(102L -> "w1 w2 w3 w4 w5 w6"), "doc_id", "text",
+      frozenCaps = true, assertNoCapFlips = true)
+    assert(ok.appended)
+    PairIndex.dropDocIndex(spark, ok.idx)
+  }
+
+  test("pairDrift pins the frozen-vs-exact drift metrics on a known cap flip") {
+    // threshold 0.5, cap 2: corpus pair (1,2) is born at jaccard 3/5 =
+    // 0.6; the batch flips "p q r" over the cap, so the EXACT universe
+    // rescores the pair to 2/4 = 0.5 (still qualifying). The frozen
+    // index keeps the 0.6 birth score → exactly one score-drifted
+    // common pair, delta 0.1, nothing missing or spurious.
+    val corpus = docsDf(
+      1L -> "p q r s t u",
+      2L -> "p q r s t v")
+    val batch = docsDf(101L -> "p q r z1 z2 z3")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      threshold = 0.5, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      frozenCaps = true)
+    val exact = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      threshold = 0.5, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    val d = PairIndex.pairDrift(spark, r.idx, exact)
+    assert(d.nPairsExact === 1 && d.nPairsFrozen === 1 && d.nPairsCommon === 1)
+    assert(d.nScoreDrifted === 1 && d.nPairsMissing === 0 && d.nPairsSpurious === 0)
+    assert(math.abs(d.maxAbsJaccardDelta - 0.1) < 1e-9)
+    assert(math.abs(d.fracPairsDrifted - 1.0) < 1e-9)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, exact)
+  }
+
+  test("pairDrift counts a spurious frozen pair the exact universe dropped") {
+    // threshold 0.6 version of the same flip: exact mode DROPS (1,2)
+    // (2/4 = 0.5 < 0.6) while frozen keeps the 0.6 birth score — one
+    // spurious pair, zero common, frac 1.0 against an empty exact set
+    val corpus = docsDf(
+      1L -> "p q r s t u",
+      2L -> "p q r s t v")
+    val batch = docsDf(101L -> "p q r z1 z2 z3")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      frozenCaps = true)
+    val exact = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    val d = PairIndex.pairDrift(spark, r.idx, exact)
+    assert(d.nPairsExact === 0 && d.nPairsFrozen === 1 && d.nPairsCommon === 0)
+    assert(d.nScoreDrifted === 0 && d.nPairsMissing === 0 && d.nPairsSpurious === 1)
+    assert(math.abs(d.fracPairsDrifted - 1.0) < 1e-9)
+    // the spurious pair moves the END answer: doc 2 is dropped by the
+    // frozen curation but kept by the exact one (lang/quality gates
+    // open so the synthetic corpus passes)
+    val lang = graft.operators.TextAnalysis.langIdHeuristic(col("text"))
+    val l = spark.createDataFrame(Seq(Tuple1("p q r s t u"))).toDF("text")
+      .select(lang).head().getString(0)
+    val (ne, nf, diff) = PairIndex.curationDrift(spark, r.idx, exact,
+      "doc_id", "text", lang = l, minQuality = 0.0)
+    assert(ne === nf + 1 && diff === 1)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, exact)
   }
 
   test("clusterCurationFromIndex keeps exactly one doc per cluster plus singletons") {
