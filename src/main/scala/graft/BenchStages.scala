@@ -318,6 +318,19 @@ object BenchStages {
           PairIndex.dropSuperseded(spark, i, r.idx)
           PairIndex.dropDocIndex(spark, r.idx); sentinel
         }),
+        // forced-delta exact advance (round-14, VERDICT item 8): the
+        // guard disabled, so this rung measures the post-fix cost of
+        // the AUDITED delta path itself (a2 above measures what the
+        // guard actually does, which at stress batch fractions is the
+        // fallback) — the same registration d31 pins for correctness
+        "a2x_materialize80_advance20_forced" -> (() => {
+          val i = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+            keepPostings = true)
+          val r = PairIndex.advanceDocIndex(spark, i, batch, "doc_id", "text",
+            economyGuard = Double.PositiveInfinity)
+          PairIndex.dropSuperseded(spark, i, r.idx)
+          PairIndex.dropDocIndex(spark, r.idx); sentinel
+        }),
         // frozen-cap daily path (round-13): same advance, existing
         // pairs keep birth scores — telemetry distinguishes it
         "a2f_materialize80_frozen20" -> (() => {
