@@ -5,42 +5,52 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver-visible correctness for the multimodal plumbing (m01): the
-  * `documents.text` payloads cast to an opaque binary column run
-  * through the real mapPartitions decode path (one decoder per
-  * partition, streaming iterator), producing the typed MediaMeta
-  * columns. Only the codec inside `decodeStub` is fake — and it is
-  * deterministic (an FNV-ish byte fold), so the whole operator has an
-  * exact DuckDB mirror: md5 over the same bytes for the fingerprint,
-  * and the fold replayed in HUGEINT arithmetic mod 2^64 (Java's
-  * wrapping long semantics; the >>10 / >>20 signed shifts reduce to
-  * unsigned division because 2^64 is divisible by the moduli). The
-  * corpus is ASCII (pinned by d09's codepoint oracle), so byte values
-  * equal `ascii()` codes on the SQL side.
+/** Driver-visible correctness for the multimodal plumbing.
+  *
+  * m01 (round-14, VERDICT item 7 — REAL decode): each document's bytes
+  * are packed into a genuine uncompressed 24-bit BMP
+  * (`Multimodal.packBmpPayload` — 17-pixel rows, so every row carries a
+  * real 1-byte BMP pad) and the binary column runs through the real
+  * pure-JVM decoder (`Multimodal.decodeBmp24`: header validation,
+  * bottom-up row walk, padding strip) partition-wise. The oracle never
+  * sees the BMP container: the decoder's recovered payload must md5 to
+  * the space-padded ORIGINAL text, its pixel sum to the text's byte sum
+  * plus the space padding, and the dims to the packing arithmetic —
+  * any header/offset/padding/row-order bug in either codec side breaks
+  * the hash. The corpus is ASCII (pinned by d09's codepoint oracle), so
+  * byte values equal `ascii()` codes on the SQL side.
+  *
+  * m03/m04 exercise the metadata-level operators (resize arithmetic,
+  * frame-sample fan-out) over `decodeStub`'s SYNTHETIC varied
+  * dimensions — a deterministic dimension generator standing in for
+  * the audio/video codecs this container lacks, exactly mirrored in
+  * HUGEINT arithmetic mod 2^64 on the SQL side.
   */
 object MultimodalQueries {
 
   private def m01(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractMeta(
+    Multimodal.extractMetaBmp(
       s,
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload")),
-      "doc_id", "payload", kind = "text")
+      Multimodal.packBmpPayload(s, Tables.documents(s, dir), "doc_id", "text"),
+      "doc_id", "payload")
       .toDF()
       .orderBy(col("media_id"))
 
   private val m01Sql =
-    """SELECT doc_id AS media_id, 'text' AS kind,
-      |  CAST(length(text) AS BIGINT) AS n_bytes,
-      |  CAST(64 + u % 1024 AS INTEGER) AS width,
-      |  CAST(64 + (u // 1024) % 1024 AS INTEGER) AS height,
-      |  CAST(1 + (u // 1048576) % 32 AS INTEGER) AS n_frames,
-      |  md5(text) AS fingerprint
-      |FROM (SELECT doc_id, text,
-      |        list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-      |          list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
-      |          (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
-      |      FROM documents)
+    """WITH m AS (
+      | SELECT doc_id, text,
+      |   greatest((length(text) + 50) // 51, 1) AS h,
+      |   coalesce(list_aggregate(list_transform(string_split_regex(text, ''),
+      |     ch -> CAST(ascii(ch) AS BIGINT)), 'sum'), 0) AS asum
+      | FROM documents)
+      |SELECT doc_id AS media_id, 'bmp' AS kind,
+      |  CAST(51 * h AS BIGINT) AS n_bytes,
+      |  CAST(17 AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(1 AS INTEGER) AS n_frames,
+      |  CAST(asum + 32 * (51 * h - length(text)) AS BIGINT) AS pixel_sum,
+      |  md5(rpad(text, CAST(51 * h AS INTEGER), ' ')) AS fingerprint
+      |FROM m
       |ORDER BY media_id""".stripMargin
 
   /** REAL feature extraction (m02): 16-bin high-nibble byte histogram
