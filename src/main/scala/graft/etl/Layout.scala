@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Storage-layout operators for the 100 TB regime (SURVEY.md §4.3): the
   * reference's secondary indexes (schema.sql:44-45) map to physical
@@ -45,7 +46,20 @@ object Layout {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    df.write.mode(SaveMode.Overwrite)
+    // repartition on the bucket column BEFORE the bucketed write
+    // (round-14): FileFormatWriter opens one file per bucket per TASK,
+    // so writing from a T-partition input produces up to T x numBuckets
+    // files — measured as the dominant cost of a 23.7k-row bucketed
+    // append at sf30 (99-170 s of file create/commit for ~1 file of
+    // data), and at cluster scale (1000 tasks x 4096 buckets) a
+    // 4M-file-per-write catastrophe for every downstream listing.
+    // repartition uses the SAME HashPartitioning(col) the bucket
+    // assignment uses, so each task receives exactly one bucket and
+    // each write emits exactly numBuckets files; the added exchange
+    // moves only the data being written, which the write was the
+    // pipeline's sink for anyway.
+    df.repartition(numBuckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
@@ -63,7 +77,11 @@ object Layout {
     * corpus rewrite. */
   def appendBucketed(df: DataFrame, table: String,
                      bucketCol: String, numBuckets: Int): Unit =
-    df.write.mode(SaveMode.Append)
+    // same pre-repartition as writeBucketed: an append adds exactly
+    // numBuckets files per day instead of tasks x buckets — the shuffle
+    // is batch-scale (the appended delta), i.e. free at any corpus size
+    df.repartition(numBuckets, col(bucketCol))
+      .write.mode(SaveMode.Append)
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)

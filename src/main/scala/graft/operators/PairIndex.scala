@@ -893,15 +893,15 @@ object PairIndex {
         val liveSurv =
           if (nEvicted == 0) survivors
           else survivors.join(evictedSide, survivors(idCol) === col("__eid"), "left_anti")
-        graft.etl.Layout.writeBucketed(
+        ph("rewrite_survivors")(graft.etl.Layout.writeBucketed(
           liveSurv.select(survCols: _*).unionByName(newSurvCk),
-          sTab, idCol, numBuckets)
+          sTab, idCol, numBuckets))
         val livePost =
           if (nEvicted == 0) stored
           else stored.join(evictedSide, stored("doc_id") === col("__eid"), "left_anti")
-        graft.etl.Layout.writeBucketed(
+        ph("rewrite_postings")(graft.etl.Layout.writeBucketed(
           livePost.select(col("doc_id"), col("s")).unionByName(shBCk),
-          postTab, "s", numBuckets)
+          postTab, "s", numBuckets))
         val removal = aIds.unionByName(evictedIds.select(col(idCol).as("__aid")))
         val oldPairs = spark.table(idx.pairsTable)
         val keptPairs = oldPairs
@@ -915,10 +915,10 @@ object PairIndex {
         // unpersist); net-zero shingles (all holders evicted) drop out
         val newDf = idx.dfTable.map { _ =>
           val dTab = freshName(DfBase)
-          graft.etl.Layout.writeBucketed(
+          ph("rewrite_df")(graft.etl.Layout.writeBucketed(
             dfCombFull.filter(col("__dfc") > 0)
               .select(col("s"), col("__dfc").as("cnt")),
-            dTab, "s", numBuckets)
+            dTab, "s", numBuckets))
           dTab
         }
         unpersistAll()

@@ -40,6 +40,17 @@ import org.apache.spark.sql.functions._
   * standing index, so a chain cannot re-run a single step — the whole
   * chain repeats.
   *
+  * Two base-corpus shapes (SPARK_GRAFT_DRIFT_BASE):
+  *  - "slice0" (default): base = slice 0, advance with slices
+  *    1..steps — every batch is corpus-sized early on, the STRESS
+  *    shape that maximizes flips (the corpus also grows steps+1 x
+  *    across the chain, so per-step ratios mix growth in);
+  *  - "rest": base = everything OUTSIDE slices 1..steps — with
+  *    mod=64, steps=7 that is 7 chained 1/64 batches over an 89% base,
+  *    the REALISTIC daily regime (batch << corpus, corpus
+  *    near-constant), which is what a rebuild-cadence contract is
+  *    actually written against.
+  *
   * Output: one JSON line (stdout) + a sidecar file when
   * SPARK_GRAFT_DRIFT_OUT is set. Assembled into BENCH_decades_r14.json.
   */
@@ -48,6 +59,9 @@ object DriftLadder {
     LocalCatalog.reset()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/benchdata/sf1")
     val mod = sys.env.getOrElse("SPARK_GRAFT_DRIFT_MOD", "8").toInt
+    val steps = sys.env.getOrElse("SPARK_GRAFT_DRIFT_STEPS", (mod - 1).toString)
+      .toInt.min(mod - 1).max(1)
+    val baseRest = sys.env.getOrElse("SPARK_GRAFT_DRIFT_BASE", "slice0") == "rest"
     val chainRuns = sys.env.getOrElse("SPARK_GRAFT_DRIFT_RUNS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val inputBytes = {
@@ -81,7 +95,16 @@ object DriftLadder {
 
     def docs = graft.sources.Tables.documents(spark, sfDir)
     def slice(k: Int) = docs.filter(pmod(col("doc_id"), lit(mod)) === k)
-    def upTo(k: Int) = docs.filter(pmod(col("doc_id"), lit(mod)) <= k)
+    // base corpus + "base plus batches 1..k" under either shape
+    def base = if (baseRest)
+      docs.filter(pmod(col("doc_id"), lit(mod)) === 0 ||
+        pmod(col("doc_id"), lit(mod)) > steps)
+    else slice(0)
+    def upTo(k: Int) = if (baseRest)
+      docs.filter(pmod(col("doc_id"), lit(mod)) === 0 ||
+        pmod(col("doc_id"), lit(mod)) > steps ||
+        pmod(col("doc_id"), lit(mod)) <= k)
+    else docs.filter(pmod(col("doc_id"), lit(mod)) <= k)
 
     def warehouseBytes(): Long = {
       val root = java.nio.file.Paths.get("spark-warehouse")
@@ -101,12 +124,12 @@ object DriftLadder {
 
     val chains = (1 to chainRuns).map { run =>
       spark.catalog.clearCache()
-      var idx = PairIndex.materializeDocIndex(slice(0), "doc_id", "text",
+      var idx = PairIndex.materializeDocIndex(base, "doc_id", "text",
         keepPostings = true)
       val cap = spark.sql(s"SHOW TBLPROPERTIES `${idx.pairsTable}`")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         .apply("graft.maxDocFreq").toInt
-      val steps = (1 until mod).map { k =>
+      val stepRows = (1 to steps).map { k =>
         // untimed pre-advance df snapshot: eager localCheckpoint so the
         // flip count later reads a flat block scan, immune to the
         // in-place append mutating the df table underneath
@@ -156,11 +179,12 @@ object DriftLadder {
            |"advance_telemetry":$telJson}""".stripMargin.replaceAll("\n", "")
       }
       PairIndex.dropDocIndex(spark, idx)
-      s"""{"run":$run,"steps":[${steps.mkString(",")}]}"""
+      s"""{"run":$run,"steps":[${stepRows.mkString(",")}]}"""
     }
 
     val out =
-      s"""{"metric":"drift_ladder","sf":"$sfDir","mod":$mod,"chain_runs":$chainRuns,""" +
+      s"""{"metric":"drift_ladder","sf":"$sfDir","mod":$mod,"steps":$steps,""" +
+        s""""base":"${if (baseRest) "rest" else "slice0"}","chain_runs":$chainRuns,""" +
         s""""chains":[${chains.mkString(",")}]}"""
     println(out)
     sys.env.get("SPARK_GRAFT_DRIFT_OUT").filter(_.nonEmpty).foreach { p =>

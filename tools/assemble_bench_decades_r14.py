@@ -32,7 +32,29 @@ INPUTS = {
     "sf1_batch1.6pct_forced_delta": "advidx_sf1_mod64_forced.log",
 }
 
-DRIFT = "drift_ladder_sf1.json"
+# DIRECT advance timing (graft.tools.AdvanceRung): no a2-a1 subtraction
+# anywhere — the r14 sf30 retry proved the subtraction method is
+# structurally noise-bound at that scale (±5% of a 400 s materialize
+# swamps a ~20 s advance; a2f-a1 went negative AGAIN at runs=2), so the
+# headline frozen ratios come from these sections
+DIRECT_INPUTS = {
+    "sf1_batch1.6pct_frozen_direct": "advrung_sf1_frozen.log",
+    # first sf30 direct run degraded session-wide across runs (advance
+    # 98.6 -> 244 s, every phase inflated ~2.5x) — checkpoint-block
+    # accumulation under the 2-min periodic GC; kept for the record
+    "sf30_batch1.6pct_frozen_direct_gc2min": "advrung_sf30_frozen.log",
+    # headline sf30 rung: same harness, 30 s periodic GC
+    "sf30_batch1.6pct_frozen_direct": "advrung_sf30_frozen_gc30.log",
+}
+
+DRIFTS = {
+    # stress shape: base = 1/8 slice, batches = 1/8 slices (corpus 8x
+    # growth across the chain; maximizes flips)
+    "drift_ladder_sf1_mod8_stress": "drift_ladder_sf1.json",
+    # realistic daily shape: base = 89% of the corpus, seven chained
+    # 1/64 batches — what the rebuild-cadence contract is written for
+    "drift_ladder_sf1_mod64_daily": "drift_ladder_sf1_daily.json",
+}
 
 # r13 sections carried forward; the contaminated sf30 frozen rung is
 # dropped in favor of the clean re-run above
@@ -97,9 +119,36 @@ def advance_economy(j):
     return sec
 
 
+def advance_direct(path):
+    """Section from one AdvanceRung log (direct per-operation walls)."""
+    j = None
+    for ln in open(path):
+        if '"metric":"advance_rung"' in ln:
+            try:
+                j = json.loads(ln[ln.index("{"):].strip())
+            except json.JSONDecodeError:
+                pass
+    if j is None:
+        return None
+    ms = j.get("measurements", [])
+    sec = {"sf": j.get("sf"), "mod": j.get("mod"), "frozen": j.get("frozen"),
+           "runs": j.get("runs"), "measurements": [
+               {k: v for k, v in m.items() if k != "telemetry"} for m in ms],
+           "telemetry_last_run": ms[-1].get("telemetry", {}) if ms else {},
+           "note": ("direct timing: materialize corpus -> time the advance "
+                    "alone -> time the from-scratch rebuild, all in one "
+                    "session per run; no subtraction")}
+    if ms:
+        ratios = [m["advance_vs_rebuild_wall"] for m in ms]
+        sec["advance_vs_rebuild_wall_best"] = min(ratios)
+        sec["advance_vs_rebuild_wall_worst"] = max(ratios)
+    return sec
+
+
 def drift_summary(d):
     """Condense the DriftLadder chains into the contract table."""
     out = {"sf": d.get("sf"), "mod": d.get("mod"),
+           "steps": d.get("steps"), "base": d.get("base"),
            "chain_runs": d.get("chain_runs"), "per_step": [],
            "note": (
                "k frozen advances chained over mod-N corpus slices; after "
@@ -168,14 +217,30 @@ def main():
                   f"section {name} omitted", file=sys.stderr)
             continue
         doc["sections"][name] = advance_economy(j)
-    dp = os.path.join(LOGS, DRIFT)
-    if os.path.exists(dp):
-        doc["sections"]["drift_ladder_sf1_mod8"] = drift_summary(
-            json.load(open(dp)))
-    else:
-        doc["missing_inputs"].append(DRIFT)
-        print(f"WARNING: {dp} missing — drift section omitted",
-              file=sys.stderr)
+    if "sf30_batch1.6pct_frozen_clean" in doc["sections"]:
+        doc["sections"]["sf30_batch1.6pct_frozen_clean"]["note"] = (
+            "SUBTRACTION method (a2f - a1), retained as evidence that it "
+            "is noise-bound at sf30: even at runs=2 min-of-runs the a2f-a1 "
+            "difference is negative because the ~400 s materialize's same-"
+            "window variance exceeds the ~20 s advance. The headline sf30 "
+            "frozen number is the DIRECT section below.")
+    for name, fn in DIRECT_INPUTS.items():
+        p = os.path.join(LOGS, fn)
+        sec = advance_direct(p) if os.path.exists(p) else None
+        if sec is None:
+            doc["missing_inputs"].append(fn)
+            print(f"WARNING: input {fn} missing or unparseable — "
+                  f"section {name} omitted", file=sys.stderr)
+            continue
+        doc["sections"][name] = sec
+    for name, fn in DRIFTS.items():
+        dp = os.path.join(LOGS, fn)
+        if os.path.exists(dp):
+            doc["sections"][name] = drift_summary(json.load(open(dp)))
+        else:
+            doc["missing_inputs"].append(fn)
+            print(f"WARNING: {dp} missing — drift section omitted",
+                  file=sys.stderr)
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(f"wrote {out_path} ({len(doc['sections'])} sections, "
