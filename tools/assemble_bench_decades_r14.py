@@ -38,13 +38,16 @@ INPUTS = {
 # swamps a ~20 s advance; a2f-a1 went negative AGAIN at runs=2), so the
 # headline frozen ratios come from these sections
 DIRECT_INPUTS = {
-    "sf1_batch1.6pct_frozen_direct": "advrung_sf1_frozen.log",
-    # first sf30 direct run degraded session-wide across runs (advance
-    # 98.6 -> 244 s, every phase inflated ~2.5x) — checkpoint-block
-    # accumulation under the 2-min periodic GC; kept for the record
-    "sf30_batch1.6pct_frozen_direct_gc2min": "advrung_sf30_frozen.log",
-    # headline sf30 rung: same harness, 30 s periodic GC
-    "sf30_batch1.6pct_frozen_direct": "advrung_sf30_frozen_gc30.log",
+    # pre-fix runs, kept for the record: they surfaced the bucketed-
+    # write fan-out (one file per bucket per TASK -> T x B files per
+    # write; append_survivors 99-170 s for a 23.7k-row append at sf30)
+    "sf1_batch1.6pct_frozen_direct_prefix": "advrung_sf1_frozen.log",
+    "sf30_batch1.6pct_frozen_direct_prefix_a": "advrung_sf30_frozen.log",
+    "sf30_batch1.6pct_frozen_direct_prefix_b": "advrung_sf30_frozen_gc30.log",
+    # headline rungs: after Layout.writeBucketed/appendBucketed
+    # repartition-by-bucket-column (exactly numBuckets files per write)
+    "sf1_batch1.6pct_frozen_direct": "advrung_sf1_frozen_repart.log",
+    "sf30_batch1.6pct_frozen_direct": "advrung_sf30_frozen_repart.log",
 }
 
 DRIFTS = {
