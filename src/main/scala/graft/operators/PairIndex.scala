@@ -951,6 +951,7 @@ object PairIndex {
   final case class DriftReport(
       nPairsExact: Long, nPairsFrozen: Long, nPairsCommon: Long,
       nScoreDrifted: Long, maxAbsJaccardDelta: Double,
+      meanAbsJaccardDelta: Double, p99AbsJaccardDelta: Double,
       nPairsMissing: Long, nPairsSpurious: Long) {
     def fracPairsDrifted: Double =
       (nScoreDrifted + nPairsMissing + nPairsSpurious).toDouble /
@@ -963,17 +964,26 @@ object PairIndex {
     val e = spark.table(exact.pairsTable)
       .select(col("doc_id1"), col("doc_id2"), col("jaccard_r4").as("__je"))
     val both = col("__je").isNotNull && col("__jf").isNotNull
+    // mean/p99 are over ALL common pairs (drifted or not), so they
+    // answer the score consumer's real question — "how wrong is a
+    // score I read, typically / in the tail" — rather than "how wrong
+    // are the wrong ones". p99 uses percentile_approx (the metric is
+    // a contract threshold, not an oracle-pinned result; the default
+    // accuracy's error bound is far below the 1e-4 score grid).
+    val dAbs = when(both, abs(col("__jf") - col("__je"))).otherwise(lit(null))
     val r = f.join(e, Seq("doc_id1", "doc_id2"), "full_outer").agg(
       sum(when(col("__je").isNotNull, 1L).otherwise(0L)).as("ne"),
       sum(when(col("__jf").isNotNull, 1L).otherwise(0L)).as("nf"),
       sum(when(both, 1L).otherwise(0L)).as("nc"),
       sum(when(both && col("__je") =!= col("__jf"), 1L).otherwise(0L)).as("nd"),
-      max(when(both, abs(col("__jf") - col("__je"))).otherwise(lit(0.0))).as("mx"),
+      max(coalesce(dAbs, lit(0.0))).as("mx"),
+      avg(dAbs).as("mean"),
+      percentile_approx(dAbs, lit(0.99), lit(10000)).as("p99"),
       sum(when(col("__jf").isNull, 1L).otherwise(0L)).as("nm"),
       sum(when(col("__je").isNull, 1L).otherwise(0L)).as("ns")).head()
     def l(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
-    DriftReport(l(0), l(1), l(2), l(3),
-      if (r.isNullAt(4)) 0.0 else r.getDouble(4), l(5), l(6))
+    def d(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    DriftReport(l(0), l(1), l(2), l(3), d(4), d(5), d(6), l(7), l(8))
   }
 
   /** End-answer drift of the curation consumer: full-outer merge of

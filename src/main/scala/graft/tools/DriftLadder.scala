@@ -170,6 +170,8 @@ object DriftLadder {
            |"pairs_exact":${drift.nPairsExact},"pairs_frozen":${drift.nPairsFrozen},
            |"pairs_common":${drift.nPairsCommon},"score_drifted":${drift.nScoreDrifted},
            |"max_abs_jaccard_delta":${fmt(drift.maxAbsJaccardDelta)},
+           |"mean_abs_jaccard_delta":${f"${drift.meanAbsJaccardDelta}%.6f"},
+           |"p99_abs_jaccard_delta":${f"${drift.p99AbsJaccardDelta}%.6f"},
            |"pairs_missing":${drift.nPairsMissing},"pairs_spurious":${drift.nPairsSpurious},
            |"frac_pairs_drifted":${fmt(drift.fracPairsDrifted)},
            |"curation_exact":$curE,"curation_frozen":$curF,

@@ -604,6 +604,9 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(d.nPairsExact === 1 && d.nPairsFrozen === 1 && d.nPairsCommon === 1)
     assert(d.nScoreDrifted === 1 && d.nPairsMissing === 0 && d.nPairsSpurious === 0)
     assert(math.abs(d.maxAbsJaccardDelta - 0.1) < 1e-9)
+    // magnitude stats over ALL common pairs: one pair, delta 0.1
+    assert(math.abs(d.meanAbsJaccardDelta - 0.1) < 1e-9)
+    assert(math.abs(d.p99AbsJaccardDelta - 0.1) < 1e-9)
     assert(math.abs(d.fracPairsDrifted - 1.0) < 1e-9)
     PairIndex.dropDocIndex(spark, r.idx)
     PairIndex.dropDocIndex(spark, exact)
@@ -627,6 +630,7 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     val d = PairIndex.pairDrift(spark, r.idx, exact)
     assert(d.nPairsExact === 0 && d.nPairsFrozen === 1 && d.nPairsCommon === 0)
     assert(d.nScoreDrifted === 0 && d.nPairsMissing === 0 && d.nPairsSpurious === 1)
+    assert(d.meanAbsJaccardDelta === 0.0 && d.p99AbsJaccardDelta === 0.0)
     assert(math.abs(d.fracPairsDrifted - 1.0) < 1e-9)
     // the spurious pair moves the END answer: doc 2 is dropped by the
     // frozen curation but kept by the exact one (lang/quality gates

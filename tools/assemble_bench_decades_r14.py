@@ -178,6 +178,8 @@ def drift_summary(d):
             "pairs_spurious": s["pairs_spurious"],
             "frac_pairs_drifted": s["frac_pairs_drifted"],
             "max_abs_jaccard_delta": s["max_abs_jaccard_delta"],
+            "mean_abs_jaccard_delta": s.get("mean_abs_jaccard_delta"),
+            "p99_abs_jaccard_delta": s.get("p99_abs_jaccard_delta"),
             "curation_exact": s["curation_exact"],
             "curation_sym_diff": s["curation_sym_diff"],
             "frac_curation_drift": s["frac_curation_drift"],
