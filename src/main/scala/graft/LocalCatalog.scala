@@ -25,7 +25,11 @@ object LocalCatalog {
     * its live Derby db and tables out from under it (round-14, ADVICE:
     * reset() previously defeated sweepStale's liveness protection
     * unless the operator remembered SPARK_GRAFT_KEEP_WAREHOUSE=1).
-    * Unparseable pid tags count as dead, mirroring sweepStale. */
+    * Unparseable pid tags count as dead, mirroring sweepStale. The
+    * scan is restricted to `graft_`-prefixed directory names (round-15,
+    * ADVICE): only PairIndex generations carry meaningful pid tags, so
+    * an unrelated warehouse entry that happens to contain `_p<digits>_`
+    * can't match a recycled OS pid and silently skip the wipe. */
   private def liveForeignOwner(): Option[Long] = {
     val wh = java.nio.file.Paths.get("spark-warehouse")
     if (!java.nio.file.Files.isDirectory(wh)) return None
@@ -35,6 +39,7 @@ object LocalCatalog {
     try {
       import scala.jdk.CollectionConverters._
       ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft_"))
         .flatMap(p => pidTag.findFirstMatchIn(p.getFileName.toString))
         .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
         .find(pid => pid != self &&
@@ -49,7 +54,10 @@ object LocalCatalog {
         System.err.println(
           s"[LocalCatalog] NOT wiping metastore_db/spark-warehouse: live JVM " +
             s"(pid $pid) owns generations here. Run from a separate cwd, or " +
-            "set SPARK_GRAFT_KEEP_WAREHOUSE=1 to silence this warning.")
+            "set SPARK_GRAFT_KEEP_WAREHOUSE=1 to silence this warning. " +
+            "(If no graft JVM is actually running, the OS may have recycled " +
+            "that pid onto an unrelated process — delete the stale " +
+            "spark-warehouse/graft_* directories by hand.)")
         return
       case None =>
     }

@@ -104,10 +104,20 @@ object Multimodal {
     require(u16(bytes, 26) == 1, "planes != 1")
     require(u16(bytes, 28) == 24, s"not 24bpp: ${u16(bytes, 28)}")
     require(u32(bytes, 30) == 0, "compressed BMP unsupported")
-    val rowBytes = width * 3
-    val stride = (rowBytes + 3) & ~3
-    require(dataOffset + stride.toLong * height <= bytes.length,
+    // row/stride math in LONG (round-15, ADVICE): a header width near
+    // Int.MaxValue passes `width > 0` but overflows `width * 3` to a
+    // negative Int, which would make the bounds check below vacuously
+    // true and the allocation throw NegativeArraySizeException instead
+    // of the documented IllegalArgumentException — the fail-loudly
+    // contract must hold for ALL malformed headers, not just small ones
+    val rowBytesL = width.toLong * 3
+    val strideL = (rowBytesL + 3) & ~3L
+    require(dataOffset + strideL * height <= bytes.length,
       "pixel data out of bounds")
+    require(rowBytesL * height <= Int.MaxValue,
+      s"pixel payload too large: ${rowBytesL * height} bytes")
+    val rowBytes = rowBytesL.toInt
+    val stride = strideL.toInt
     val pixels = new Array[Byte](rowBytes * height)
     var row = 0
     while (row < height) {

@@ -157,10 +157,24 @@ object DriftLadder {
         val (curE, curF, curDiff) =
           PairIndex.curationDrift(spark, idx, exact, "doc_id", "text")
         PairIndex.dropDocIndex(spark, exact)
+        // round-15 (VERDICT item 1): the ladder VALIDATES the cheap
+        // online estimator against the measured drift it can afford to
+        // compute (this exact reference) and production cannot — the
+        // contract is est within ~2x of measured at every step
+        val est = PairIndex.driftEstimate(spark, idx)
+        val measSpurFrac =
+          drift.nPairsSpurious.toDouble / math.max(drift.nPairsExact, 1L)
+        def ratio(e: Double, m: Double): Double =
+          if (m <= 0) if (e <= 0) 1.0 else Double.PositiveInfinity else e / m
+        val estVsMean = ratio(est.estMeanScoreDrift, drift.meanAbsJaccardDelta)
+        val estVsSpur = ratio(est.estSpuriousFrac, measSpurFrac)
         val wh = warehouseBytes()
         println(f"[drift] run=$run k=$k adv=${wallAdv}%.1fs rebuild=${wallRebuild}%.1fs " +
           f"flips=$flips driftFrac=${drift.fracPairsDrifted}%.4f " +
-          f"curDiff=$curDiff/${curE} wh=${wh / (1L << 20)}MB")
+          f"curDiff=$curDiff/${curE} wh=${wh / (1L << 20)}MB " +
+          f"estMean=${est.estMeanScoreDrift}%.6f/meas=${drift.meanAbsJaccardDelta}%.6f " +
+          f"(x${estVsMean}%.2f) estSpur=${est.estSpuriousFrac}%.6f/meas=${measSpurFrac}%.6f " +
+          f"(x${estVsSpur}%.2f)")
         val telJson = tel.toSeq.sortBy(_._1)
           .map { case (m, v) => jstr(m) + ":" + v }.mkString("{", ",", "}")
         s"""{"k":$k,"new_docs":${adv.newDocs},"evicted":${adv.evicted},
@@ -177,6 +191,11 @@ object DriftLadder {
            |"curation_exact":$curE,"curation_frozen":$curF,
            |"curation_sym_diff":$curDiff,
            |"frac_curation_drift":${fmt(curDiff.toDouble / math.max(curE, 1L))},
+           |"est_mean_score_drift":${f"${est.estMeanScoreDrift}%.6f"},
+           |"est_spurious_frac":${f"${est.estSpuriousFrac}%.6f"},
+           |"est_cum_flips":${est.capFlips},"est_cum_holders":${est.flipHolders},
+           |"est_vs_measured_mean":${fmt(estVsMean)},
+           |"est_vs_measured_spurious":${fmt(estVsSpur)},
            |"warehouse_bytes":$wh,
            |"advance_telemetry":$telJson}""".stripMargin.replaceAll("\n", "")
       }

@@ -645,6 +645,143 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     PairIndex.dropDocIndex(spark, exact)
   }
 
+  test("frozen advances accumulate drift counters; exact carries; rematerialize resets") {
+    // flip fixture (same as the rescore spec): cap 2, the batch pushes
+    // "p q r" to df 3 > cap — one real cap flip under frozen mode
+    val corpus = docsDf(
+      1L -> "p q r s t u",
+      2L -> "p q r s t v")
+    val idx0 = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    val e0 = PairIndex.driftEstimate(spark, idx0)
+    assert(e0.frozenAdvances === 0 && e0.capFlips === 0 &&
+      e0.estMeanScoreDrift === 0.0 && !e0.rebuildDue(1e-9))
+    val r1 = PairIndex.advanceDocIndex(spark, idx0,
+      docsDf(101L -> "p q r z1 z2 z3"), "doc_id", "text", frozenCaps = true)
+    assert(r1.capFlips === 1 && r1.flipHolders === 2) // "p q r": df 2 -> 3
+    val e1 = PairIndex.driftEstimate(spark, r1.idx)
+    assert(e1.frozenAdvances === 1 && e1.capFlips === 1 && e1.flipHolders === 2)
+    assert(e1.estMeanScoreDrift > 0.0 && e1.estSpuriousFrac > 0.0)
+    assert(e1.rebuildDue(e1.estMeanScoreDrift / 2) &&
+      !e1.rebuildDue(e1.estMeanScoreDrift * 2))
+    assert(e1.untrackedAdvances === 0)
+    // EXACT advance (flip-free batch): accumulated frozen drift CARRIES
+    // (untouched pairs keep their possibly-drifted scores)
+    val r2 = PairIndex.advanceDocIndex(spark, r1.idx,
+      docsDf(201L -> "w1 w2 w3 w4 w5 w6"), "doc_id", "text",
+      economyGuard = Double.PositiveInfinity)
+    val e2 = PairIndex.driftEstimate(spark, r2.idx)
+    assert(e2.frozenAdvances === 1 && e2.capFlips === 1 &&
+      e2.estMeanScoreDrift === e1.estMeanScoreDrift)
+    // economy-guard fallback = full rematerialization: drift RESETS
+    val r3 = PairIndex.advanceDocIndex(spark, r2.idx,
+      docsDf(301L -> "y1 y2 y3 y4 y5 y6"), "doc_id", "text",
+      economyGuard = 0.0)
+    val e3 = PairIndex.driftEstimate(spark, r3.idx)
+    assert(e3.frozenAdvances === 0 && e3.capFlips === 0 &&
+      e3.estMeanScoreDrift === 0.0)
+    PairIndex.dropSuperseded(spark, idx0, r1.idx)
+    PairIndex.dropSuperseded(spark, r1.idx, r2.idx)
+    PairIndex.dropSuperseded(spark, r2.idx, r3.idx)
+    PairIndex.dropDocIndex(spark, r3.idx)
+  }
+
+  test("driftStats=false records an untracked frozen advance") {
+    val corpus = docsDf(
+      1L -> "p q r s t u",
+      2L -> "p q r s t v")
+    val idx0 = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    val r = PairIndex.advanceDocIndex(spark, idx0,
+      docsDf(101L -> "p q r z1 z2 z3"), "doc_id", "text",
+      frozenCaps = true, driftStats = false)
+    assert(r.capFlips === 0) // not measured, by request
+    val e = PairIndex.driftEstimate(spark, r.idx)
+    // the estimator can't see the skipped advance's drift — but it KNOWS
+    // it's blind: untracked counts the estimate-invisible advances
+    assert(e.frozenAdvances === 1 && e.untrackedAdvances === 1 &&
+      e.estMeanScoreDrift === 0.0)
+    PairIndex.dropSuperseded(spark, idx0, r.idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+  }
+
+  test("merge-probe fallback (batch above broadcast budget) stays row-identical") {
+    val prev = spark.conf.getOption("spark.graft.advance.broadcastProbeMaxBatch")
+    try {
+      spark.conf.set("spark.graft.advance.broadcastProbeMaxBatch", "0")
+      val corpus = docsDf(
+        10L -> "alpha beta gamma delta epsilon zeta",
+        11L -> "alpha beta gamma delta epsilon eta",
+        12L -> "completely different text lives in this row")
+      val batch = docsDf(
+        5L -> "alpha beta gamma delta epsilon zeta", // evicts doc 10
+        103L -> "m n o p q r s u")
+      val idx0 = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+        numBuckets = 4, keepPostings = true)
+      val r = PairIndex.advanceDocIndex(spark, idx0, batch, "doc_id", "text",
+        economyGuard = Double.PositiveInfinity)
+      assert(r.evicted === 1)
+      val scratch = PairIndex.materializeDocIndex(
+        corpus.unionByName(batch), "doc_id", "text",
+        numBuckets = 4, keepPostings = true)
+      assertTablesEqual(r.idx, scratch)
+      PairIndex.dropDocIndex(spark, idx0)
+      PairIndex.dropDocIndex(spark, r.idx)
+      PairIndex.dropDocIndex(spark, scratch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.advance.broadcastProbeMaxBatch", v)
+        case None => spark.conf.unset("spark.graft.advance.broadcastProbeMaxBatch")
+      }
+    }
+  }
+
+  test("compactDocIndex restores one file per bucket with rows, props and plans intact") {
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",
+      3L -> "totally unrelated content sits here quietly")
+    // 2 buckets so every bucket is non-empty (a bucket with no rows
+    // writes no file, which would make an exact ==1.0 check flaky)
+    val idx0 = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 2, keepPostings = true)
+    // two append-path frozen advances -> >=3 file sets over 2 buckets
+    val r1 = PairIndex.advanceDocIndex(spark, idx0,
+      docsDf(101L -> "m n o p q r s t"), "doc_id", "text", frozenCaps = true)
+    val r2 = PairIndex.advanceDocIndex(spark, r1.idx,
+      docsDf(201L -> "m n o p q r s u"), "doc_id", "text", frozenCaps = true)
+    val beforeSurv = PairIndex.filesPerBucket(spark, r2.idx.survivorsTable)
+    assert(beforeSurv > 1.0)
+    val props0 = spark.sql(s"SHOW TBLPROPERTIES `${r2.idx.pairsTable}`")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft.")).toMap
+    val compacted = PairIndex.compactDocIndex(spark, r2.idx, "doc_id")
+    for (t <- Seq(compacted.survivorsTable, compacted.pairsTable,
+        compacted.postingsTable.get, compacted.dfTable.get))
+      assert(PairIndex.filesPerBucket(spark, t) <= 1.0,
+        s"$t not compacted to <=1 file/bucket")
+    assert(PairIndex.filesPerBucket(spark, compacted.survivorsTable) < beforeSurv)
+    assertTablesEqual(compacted, r2.idx)
+    // semantics AND drift accumulators carry verbatim
+    val props1 = spark.sql(s"SHOW TBLPROPERTIES `${compacted.pairsTable}`")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft.")).toMap
+    assert(props1 === props0)
+    // the hot consumer still plans with zero exchanges off the
+    // compacted artifacts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val anti = spark.table(compacted.survivorsTable)
+        .join(PairIndex.droplist(spark, compacted, "doc_id"), Seq("doc_id"), "left_anti")
+      val plan = anti.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free consumer:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    PairIndex.dropDocIndex(spark, idx0)
+    PairIndex.dropSuperseded(spark, r2.idx, compacted)
+    PairIndex.dropDocIndex(spark, compacted)
+  }
+
   test("clusterCurationFromIndex keeps exactly one doc per cluster plus singletons") {
     val out = PairIndex.clusterCurationFromIndex(spark, idx, "doc_id", "text")
     val rows = out.collect()
