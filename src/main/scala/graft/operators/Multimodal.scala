@@ -185,6 +185,170 @@ object Multimodal {
       }.toDF(idCol, "payload")
   }
 
+  // ---------------- real RIFF/WAV parser (round-15) ----------------
+
+  /** One decoded PCM16 WAV: format fields plus the raw data-chunk bytes
+    * (little-endian 16-bit samples, exactly the payload
+    * `encodeWavPcm16` was given). */
+  final case class WavAudio(sampleRate: Int, channels: Int, data: Array[Byte])
+
+  /** Encode a little-endian PCM16 payload as a standards-conformant
+    * RIFF/WAVE file: RIFF header, a deliberately ODD-sized "JUNK"
+    * chunk (RIFF pads chunks to even byte boundaries — the walker quirk
+    * any real parser must honor, so every container exercises it),
+    * a 16-byte PCM "fmt " chunk, then the "data" chunk. `data.length`
+    * must be a whole number of frames (channels × 2 bytes). */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+                     data: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0,
+      s"bad format: rate=$sampleRate channels=$channels")
+    val blockAlign = channels * 2
+    require(data.length % blockAlign == 0,
+      s"payload ${data.length} not a whole number of $blockAlign-byte frames")
+    // RIFF(12) + JUNK(8+3+1 pad) + fmt(8+16) + data header(8) + data
+    val out = new Array[Byte](56 + data.length)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putU32(out, 4, (out.length - 8).toLong)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'J'; out(13) = 'U'; out(14) = 'N'; out(15) = 'K'
+    putU32(out, 16, 3L) // odd size → 1 pad byte (already zero-filled)
+    out(20) = 'j'; out(21) = 'n'; out(22) = 'k'
+    out(24) = 'f'; out(25) = 'm'; out(26) = 't'; out(27) = ' '
+    putU32(out, 28, 16L)                        // PCM fmt chunk size
+    putU16(out, 32, 1)                          // WAVE_FORMAT_PCM
+    putU16(out, 34, channels)
+    putU32(out, 36, sampleRate.toLong)
+    putU32(out, 40, sampleRate.toLong * blockAlign) // byte rate
+    putU16(out, 44, blockAlign)
+    putU16(out, 46, 16)                         // bits per sample
+    out(48) = 'd'; out(49) = 'a'; out(50) = 't'; out(51) = 'a'
+    putU32(out, 52, data.length.toLong)
+    System.arraycopy(data, 0, out, 56, data.length)
+    out
+  }
+
+  private def chunkId(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse a PCM16 RIFF/WAVE container: validates the RIFF/WAVE magic,
+    * WALKS the chunk list (skipping unknown chunks and honoring the
+    * even-byte chunk padding rule — offsets are never assumed), and
+    * cross-checks every fmt field (PCM format code, 16 bits, blockAlign
+    * = channels×2, byteRate = rate×blockAlign) and the data bounds
+    * before touching payload bytes. All size arithmetic in Long so a
+    * hostile 32-bit chunk size can't overflow a bounds check. Throws
+    * IllegalArgumentException on anything malformed — same fail-loudly
+    * contract as `decodeBmp24`. */
+  def decodeWavPcm16(bytes: Array[Byte]): WavAudio = {
+    require(bytes.length >= 44, s"truncated WAV: ${bytes.length} bytes")
+    require(chunkId(bytes, 0) == "RIFF", "bad RIFF magic")
+    require(chunkId(bytes, 8) == "WAVE", "not a WAVE form")
+    var off = 12L
+    var fmt: Option[(Int, Int)] = None // (sampleRate, channels)
+    var data: Option[(Long, Long)] = None // (offset, size)
+    while (off + 8 <= bytes.length && data.isEmpty) {
+      val id = chunkId(bytes, off.toInt)
+      val size = u32(bytes, off.toInt + 4)
+      val body = off + 8
+      require(body + size <= bytes.length,
+        s"chunk $id of $size bytes at $off overruns the file")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          val b = body.toInt
+          val audioFormat = u16(bytes, b)
+          require(audioFormat == 1, s"not PCM: format code $audioFormat")
+          val channels = u16(bytes, b + 2)
+          val rate = u32(bytes, b + 4)
+          val byteRate = u32(bytes, b + 8)
+          val blockAlign = u16(bytes, b + 12)
+          val bits = u16(bytes, b + 14)
+          require(bits == 16, s"not 16-bit PCM: $bits bits")
+          require(channels >= 1, "zero channels")
+          require(rate >= 1 && rate <= Int.MaxValue, s"bad sample rate $rate")
+          require(blockAlign == channels * 2,
+            s"blockAlign $blockAlign != channels*2 (${channels * 2})")
+          require(byteRate == rate * blockAlign,
+            s"byteRate $byteRate != rate*blockAlign (${rate * blockAlign})")
+          fmt = Some((rate.toInt, channels))
+        case "data" =>
+          require(fmt.isDefined, "data chunk before fmt chunk")
+          data = Some((body, size))
+        case _ => // unknown chunk: skip
+      }
+      off = body + size + (size & 1L) // chunks are padded to even bytes
+    }
+    val (rate, channels) = fmt.getOrElse(
+      throw new IllegalArgumentException("no fmt chunk"))
+    val (dOff, dSize) = data.getOrElse(
+      throw new IllegalArgumentException("no data chunk"))
+    require(dSize % (channels * 2) == 0,
+      s"data size $dSize not a whole number of frames")
+    WavAudio(rate, channels,
+      java.util.Arrays.copyOfRange(bytes, dOff.toInt, (dOff + dSize).toInt))
+  }
+
+  /** Typed metadata of one decoded WAV payload — REAL duration /
+    * channel / rate numbers off the parsed container (the audio leg of
+    * the multimodal family no longer needs the synthetic generator).
+    * `fingerprint` is md5 over the recovered data chunk: for a payload
+    * that round-tripped through `encodeWavPcm16` it equals md5 of the
+    * ORIGINAL bytes, which the oracle computes without ever seeing the
+    * RIFF container. */
+  final case class WavMeta(media_id: Long, kind: String, n_bytes: Long,
+                           channels: Int, sample_rate: Int, bits: Int,
+                           n_frames: Long, duration_ms: Long,
+                           byte_sum: Long, fingerprint: String)
+
+  /** Partition-wise REAL parse over a binary WAV column — one parser
+    * per partition, streaming, same batch shape as `extractMetaBmp`. */
+  def extractMetaWav(spark: SparkSession, df: DataFrame,
+                     idCol: String, binCol: String): Dataset[WavMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val w = decodeWavPcm16(bytes)
+          var s = 0L; var i = 0
+          while (i < w.data.length) { s += w.data(i) & 0xff; i += 1 }
+          md.reset()
+          val fp = md.digest(w.data).map("%02x".format(_)).mkString
+          val nFrames = w.data.length.toLong / (w.channels * 2)
+          WavMeta(id, "wav", w.data.length.toLong, w.channels, w.sampleRate,
+            16, nFrames, nFrames * 1000L / w.sampleRate, s, fp)
+        }
+      }
+  }
+
+  /** Pack a byte payload into a PCM16 WAV column, partition-wise: the
+    * payload becomes the data chunk, space-padded (0x20) to a whole
+    * number of frames. Format varies deterministically by id —
+    * channels 1 or 2 (id mod 2), rate 8000/16000/44100 (id mod 3) — so
+    * the parser sees a real spread of block alignments and rates, all
+    * mirrored in oracle SQL arithmetic. The ingest twin of
+    * `extractMetaWav`, same protocol as `packBmpPayload`. */
+  def packWavPayload(spark: SparkSession, df: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, raw) =>
+          val channels = 1 + (id % 2).toInt
+          val rate = (id % 3) match {
+            case 0 => 8000; case 1 => 16000; case _ => 44100
+          }
+          val ba = channels * 2
+          val padded = ((raw.length + ba - 1) / ba) * ba
+          val data = java.util.Arrays.copyOf(raw, padded)
+          java.util.Arrays.fill(data, raw.length, padded, ' '.toByte)
+          (id, encodeWavPcm16(rate, channels, data))
+        }
+      }.toDF(idCol, "payload")
+  }
+
   /** SYNTHETIC dimension/frame-count generator (NOT a codec — the real
     * image decode is `decodeBmp24` above): derives deterministic varied
     * dims from a byte checksum, standing in for the audio/video codecs

@@ -141,9 +141,53 @@ object MultimodalQueries {
       |FROM meta
       |ORDER BY media_id""".stripMargin
 
+  /** REAL RIFF/WAV metadata (m05, round-15): each document's bytes are
+    * packed as the PCM16 data chunk of a genuine RIFF/WAVE container
+    * (`Multimodal.packWavPayload` — format varies by id: 1-2 channels,
+    * 8000/16000/44100 Hz, plus an odd-sized JUNK chunk so the parser's
+    * even-padding chunk walk is exercised on every row) and parsed back
+    * by the real pure-JVM chunk-walking parser (`decodeWavPcm16`). The
+    * oracle never sees the container: duration/frames come from the
+    * packing arithmetic, the payload md5 and byte sum from the
+    * space-padded original text — any header/chunk-walk/padding bug on
+    * either codec side breaks the hash. */
+  private def m05(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMetaWav(
+      s,
+      Multimodal.packWavPayload(s, Tables.documents(s, dir), "doc_id", "text"),
+      "doc_id", "payload")
+      .toDF()
+      .orderBy(col("media_id"))
+
+  private val m05Sql =
+    """WITH m AS (
+      | SELECT doc_id, text,
+      |   CAST(2 * (1 + doc_id % 2) AS BIGINT) AS ba,
+      |   CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |        ELSE 44100 END AS rate,
+      |   coalesce(list_aggregate(list_transform(string_split_regex(text, ''),
+      |     ch -> CAST(ascii(ch) AS BIGINT)), 'sum'), 0) AS asum
+      | FROM documents),
+      |p AS (
+      | SELECT doc_id, text, ba, rate, asum,
+      |   ((length(text) + ba - 1) // ba) * ba AS plen
+      | FROM m)
+      |SELECT doc_id AS media_id, 'wav' AS kind,
+      |  CAST(plen AS BIGINT) AS n_bytes,
+      |  CAST(ba // 2 AS INTEGER) AS channels,
+      |  CAST(rate AS INTEGER) AS sample_rate,
+      |  CAST(16 AS INTEGER) AS bits,
+      |  CAST(plen // ba AS BIGINT) AS n_frames,
+      |  CAST((plen // ba) * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(asum + 32 * (plen - length(text)) AS BIGINT) AS byte_sum,
+      |  md5(rpad(text, CAST(plen AS INTEGER), ' ')) AS fingerprint
+      |FROM p
+      |ORDER BY media_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("m01_media_meta", m01, Some(m01Sql)),
     QuerySpec("m02_byte_histogram", m02, Some(m02Sql)),
     QuerySpec("m03_resize_meta", m03, Some(m03Sql)),
-    QuerySpec("m04_frame_sample", m04, Some(m04Sql)))
+    QuerySpec("m04_frame_sample", m04, Some(m04Sql)),
+    QuerySpec("m05_wav_meta", m05, Some(m05Sql)))
 }

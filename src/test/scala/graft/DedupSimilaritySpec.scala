@@ -736,6 +736,98 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // ---------------- real RIFF/WAV parser (round-15) ----------------
+
+  test("WAV codec round-trips arbitrary PCM bytes through the chunked container") {
+    val data = Array.tabulate(24)(i => ((i * 41 + 190) % 256).toByte) // 6 stereo frames
+    val wav = Multimodal.encodeWavPcm16(16000, 2, data)
+    assert(wav.length === 56 + 24)
+    val dec = Multimodal.decodeWavPcm16(wav)
+    assert(dec.sampleRate === 16000 && dec.channels === 2)
+    assert(dec.data.toSeq === data.toSeq)
+  }
+
+  test("WAV encoder lays out RIFF chunks byte-for-byte, with an odd JUNK chunk") {
+    val wav = Multimodal.encodeWavPcm16(8000, 1, Array[Byte](1, 2))
+    def u32(off: Int) = (wav(off) & 0xffL) | ((wav(off + 1) & 0xffL) << 8) |
+      ((wav(off + 2) & 0xffL) << 16) | ((wav(off + 3) & 0xffL) << 24)
+    def id(off: Int) = new String(wav, off, 4, "US-ASCII")
+    assert(id(0) === "RIFF" && u32(4) === wav.length - 8 && id(8) === "WAVE")
+    assert(id(12) === "JUNK" && u32(16) === 3L) // odd size → 1 pad byte
+    assert(id(24) === "fmt " && u32(28) === 16L)
+    assert((wav(32) & 0xff) === 1 && (wav(34) & 0xff) === 1) // PCM, mono
+    assert(u32(36) === 8000L && u32(40) === 16000L)          // rate, byte rate
+    assert((wav(44) & 0xff) === 2 && (wav(46) & 0xff) === 16) // block, bits
+    assert(id(48) === "data" && u32(52) === 2L)
+    assert(wav.slice(56, 58).toSeq === Seq[Byte](1, 2))
+  }
+
+  test("WAV parser rejects malformed containers loudly") {
+    val good = Multimodal.encodeWavPcm16(8000, 1, Array[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException] { // bad RIFF magic
+      val b = good.clone(); b(0) = 'X'.toByte; Multimodal.decodeWavPcm16(b)
+    }
+    intercept[IllegalArgumentException] { // not a WAVE form
+      val b = good.clone(); b(8) = 'A'.toByte; Multimodal.decodeWavPcm16(b)
+    }
+    intercept[IllegalArgumentException] { // non-PCM format code
+      val b = good.clone(); b(32) = 3; Multimodal.decodeWavPcm16(b)
+    }
+    intercept[IllegalArgumentException] { // 8-bit samples
+      val b = good.clone(); b(46) = 8; Multimodal.decodeWavPcm16(b)
+    }
+    intercept[IllegalArgumentException] { // inconsistent blockAlign
+      val b = good.clone(); b(44) = 6; Multimodal.decodeWavPcm16(b)
+    }
+    intercept[IllegalArgumentException] { // data chunk overruns the file
+      val b = good.clone(); b(52) = 99; Multimodal.decodeWavPcm16(b)
+    }
+    intercept[IllegalArgumentException] { // truncated mid-header
+      Multimodal.decodeWavPcm16(good.take(40))
+    }
+    intercept[IllegalArgumentException] { // fmt chunk never arrives
+      val b = good.clone(); b(25) = 'X'.toByte; Multimodal.decodeWavPcm16(b)
+    }
+  }
+
+  test("multimodal: REAL WAV parse recovers format and payload end-to-end") {
+    // ids chosen to hit every (channels, rate) combination the packer
+    // derives: id%2 -> 1 or 2 channels, id%3 -> 8000/16000/44100
+    val texts = Seq(
+      (0L, "mono 8k with some text"),   // 1ch 8000
+      (1L, "stereo 16k"),               // 2ch 16000
+      (2L, "mono 44k1 content here"),   // 1ch 44100
+      (3L, "x" * 40),                   // 2ch 8000, exact frames
+      (4L, "y" * 41),                   // 1ch 16000, needs 1 pad byte
+      (5L, ""))                         // 2ch 44100, zero frames
+    import spark.implicits._
+    val packed = Multimodal.packWavPayload(
+      spark, texts.toDF("doc_id", "text"), "doc_id", "text")
+    packed.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert(new String(b, 0, 4, "US-ASCII") === "RIFF")
+    }
+    val meta = Multimodal.extractMetaWav(spark, packed, "doc_id", "payload")
+      .collect().map(m => m.media_id -> m).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, t) =>
+      val channels = 1 + (id % 2).toInt
+      val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+      val ba = channels * 2
+      val plen = ((t.length + ba - 1) / ba) * ba
+      val padded = t.padTo(plen, ' ')
+      val m = meta(id)
+      assert(m.channels === channels && m.sample_rate === rate && m.bits === 16)
+      assert(m.n_bytes === plen.toLong && m.n_frames === (plen / ba).toLong)
+      assert(m.duration_ms === (plen / ba).toLong * 1000L / rate)
+      assert(m.byte_sum === padded.map(_.toLong).sum)
+      md.reset()
+      val fp = md.digest(padded.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(m.fingerprint === fp,
+        s"doc $id: parser did not recover the original payload")
+    }
+  }
+
   test("multimodal: REAL BMP decode recovers the packed payload end-to-end") {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // < one row
