@@ -1041,13 +1041,19 @@ object PairIndex {
   // the accumulation site (stampProps): the model is dimensionally
   // right (drift ∝ flip-holder mass / capped posting mass) but carries
   // an O(1) constant absorbing holder overlap, the |ΔJ|-per-perturbed-
-  // pair distribution and the near-threshold score density. Fitted ONCE
-  // against the sf1 mod-64 daily DriftLadder (k=1) and then VALIDATED —
-  // not refitted — at every k of both ladder shapes and at sf10
-  // (ladder runs emit est-vs-measured ratios; the contract is est
-  // within ~2× of measured everywhere).
-  val DriftKappaMean = 1.0
-  val DriftKappaSpurious = 0.4
+  // pair distribution (most perturbed pairs move far less than the 1/ū
+  // upper bound — the flipped shingle is often outside the pair's
+  // intersection, and cardinality shifts partially cancel in J) and
+  // the near-threshold score density. Fitted ONCE against the sf1
+  // mod-64 daily DriftLadder (raw-model-vs-measured ×15.5 for the
+  // mean, stable to ±2% across all 7 chained batches — the shape is
+  // right, only the constant was off; spurious geomean ×59.5 over the
+  // raw model) and then VALIDATED — not refitted — at every k of both
+  // ladder shapes and at sf10 (benchlogs_r15/drift_ladder_*.json emit
+  // est_vs_measured_* per step; the contract is est within ~2× of
+  // measured everywhere).
+  val DriftKappaMean = 1.0 / 15.5
+  val DriftKappaSpurious = 0.4 / 23.8
 
   /** The cheap online drift estimate of a standing index: a pure
     * TBLPROPERTIES read (no job) of the counters every frozen advance
