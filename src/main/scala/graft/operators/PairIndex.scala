@@ -69,6 +69,19 @@ object PairIndex {
   val CorpusHashesBase = "graft_corpus_hashes"
   val CorpusShinglesBase = "graft_corpus_shingles"
 
+  /** Canonical-hash column stored IN the survivors artifact (round-15,
+    * VERDICT item 5): the advance's exact-dedup decision probes the
+    * corpus by canonical hash, and deriving that hash at advance time
+    * meant re-reading and re-hashing every survivor's TEXT on every
+    * daily advance — measured as the single biggest corpus-coupled
+    * advance phase at sf30 (~4 s of md5 over 1.5M docs per advance; at
+    * 100 TB it is a full corpus text scan per day for a value that
+    * never changes). Stored once at materialize, the probe reads a
+    * 32-byte column with the text pruned out of the scan entirely.
+    * Advances of a pre-round-15 index (no such column) fall back to
+    * deriving the hash — back-compat, at the old cost. */
+  val HashCol = "graft_h"
+
   // per-JVM tag + per-call counter: two concurrent consumers in one
   // session get distinct generations from the counter; two sessions
   // sharing a warehouse get distinct generations from the pid
@@ -283,7 +296,8 @@ object PairIndex {
     val spark = docs.sparkSession
     val buckets = if (numBuckets > 0) numBuckets else autoBuckets(docs)
     graft.etl.Layout.writeBucketed(
-      Dedup.dropExactDuplicates(docs, idCol, textCol),
+      Dedup.dropExactDuplicates(docs, idCol, textCol)
+        .withColumn(HashCol, TextAnalysis.textHash(col(textCol))),
       survivorsTable, idCol, buckets)
     // pair generation reads the WRITTEN survivors artifact (not the
     // lazy dedup plan): the exact-dedup window runs once at write time,
@@ -543,8 +557,15 @@ object PairIndex {
     // both plans).
     val probeMax = spark.conf
       .get("spark.graft.advance.broadcastProbeMaxBatch", "5000000").toLong
-    val survHashed = survivors.select(col(idCol).as("__cid"),
-      TextAnalysis.textHash(col(textCol)).as("__h"))
+    // the stored canonical-hash column (HashCol, round-15) turns the
+    // corpus side of the probe into a pruned two-column scan — no text
+    // read, no per-advance re-hash; pre-round-15 artifacts derive it
+    val hasStoredHash = survivors.columns.contains(HashCol)
+    val survHashed =
+      if (hasStoredHash)
+        survivors.select(col(idCol).as("__cid"), col(HashCol).as("__h"))
+      else survivors.select(col(idCol).as("__cid"),
+        TextAnalysis.textHash(col(textCol)).as("__h"))
     val decided = (
       if (nBatch <= probeMax) {
         val matched = survHashed.join(
@@ -553,9 +574,12 @@ object PairIndex {
       } else
         batchD.join(survHashed.hint("merge"), Seq("__h"), "left")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    val newSurv = decided
+    val newSurv0 = decided
       .filter(col("__cid").isNull || col(idCol) < col("__cid"))
-      .drop("__h", "__cid")
+    val newSurv =
+      if (hasStoredHash) newSurv0.withColumn(HashCol, col("__h"))
+        .drop("__h", "__cid")
+      else newSurv0.drop("__h", "__cid")
     val evictedIds = decided
       .filter(col("__cid").isNotNull && col(idCol) < col("__cid"))
       .select(col("__cid").as(idCol))
@@ -1279,7 +1303,10 @@ object PairIndex {
   def curateFromIndex(spark: SparkSession, idx: DocIndex,
                       idCol: String, textCol: String,
                       lang: String = "en", minQuality: Double = 0.3): DataFrame =
-    spark.table(idx.survivorsTable)
+    // the stored canonical-hash helper column is artifact-internal —
+    // dropping it keeps this row-identical (schema included) to
+    // CorpusPipeline.curate over the raw docs
+    spark.table(idx.survivorsTable).drop(HashCol)
       .join(droplist(spark, idx, idCol), Seq(idCol), "left_anti")
       .filter(TextAnalysis.langIdHeuristic(col(textCol)) === lang)
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)

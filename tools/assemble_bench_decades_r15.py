@@ -36,8 +36,16 @@ CARRY_FROM_R14 = [
 ]
 
 DIRECT_INPUTS = {
-    # post-broadcast-probe re-runs (the r14 *_frozen_direct sections are
-    # the pre-change bars in the same table)
+    # intermediate runs with ONLY the broadcast-probe change: these
+    # measured that the probe alone does NOT move the sf30 advance —
+    # the dominant cost of the exact-dedup decision was the corpus TEXT
+    # scan + md5, not the merge join's shuffle+sort (plus ~4 s of new
+    # count_batch/count_changed aggregations) — which motivated storing
+    # the canonical hash as a survivors-artifact column
+    "sf1_batch1.6pct_frozen_probe_only": "advrung_sf1_frozen_probeonly.log",
+    "sf30_batch1.6pct_frozen_probe_only": "advrung_sf30_frozen_probeonly.log",
+    # headline re-runs: broadcast probe + stored canonical-hash column
+    # (the corpus side of the decision is a pruned two-column scan)
     "sf1_batch1.6pct_frozen_direct_r15": "advrung_sf1_frozen_r15.log",
     "sf30_batch1.6pct_frozen_direct_r15": "advrung_sf30_frozen_r15.log",
 }
