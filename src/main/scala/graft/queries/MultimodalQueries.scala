@@ -184,10 +184,83 @@ object MultimodalQueries {
       |FROM p
       |ORDER BY media_id""".stripMargin
 
+  /** REAL RIFF/AVI metadata (m06, round-15): each document's bytes are
+    * split into genuine uncompressed 24-bit DIB frames (17×4 pixels =
+    * 204 payload bytes/frame, space-padded to whole frames; fps varies
+    * by id: 10/20/25) inside a full AVI container — RIFF tree with
+    * hdrl/strl headers, an odd-sized JUNK chunk so the walker's
+    * even-padding rule fires on every row, movi frame chunks with
+    * bottom-up stride-padded rows, and an idx1 index — then demuxed by
+    * the real pure-JVM parser (`decodeAvi`), which cross-validates
+    * avih↔strh↔strf↔movi↔idx1 before yielding frames. The oracle never
+    * sees the container: dims/fps/frames/duration come from the packing
+    * arithmetic, the payload md5 and byte sum from the space-padded
+    * original text — any header, chunk-walk, stride, row-order or
+    * frame-count bug on either codec side breaks the hash. */
+  private def m06(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMetaAvi(
+      s,
+      Multimodal.packAviPayload(s, Tables.documents(s, dir), "doc_id", "text"),
+      "doc_id", "payload")
+      .toDF()
+      .orderBy(col("media_id"))
+
+  private val m06Sql =
+    """WITH m AS (
+      | SELECT doc_id, text,
+      |   CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 25 END AS fps,
+      |   greatest((length(text) + 203) // 204, 1) AS nf,
+      |   coalesce(list_aggregate(list_transform(string_split_regex(text, ''),
+      |     ch -> CAST(ascii(ch) AS BIGINT)), 'sum'), 0) AS asum
+      | FROM documents)
+      |SELECT doc_id AS media_id, 'avi' AS kind,
+      |  CAST(nf * 204 AS BIGINT) AS n_bytes,
+      |  CAST(17 AS INTEGER) AS width,
+      |  CAST(4 AS INTEGER) AS height,
+      |  CAST(fps AS INTEGER) AS fps,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+      |  CAST(asum + 32 * (nf * 204 - length(text)) AS BIGINT) AS byte_sum,
+      |  md5(rpad(text, CAST(nf * 204 AS INTEGER), ' ')) AS fingerprint
+      |FROM m
+      |ORDER BY media_id""".stripMargin
+
+  /** REAL frame extraction (m07): every 4th frame of each AVI payload,
+    * identified by the md5 of its RECOVERED pixel bytes — so the
+    * sampled output pins the actual per-frame demux (row order, stride
+    * strip, frame boundaries), not just counts. Packed at ONE row per
+    * frame (51 payload bytes) so gate-SF documents span up to ~12
+    * frames and the stride actually skips frames — with m06's 204-byte
+    * frames no gate document exceeds 4 frames and sampling would only
+    * ever pin frame 0. The oracle mirrors each frame as the equivalent
+    * 51-byte slice of the space-padded original text (the corpus is
+    * ASCII, so string md5 == byte md5). */
+  private def m07(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFramesAvi(
+      s,
+      Multimodal.packAviPayload(s, Tables.documents(s, dir), "doc_id", "text",
+        rowsPerFrame = 1),
+      "doc_id", "payload", stride = 4)
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  private val m07Sql =
+    """WITH m AS (
+      | SELECT doc_id,
+      |   rpad(text, CAST(greatest((length(text) + 50) // 51, 1) * 51 AS INTEGER), ' ') AS pad,
+      |   greatest((length(text) + 50) // 51, 1) AS nf
+      | FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(idx AS BIGINT) AS frame_idx,
+      |  md5(substring(pad, CAST(idx * 51 + 1 AS INTEGER), 51)) AS frame_md5
+      |FROM (SELECT doc_id, pad, unnest(range(0, nf, 4)) AS idx FROM m)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("m01_media_meta", m01, Some(m01Sql)),
     QuerySpec("m02_byte_histogram", m02, Some(m02Sql)),
     QuerySpec("m03_resize_meta", m03, Some(m03Sql)),
     QuerySpec("m04_frame_sample", m04, Some(m04Sql)),
-    QuerySpec("m05_wav_meta", m05, Some(m05Sql)))
+    QuerySpec("m05_wav_meta", m05, Some(m05Sql)),
+    QuerySpec("m06_avi_meta", m06, Some(m06Sql)),
+    QuerySpec("m07_avi_frame_sample", m07, Some(m07Sql)))
 }

@@ -857,4 +857,135 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
         s"doc $id: decoder did not recover the original payload")
     }
   }
+
+  // ---------------- real RIFF/AVI codec (round-15) ----------------
+
+  test("AVI codec round-trips frames through the full container tree") {
+    // width 3 → 9-byte rows → 3 stride pad bytes per row, two frames:
+    // the demuxer must strip per-row padding, restore top-down order
+    // AND split frame boundaries correctly
+    val f0 = Array.tabulate(3 * 2 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val f1 = Array.tabulate(3 * 2 * 3)(i => ((i * 53 + 200) % 256).toByte)
+    val avi = Multimodal.encodeAvi(3, 2, 1, 25, Seq(f0, f1))
+    val dec = Multimodal.decodeAvi(avi)
+    assert(dec.width === 3 && dec.height === 2)
+    assert(dec.scale === 1 && dec.rate === 25)
+    assert(dec.frames.length === 2)
+    assert(dec.frames(0).toSeq === f0.toSeq)
+    assert(dec.frames(1).toSeq === f1.toSeq)
+  }
+
+  test("AVI encoder lays out the RIFF tree byte-for-byte") {
+    // 1x1 single frame: every header offset is hand-pinned
+    val avi = Multimodal.encodeAvi(1, 1, 1, 10, Seq(Array[Byte](7, 8, 9)))
+    def u32(off: Int) = (avi(off) & 0xffL) | ((avi(off + 1) & 0xffL) << 8) |
+      ((avi(off + 2) & 0xffL) << 16) | ((avi(off + 3) & 0xffL) << 24)
+    def id(off: Int) = new String(avi, off, 4, "US-ASCII")
+    assert(id(0) === "RIFF" && u32(4) === avi.length - 8 && id(8) === "AVI ")
+    assert(id(12) === "LIST" && u32(16) === 192L && id(20) === "hdrl")
+    assert(id(24) === "avih" && u32(28) === 56L)
+    assert(u32(32) === 100000L)            // µs per frame at 10 fps
+    assert(u32(48) === 1L)                 // totalFrames
+    assert(u32(56) === 1L)                 // streams
+    assert(u32(64) === 1L && u32(68) === 1L) // dims
+    assert(id(88) === "LIST" && u32(92) === 116L && id(96) === "strl")
+    assert(id(100) === "strh" && id(108) === "vids" && id(112) === "DIB ")
+    assert(u32(128) === 1L && u32(132) === 10L) // scale, rate
+    assert(u32(140) === 1L)                // strh length
+    assert(id(164) === "strf" && u32(172) === 40L)
+    assert((avi(186) & 0xff) === 24 && u32(188) === 0L) // 24bpp BI_RGB
+    assert(u32(192) === 4L)                // biSizeImage: stride 4 × 1 row
+    assert(id(212) === "JUNK" && u32(216) === 5L) // odd → 1 pad byte
+    assert(id(226) === "LIST" && id(234) === "movi")
+    assert(id(238) === "00db" && u32(242) === 4L)
+    assert(avi.slice(246, 250).toSeq === Seq[Byte](7, 8, 9, 0)) // padded row
+    assert(id(250) === "idx1" && u32(254) === 16L)
+    assert(id(258) === "00db" && u32(266) === 4L && u32(270) === 4L)
+  }
+
+  test("AVI demuxer rejects malformed containers loudly") {
+    val good = Multimodal.encodeAvi(1, 1, 1, 10,
+      Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6)))
+    intercept[IllegalArgumentException] { // bad RIFF magic
+      val b = good.clone(); b(0) = 'X'.toByte; Multimodal.decodeAvi(b)
+    }
+    intercept[IllegalArgumentException] { // not an AVI form
+      val b = good.clone(); b(8) = 'W'.toByte; Multimodal.decodeAvi(b)
+    }
+    intercept[IllegalArgumentException] { // avih/strh frame-count skew
+      val b = good.clone(); b(48) = 9; Multimodal.decodeAvi(b)
+    }
+    intercept[IllegalArgumentException] { // fps inconsistent with µspf
+      val b = good.clone(); b(132) = 20; Multimodal.decodeAvi(b)
+    }
+    intercept[IllegalArgumentException] { // not a video stream
+      val b = good.clone(); b(108) = 'a'.toByte; Multimodal.decodeAvi(b)
+    }
+    intercept[IllegalArgumentException] { // 8 bpp
+      val b = good.clone(); b(186) = 8; Multimodal.decodeAvi(b)
+    }
+    intercept[IllegalArgumentException] { // compressed
+      val b = good.clone(); b(188) = 1; Multimodal.decodeAvi(b)
+    }
+    intercept[IllegalArgumentException] { // frame chunk wrong size
+      val b = good.clone(); b(242) = 3; Multimodal.decodeAvi(b)
+    }
+    intercept[IllegalArgumentException] { // idx1 entry count skew
+      // 2-frame container: movi LIST spans 226..262, idx1 size field
+      // at 266 is 32 (two 16-byte entries) — shrink it to one entry
+      val b = good.clone(); b(266) = 16; Multimodal.decodeAvi(b)
+    }
+    intercept[IllegalArgumentException] { // truncated mid-tree
+      Multimodal.decodeAvi(good.take(240))
+    }
+  }
+
+  test("multimodal: REAL AVI demux recovers frames and payload end-to-end") {
+    // ids hit all three fps arms; lengths hit exact-frame, pad-within-
+    // frame, multi-frame and degenerate-empty
+    val texts = Seq(
+      (0L, "ten fps doc"),            // 10 fps, 1 frame
+      (1L, "x" * 204),                // 20 fps, exactly one frame
+      (2L, "y" * 205),                // 25 fps, spills into frame 2
+      (3L, "z" * 900),                // 10 fps, 5 frames
+      (4L, ""))                       // 20 fps, degenerate: 1 space frame
+    import spark.implicits._
+    val packed = Multimodal.packAviPayload(
+      spark, texts.toDF("doc_id", "text"), "doc_id", "text")
+    packed.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert(new String(b, 0, 4, "US-ASCII") === "RIFF")
+      assert(new String(b, 8, 4, "US-ASCII") === "AVI ")
+    }
+    val meta = Multimodal.extractMetaAvi(spark, packed, "doc_id", "payload")
+      .collect().map(m => m.media_id -> m).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, t) =>
+      val fps = (id % 3) match { case 0 => 10; case 1 => 20; case _ => 25 }
+      val nf = math.max(1, (t.length + 203) / 204)
+      val padded = t.padTo(nf * 204, ' ')
+      val m = meta(id)
+      assert(m.width === 17 && m.height === 4 && m.fps === fps)
+      assert(m.n_frames === nf.toLong && m.n_bytes === nf * 204L)
+      assert(m.duration_ms === nf.toLong * 1000L / fps)
+      assert(m.byte_sum === padded.map(_.toLong).sum)
+      md.reset()
+      val fp = md.digest(padded.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(m.fingerprint === fp,
+        s"doc $id: demuxer did not recover the original payload")
+    }
+    // real frame sampling: every 2nd frame of the 5-frame doc, each
+    // frame's md5 matching the equivalent slice of the padded text
+    val sampled = Multimodal.sampleFramesAvi(
+      spark, packed.filter(col("doc_id") === 3L), "doc_id", "payload",
+      stride = 2).collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(sampled.keySet === Set(0L, 2L, 4L))
+    val padded3 = ("z" * 900).padTo(5 * 204, ' ')
+    sampled.foreach { case (idx, h) =>
+      md.reset()
+      val exp = md.digest(padded3.slice(idx.toInt * 204, idx.toInt * 204 + 204)
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h === exp, s"frame $idx: wrong recovered bytes")
+    }
+  }
 }
