@@ -51,6 +51,13 @@ object Verify {
         .coalesce(1).write.mode("overwrite")
         .parquet(graft.operators.LmScore.SharedIdfCostsDir)
     }
+    if (selected.contains("d33_dsir_selection")) {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      graft.operators.LmScore.dsirCosts(docs, "text",
+          org.apache.spark.sql.functions.col("source") === "src0")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.operators.LmScore.SharedDsirCostsDir)
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-unigram language-model scoring — the CCNet-style quality
@@ -53,6 +53,7 @@ object LmScore {
   val SharedDir = "/tmp/graft_shared_oracle"
   val SharedLmCostsDir = s"$SharedDir/lm_costs"
   val SharedIdfCostsDir = s"$SharedDir/idf_costs"
+  val SharedDsirCostsDir = s"$SharedDir/dsir_costs"
 
   /** Vocabulary with integer micro-nat costs: (tok, cnt, nlp_micro)
     * where nlp_micro = round(1e6 * ln(total / cnt)). */
@@ -101,5 +102,79 @@ object LmScore {
         graft.functions.ExactNum.roundRatio4(
           col("sum_nlp_micro"), col("n_tokens") * lit(1000000L))
           .as("avg_neglogp_r4"))
+  }
+
+  // ---------------- DSIR importance weights (round-15) ----------------
+
+  /** DSIR cost table (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling", NeurIPS 2023 — the hashed-n-gram
+    * feature space specialized to unigrams): per-token log-probability
+    * under the TARGET domain and under the raw corpus, both with
+    * add-one (Laplace) smoothing over the raw vocabulary so
+    * target-unseen tokens get a finite penalty instead of −∞.
+    * Output: (tok, cnt_t, cnt_r, lpt_micro, lpr_micro) where
+    * lpX_micro = round(1e6 · ln((cnt_X + 1) / (total_X + V))).
+    *
+    * Scale shape is `unigramCosts`': one shuffle whose output is the
+    * distinct vocabulary; the two totals and V ride as one broadcast
+    * single-row cross join. Determinism contract is d19's: integer
+    * micro-nats materialized once and shared with the oracle (the
+    * mirrors re-validate counts exactly and the ln link within 1
+    * micro-nat — see the class scaladoc). */
+  def dsirCosts(docs: DataFrame, textCol: String,
+                isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"),
+        isTarget.as("__t"))
+    val counts = toks.groupBy(col("tok")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("cnt_t"),
+      count(lit(1)).as("cnt_r"))
+    val tot = counts.agg(
+      sum(col("cnt_t")).as("__tt"), sum(col("cnt_r")).as("__tr"),
+      count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(tot)).select(
+      col("tok"), col("cnt_t"), col("cnt_r"),
+      round(log((col("cnt_t") + 1L).cast("double") /
+        (col("__tt") + col("__v")).cast("double")) * 1e6)
+        .cast("long").as("lpt_micro"),
+      round(log((col("cnt_r") + 1L).cast("double") /
+        (col("__tr") + col("__v")).cast("double")) * 1e6)
+        .cast("long").as("lpr_micro"))
+  }
+
+  /** Per-document DSIR importance weight:
+    * w(doc) = Σ_tok [ln p_target(tok) − ln p_raw(tok)]  (micro-nats),
+    * summed over token OCCURRENCES (multiplicity matters — a doc
+    * repeating a target-loved token twice is twice the evidence).
+    * Documents that read like the target domain score high; generic or
+    * off-domain documents score near zero or negative. Output:
+    * (doc_id, n_tokens, weight_micro) — exact integer math after the
+    * shared cost table, so ranking is engine-exact. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    toks.join(broadcast(dsirCosts(docs, textCol, isTarget)), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lpt_micro") - col("lpr_micro")).as("weight_micro"))
+  }
+
+  /** DSIR selection: every document's weight plus a `selected` flag
+    * marking the top-`k` by (weight desc, doc_id) — the deterministic
+    * resampling-free variant (top-k of the importance ranking). The
+    * top-k runs as orderBy+limit (Spark plans TakeOrderedAndProject —
+    * a distributed per-partition top-k merged on the driver, never a
+    * global sort or a single-partition window), then broadcasts the
+    * k-row id set back as the flag join — the shape that survives a
+    * billion-document weight table. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, k: Int): DataFrame = {
+    val w = dsirWeights(docs, idCol, textCol, isTarget)
+    val top = w.orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(k).select(col("doc_id").as("__sid"))
+    w.join(broadcast(top), w("doc_id") === col("__sid"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("weight_micro"),
+        col("__sid").isNotNull.cast("int").as("selected"))
   }
 }

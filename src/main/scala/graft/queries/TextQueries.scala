@@ -28,6 +28,8 @@ object TextQueries {
     graft.operators.LmScore.SharedLmCostsDir + "/*.parquet"
   private val SharedIdfCostsGlob =
     graft.operators.LmScore.SharedIdfCostsDir + "/*.parquet"
+  private val SharedDsirCostsGlob =
+    graft.operators.LmScore.SharedDsirCostsDir + "/*.parquet"
 
   private val stopsSqlList =
     TextAnalysis.DefaultStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -1255,5 +1257,69 @@ object TextQueries {
     // be row-identical to the recompute protocol
     QuerySpec("d30_incremental_from_index", d30, Some(d13Sql)),
     QuerySpec("d31_pair_index_advance", d31, Some(d12Sql)),
-    QuerySpec("d32_frozen_cap_advance", d32, Some(d12Sql)))
+    QuerySpec("d32_frozen_cap_advance", d32, Some(d12Sql)),
+    QuerySpec("d33_dsir_selection", d33, Some(d33Sql)))
+
+  /** DSIR target-domain selection (d33): every document weighted by
+    * how much more likely its unigram occurrences are under the
+    * `src0` source's distribution than under the raw corpus's own
+    * (Laplace-smoothed log-likelihood ratio in integer micro-nats),
+    * plus a `selected` flag on the top-100 by (weight desc, doc_id).
+    * The shared dsir cost table follows the d19/d21/d23 protocol:
+    * graft.Verify materializes it once, the mirror re-validates both
+    * count columns exactly and both ln links within 1 micro-nat
+    * before trusting a single row. The top-k runs as
+    * TakeOrderedAndProject + a broadcast flag join — never a global
+    * window (see LmScore.dsirSelect). */
+  private def d33(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.dsirSelect(
+      Tables.documents(s, dir), "doc_id", "text",
+      col("source") === "src0", k = 100)
+      .orderBy(col("doc_id"))
+
+  private val d33Sql =
+    s"""WITH toks AS (
+      | SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      | FROM documents),
+      |cnt AS (SELECT tok,
+      |          CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+      |               AS BIGINT) AS cnt_t,
+      |          CAST(count(*) AS BIGINT) AS cnt_r
+      |        FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS tt,
+      |          CAST(SUM(cnt_r) AS BIGINT) AS tr,
+      |          CAST(count(*) AS BIGINT) AS v
+      |        FROM cnt),
+      |shared AS (SELECT tok, cnt_t, cnt_r, lpt_micro, lpr_micro
+      |           FROM read_parquet('$SharedDsirCostsGlob')),
+      |chk AS (SELECT CASE WHEN
+      |    (SELECT count(*) FROM shared) = (SELECT count(*) FROM cnt) AND
+      |    (SELECT count(*) FROM shared n
+      |       JOIN cnt c ON n.tok = c.tok
+      |         AND n.cnt_t = c.cnt_t AND n.cnt_r = c.cnt_r
+      |       CROSS JOIN tot
+      |       WHERE abs(n.lpt_micro
+      |               - CAST(round(ln(CAST(c.cnt_t + 1 AS DOUBLE)
+      |                               / CAST(tt + v AS DOUBLE))
+      |                            * 1000000) AS BIGINT)) <= 1
+      |         AND abs(n.lpr_micro
+      |               - CAST(round(ln(CAST(c.cnt_r + 1 AS DOUBLE)
+      |                               / CAST(tr + v AS DOUBLE))
+      |                            * 1000000) AS BIGINT)) <= 1)
+      |      = (SELECT count(*) FROM cnt)
+      |  THEN 1 ELSE 0 END AS ok),
+      |costs AS (SELECT tok, lpt_micro - lpr_micro AS dmu
+      |          FROM shared WHERE (SELECT ok FROM chk) = 1),
+      |w AS (SELECT doc_id,
+      |        CAST(count(*) AS BIGINT) AS n_tokens,
+      |        CAST(SUM(dmu) AS BIGINT) AS weight_micro
+      |      FROM toks JOIN costs USING (tok)
+      |      GROUP BY doc_id),
+      |sel AS (SELECT doc_id FROM w
+      |        ORDER BY weight_micro DESC, doc_id LIMIT 100)
+      |SELECT doc_id, n_tokens, weight_micro,
+      |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM sel)
+      |       THEN 1 ELSE 0 END AS INTEGER) AS selected
+      |FROM w
+      |ORDER BY doc_id""".stripMargin
 }

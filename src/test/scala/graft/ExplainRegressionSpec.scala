@@ -109,6 +109,15 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"corpus-side shuffle join crept into d19:\n$p")
   }
 
+  test("d33: top-k selection fuses to TakeOrderedAndProject; cost table broadcasts; no global window") {
+    val p = plan("d33_dsir_selection")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"dsir top-k lost its distributed fusion:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dsir cost join not broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"a global window crept into the dsir selection:\n$p")
+  }
+
   test("d21/e07: cluster compositions stay equi-join only (no cartesian)") {
     for (q <- Seq("d21_cluster_curation", "e07_embed_dup_clusters")) {
       val p = plan(q)

@@ -38,4 +38,53 @@ class LmScoreSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(a === b)
   }
+
+  // ---------------- DSIR importance weights (round-15) ----------------
+
+  private val dsirDocs = Seq(
+    // target domain: legal boilerplate sharing distinctive vocabulary
+    (1L, "whereas the party hereby agrees to the terms", "legal"),
+    (2L, "the party shall hereby indemnify the other party", "legal"),
+    // raw pool: one legal-sounding doc and two off-domain docs
+    (3L, "the court hereby finds the party liable", "crawl"),
+    (4L, "cats and dogs play in the park", "crawl"),
+    (5L, "stir the soup and add more salt", "crawl"))
+    .toDF("doc_id", "text", "source")
+
+  test("dsir costs: target-loved tokens get positive log-ratio, smoothing is exact") {
+    import org.apache.spark.sql.functions.col
+    val costs = LmScore.dsirCosts(dsirDocs, "text", col("source") === "legal")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // 'hereby': 2 target occurrences of 16 target tokens, 3 raw of 37
+    val (tt, tr, v) = (16L, 37L, costs.size.toLong)
+    assert(costs("hereby")._1 === 2L && costs("hereby")._2 === 3L)
+    assert(costs("hereby")._3 ===
+      math.round(math.log(3.0 / (tt + v)) * 1e6))
+    assert(costs("hereby")._4 ===
+      math.round(math.log(4.0 / (tr + v)) * 1e6))
+    // target-unseen token: smoothed, finite, strongly negative ratio
+    val salt = costs("salt")
+    assert(salt._1 === 0L && salt._3 === math.round(math.log(1.0 / (tt + v)) * 1e6))
+    assert(costs("hereby")._3 - costs("hereby")._4 > 0L) // loved by target
+    assert(salt._3 - salt._4 < 0L)                       // unseen by target
+  }
+
+  test("dsir selection: domain-like docs outrank off-domain, top-k flag exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = LmScore.dsirSelect(dsirDocs, "doc_id", "text",
+        col("source") === "legal", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    // the legal-sounding crawl doc (3) must outweigh both off-domain
+    // docs — that's the whole point of importance weighting
+    assert(rows(3L)._1 > rows(4L)._1 && rows(3L)._1 > rows(5L)._1)
+    // top-3 by (weight desc, doc_id): the two target docs + doc 3
+    assert(rows.collect { case (id, (_, 1)) => id }.toSet === Set(1L, 2L, 3L))
+    // weights are integer micro-nats: partition-invariant
+    val again = LmScore.dsirWeights(dsirDocs.repartition(7), "doc_id", "text",
+        col("source") === "legal")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === rows.map { case (id, (w, _)) => id -> w })
+  }
 }
