@@ -60,13 +60,27 @@ object EventsStreaming {
 
   /** Streaming source over the events parquet (file-stream source; in
     * production this is Kafka/rate — same DataFrame downstream). The
-    * FileStreamSource requires a directory, but the harness lays events
-    * out as a single file next to the other tables — so stage a symlink
-    * into a scratch directory and stream that. */
+    * FileStreamSource requires a directory of FILES: the driver's
+    * testdata lays events out as a single file next to the other
+    * tables, while Spark-written benchdata (GenScale) is a directory
+    * of part files — and the source does NOT recurse into a linked
+    * subdirectory (it would silently discover zero files, run zero
+    * micro-batches and leave the sink empty; found at sf1 in round
+    * 15). So stage symlinks into a scratch directory: the file itself,
+    * or each part file when the source is a directory. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
     val streamDir = tempDirDeletedOnExit("graft_events_stream")
-    java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
+    if (java.nio.file.Files.isDirectory(src)) {
+      val ls = java.nio.file.Files.list(src)
+      try ls.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach { p =>
+          java.nio.file.Files.createSymbolicLink(
+            streamDir.resolve(p.getFileName), p.toAbsolutePath)
+        }
+      finally ls.close()
+    } else
+      java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
     // readStream requires an explicit schema, so the batch-side footer
     // probe decides which ts layout this dir carries (see Tables.events);
     // the cast to session-TZ timestamp is a value-preserving no-op for

@@ -32,6 +32,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed.nonEmpty)
   }
 
+  test("file-stream source discovers a Spark-written events DIRECTORY (multi part-file)") {
+    // regression (round 15, found at sf1): the harness's testdata lays
+    // events out as one file, but GenScale benchdata is a Spark-written
+    // directory of part files — a symlink to the directory made the
+    // file source silently discover ZERO files, run zero micro-batches
+    // and leave the sink empty. Rewrite the sf0.001 events as a
+    // 3-part-file directory and drive the same source + sink over it:
+    // the result must equal the batch q16 answer, not be empty.
+    val staged = EventsStreaming
+      .tempDirDeletedOnExit("graft_events_dirsource").toString
+    Tables.events(spark, sfDir).repartition(3)
+      .write.parquet(s"$staged/events.parquet")
+    val sink = EventsStreaming
+      .tempDirDeletedOnExit("graft_events_dirsource_sink").toString
+    EventsStreaming.runToParquetSink(spark, staged, sink).awaitTermination()
+    val streamed = spark.read.parquet(sink)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = Registry.queries("q16_events_hourly")(spark, sfDir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("foreachBatch parquet sink lands the same hourly aggregate") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val q = EventsStreaming.runToParquetSink(spark, sfDir, out)
