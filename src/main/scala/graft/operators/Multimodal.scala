@@ -475,8 +475,13 @@ object Multimodal {
     var sawAvih = false; var sawStrh = false; var sawStrf = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
-    def stride = (width * 3 + 3) & ~3
-    def frameBytes = stride.toLong * height
+    // all stride/frame math in Long (same fail-loudly hardening as
+    // decodeBmp24, round-15 ADVICE): a hostile header width where
+    // `width * 3` wraps to a small positive Int would otherwise make
+    // every internal size check agree with itself and decode garbage
+    // instead of throwing
+    def strideL = (width.toLong * 3 + 3) & ~3L
+    def frameBytes = strideL * height
 
     def walkHdrl(start: Long, end: Long): Unit = {
       var off = start
@@ -555,7 +560,11 @@ object Multimodal {
           require(sawStrf, "frame chunk before the stream headers")
           require(size == frameBytes,
             s"frame chunk of $size bytes != expected $frameBytes")
-          val rowB = width * 3
+          // frameBytes fits the chunk (checked against the file above),
+          // so the unpadded payload fits an Int too; stride math stays
+          // in Long until the post-validation narrowing here
+          val rowB = (width.toLong * 3).toInt
+          val stride = strideL.toInt
           val f = new Array[Byte](rowB * height)
           var row = 0
           while (row < height) { // bottom-up DIB rows → top-down payload
