@@ -118,6 +118,15 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"a global window crept into the dsir selection:\n$p")
   }
 
+  test("d33: the weights subtree is computed once — the flag join reuses its stages") {
+    // the static plan holds the weights aggregation twice (once for
+    // the full output, once under the top-k); AQE must dedupe the
+    // identical exchanges at runtime or the corpus pays double
+    val p = executedPlan("d33_dsir_selection")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no stage reuse between the weights output and the top-k side:\n$p")
+  }
+
   test("d21/e07: cluster compositions stay equi-join only (no cartesian)") {
     for (q <- Seq("d21_cluster_curation", "e07_embed_dup_clusters")) {
       val p = plan(q)
