@@ -80,6 +80,37 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Stage-metrics telemetry (round-16, VERDICT item 1): per-query
+    // spill and shuffle volumes, so a super-linear decade growth is
+    // attributable to "spilling at N partitions" vs "true output
+    // growth" from the bench artifact alone. Listener events are
+    // asynchronous; the short post-query sleep below lets the bus
+    // drain before attribution (the sleep is outside the timed
+    // window, and exact attribution is diagnostic, not correctness).
+    val stageAgg = new org.apache.spark.scheduler.SparkListener {
+      val disk = new java.util.concurrent.atomic.AtomicLong
+      val mem = new java.util.concurrent.atomic.AtomicLong
+      val shw = new java.util.concurrent.atomic.AtomicLong
+      val shr = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          disk.addAndGet(m.diskBytesSpilled)
+          mem.addAndGet(m.memoryBytesSpilled)
+          shw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+      /** Record the totals since the last flush into Telemetry (MB). */
+      def flush(): Unit = {
+        Telemetry.record("bench.spill_disk_mb", disk.getAndSet(0) >> 20)
+        Telemetry.record("bench.spill_mem_mb", mem.getAndSet(0) >> 20)
+        Telemetry.record("bench.shuffle_write_mb", shw.getAndSet(0) >> 20)
+        Telemetry.record("bench.shuffle_read_mb", shr.getAndSet(0) >> 20)
+      }
+    }
+    spark.sparkContext.addSparkListener(stageAgg)
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     // noop sink: every output column is fully computed and consumed —
     // count() would let Catalyst prune projections/sorts, benchmarking
@@ -94,7 +125,10 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = selected.map { case (name, fn) =>
-      Telemetry.drain() // a prior query's rounds must not bleed in
+      // a prior query's rounds / stage metrics (and the warm-up's)
+      // must not bleed in: flush the listener residue, then discard
+      stageAgg.flush()
+      Telemetry.drain()
       // a failed query records -1 (not a plausible-looking elapsed time)
       val times = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()
@@ -110,6 +144,11 @@ object Bench {
       }
       def med(xs: Seq[Double]) =
         if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.size - 1) / 2)
+      // stage metrics are summed over ALL runs of this query (divide
+      // by `runs` for per-execution volumes); the sleep drains the
+      // async listener bus outside the timed window
+      Thread.sleep(300)
+      stageAgg.flush()
       // convergence telemetry recorded by iterative operators during the
       // runs (deterministic per query+data, so last-run values suffice)
       (name, med(times.map(_._1)), med(times.map(_._2)), Telemetry.drain())

@@ -58,6 +58,14 @@ object Verify {
         .coalesce(1).write.mode("overwrite")
         .parquet(graft.operators.LmScore.SharedDsirCostsDir)
     }
+    if (selected.contains("d34_dsir_bigram")) {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      graft.operators.LmScore.dsirCostsBigram(docs, "text",
+          org.apache.spark.sql.functions.col("source") === "src0",
+          buckets = 4096)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.operators.LmScore.SharedDsirBigramCostsDir)
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -54,6 +54,7 @@ object LmScore {
   val SharedLmCostsDir = s"$SharedDir/lm_costs"
   val SharedIdfCostsDir = s"$SharedDir/idf_costs"
   val SharedDsirCostsDir = s"$SharedDir/dsir_costs"
+  val SharedDsirBigramCostsDir = s"$SharedDir/dsir_bigram_costs"
 
   /** Vocabulary with integer micro-nat costs: (tok, cnt, nlp_micro)
     * where nlp_micro = round(1e6 * ln(total / cnt)). */
@@ -175,6 +176,81 @@ object LmScore {
       .limit(k).select(col("doc_id").as("__sid"))
     w.join(broadcast(top), w("doc_id") === col("__sid"), "left")
       .select(col("doc_id"), col("n_tokens"), col("weight_micro"),
+        col("__sid").isNotNull.cast("int").as("selected"))
+  }
+
+  // ------------- DSIR over hashed bigrams (round-16, d34) -------------
+
+  /** Feature bucket of one bigram: `rollingHash(bigram) mod buckets`
+    * via the native codegen fold (plans.RollingHashExpr — no per-char
+    * array); upstream, plans.ShinglesExpr emits the 2-token shingles
+    * as zero-copy byte spans, so the per-row cost is two byte scans.
+    * Docs with fewer than 2 tokens contribute no features
+    * (ShinglesExpr yields an empty array, and the explode must sit in
+    * its own projection — generators don't nest in expressions). */
+  private def bucketOf(bg: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.RollingHashExpr(
+      GraftColumnBridge.expression(bg))) % buckets
+  }
+
+  /** DSIR cost table over HASHED BIGRAM features — the paper's actual
+    * feature space (Xie et al. hash n-grams into a fixed bucket count;
+    * `dsirCosts` above is the unigram specialization): per-bucket
+    * log-probability under the target domain and under the raw corpus,
+    * add-one smoothed over the OCCUPIED buckets. Output: (b, cnt_t,
+    * cnt_r, lpt_micro, lpr_micro), b in [0, buckets). Scale shape is
+    * `dsirCosts`': one shuffle whose output is at most `buckets` rows
+    * (bounded regardless of corpus size — the hashing's point), totals
+    * as a broadcast single-row cross join. Shares the d33 cost-table
+    * determinism protocol. */
+  def dsirCostsBigram(docs: DataFrame, textCol: String, isTarget: Column,
+                      buckets: Int): DataFrame = {
+    require(buckets > 0, s"bad bucket count $buckets")
+    val feats = docs
+      .select(explode(TextAnalysis.shinglesCol(col(textCol), 2)).as("bg"),
+        isTarget.as("__t"))
+      .select(bucketOf(col("bg"), buckets).as("b"), col("__t"))
+    val counts = feats.groupBy(col("b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("cnt_t"),
+      count(lit(1)).as("cnt_r"))
+    val tot = counts.agg(
+      sum(col("cnt_t")).as("__tt"), sum(col("cnt_r")).as("__tr"),
+      count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(tot)).select(
+      col("b"), col("cnt_t"), col("cnt_r"),
+      round(log((col("cnt_t") + 1L).cast("double") /
+        (col("__tt") + col("__v")).cast("double")) * 1e6)
+        .cast("long").as("lpt_micro"),
+      round(log((col("cnt_r") + 1L).cast("double") /
+        (col("__tr") + col("__v")).cast("double")) * 1e6)
+        .cast("long").as("lpr_micro"))
+  }
+
+  /** DSIR selection over hashed bigrams (d34): same contract as
+    * `dsirSelect` — every document's importance weight in integer
+    * micro-nats plus a `selected` flag on the top-`k` by (weight desc,
+    * doc_id) — with the bigram feature space of `dsirCostsBigram`.
+    * Documents with fewer than 2 tokens carry no features and are
+    * absent from the output (they carry no importance evidence either
+    * way). The cost table is bucket-bounded so its join side is always
+    * a broadcast; top-k runs as TakeOrderedAndProject + broadcast flag
+    * join — never a global window. */
+  def dsirSelectBigram(docs: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column, buckets: Int, k: Int): DataFrame = {
+    val feats = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.shinglesCol(col(textCol), 2)).as("bg"))
+      .select(col("doc_id"), bucketOf(col("bg"), buckets).as("b"))
+    val w = feats
+      .join(broadcast(dsirCostsBigram(docs, textCol, isTarget, buckets)), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lpt_micro") - col("lpr_micro")).as("weight_micro"))
+    val top = w.orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(k).select(col("doc_id").as("__sid"))
+    w.join(broadcast(top), w("doc_id") === col("__sid"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("weight_micro"),
         col("__sid").isNotNull.cast("int").as("selected"))
   }
 }

@@ -495,7 +495,8 @@ object PairIndex {
                       frozenCaps: Boolean = false,
                       economyGuard: Double = 0.3,
                       assertNoCapFlips: Boolean = false,
-                      driftStats: Boolean = true): AdvanceResult = {
+                      driftStats: Boolean = true,
+                      autoCompactMaxFiles: Double = 0.0): AdvanceResult = {
     import org.apache.spark.storage.StorageLevel
     // per-phase wall is ALWAYS exported to Telemetry (round-13, VERDICT
     // item 7) so a bench regression in the advance is attributable from
@@ -1057,8 +1058,44 @@ object PairIndex {
         AdvanceResult(DocIndex(sTab, pTab, Some(postTab), newDf),
           appended = false, nNew, nEvicted, nAffected, nFlips, flipHolders)
       }
-    finish(result, fallback = false)
+    val fin = finish(result, fallback = false)
+    // ---- self-triggered file hygiene (round-16, VERDICT item 3) ----
+    // The drift estimator already makes the REBUILD decision adaptive;
+    // this makes the FILE decision adaptive too: once any artifact's
+    // files/bucket exceeds the caller's bound, compact the advanced
+    // generation before handing it back, so a long frozen-advance
+    // chain keeps its consumers at bounded read amplification with no
+    // manual compactDocIndex call. The check is a pure FS listing per
+    // table (no job); compaction cost is the zero-shuffle per-bucket
+    // rewrite. Intermediate tables the compaction supersedes are
+    // released here — EXCEPT any still shared with the caller's input
+    // index (the append path reuses all of them), whose release stays
+    // the caller's dropSuperseded decision.
+    if (autoCompactMaxFiles > 0 && compactDue(spark, fin.idx, autoCompactMaxFiles)) {
+      val compacted = ph("auto_compact")(compactDocIndex(spark, fin.idx, idCol))
+      graft.Telemetry.record("pairindex.advance_autocompact", 1L)
+      val callerLive = (Seq(idx.survivorsTable, idx.pairsTable) ++
+        idx.postingsTable ++ idx.dfTable).toSet ++
+        (Seq(compacted.survivorsTable, compacted.pairsTable) ++
+          compacted.postingsTable ++ compacted.dfTable)
+      (Seq(fin.idx.survivorsTable, fin.idx.pairsTable) ++
+        fin.idx.postingsTable ++ fin.idx.dfTable)
+        .filterNot(callerLive)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      fin.copy(idx = compacted, appended = false)
+    } else fin
   }
+
+  /** Files-per-bucket hygiene check for a standing index: true when
+    * any artifact's per-bucket data-file count exceeds
+    * `maxFilesPerBucket` — the trigger advances consult for
+    * self-compaction (`advanceDocIndex(autoCompactMaxFiles = …)`), or
+    * callers poll between advances. Pure filesystem listings, no
+    * Spark job. */
+  def compactDue(spark: SparkSession, idx: DocIndex,
+                 maxFilesPerBucket: Double): Boolean =
+    (Seq(idx.survivorsTable, idx.pairsTable) ++ idx.postingsTable ++ idx.dfTable)
+      .exists(t => filesPerBucket(spark, t) > maxFilesPerBucket)
 
   // ---- online drift estimator (round-15, VERDICT item 1) ----
   // Calibration constants for the closed-form drift model documented at

@@ -30,6 +30,8 @@ object TextQueries {
     graft.operators.LmScore.SharedIdfCostsDir + "/*.parquet"
   private val SharedDsirCostsGlob =
     graft.operators.LmScore.SharedDsirCostsDir + "/*.parquet"
+  private val SharedDsirBigramCostsGlob =
+    graft.operators.LmScore.SharedDsirBigramCostsDir + "/*.parquet"
 
   private val stopsSqlList =
     TextAnalysis.DefaultStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -1258,7 +1260,8 @@ object TextQueries {
     QuerySpec("d30_incremental_from_index", d30, Some(d13Sql)),
     QuerySpec("d31_pair_index_advance", d31, Some(d12Sql)),
     QuerySpec("d32_frozen_cap_advance", d32, Some(d12Sql)),
-    QuerySpec("d33_dsir_selection", d33, Some(d33Sql)))
+    QuerySpec("d33_dsir_selection", d33, Some(d33Sql)),
+    QuerySpec("d34_dsir_bigram", d34, Some(d34Sql)))
 
   /** DSIR target-domain selection (d33): every document weighted by
     * how much more likely its unigram occurrences are under the
@@ -1318,6 +1321,81 @@ object TextQueries {
       |sel AS (SELECT doc_id FROM w
       |        ORDER BY weight_micro DESC, doc_id LIMIT 100)
       |SELECT doc_id, n_tokens, weight_micro,
+      |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM sel)
+      |       THEN 1 ELSE 0 END AS INTEGER) AS selected
+      |FROM w
+      |ORDER BY doc_id""".stripMargin
+
+  /** DSIR selection over HASHED BIGRAMS (d34, round-16, VERDICT item
+    * 7): the paper's actual feature space — bigram occurrences hashed
+    * into 4096 buckets (d33 specializes to unigrams) — with the same
+    * cost-table protocol: graft.Verify materializes the per-bucket
+    * micro-nat table once, the mirror re-validates both count columns
+    * exactly and both ln links within 1 micro-nat before trusting a
+    * row. The oracle recomputes the bucket of every bigram from
+    * scratch (token-pair join + the codepoint rolling-hash fold mod
+    * 1e9+7, the d09-pinned portable hash), so a Spark-side shingle or
+    * hash bug breaks the counts gate, not just the weights. Documents
+    * with <2 tokens carry no features and are absent by contract. */
+  private def d34(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.dsirSelectBigram(
+      Tables.documents(s, dir), "doc_id", "text",
+      col("source") === "src0", buckets = 4096, k = 100)
+      .orderBy(col("doc_id"))
+
+  private val d34Sql =
+    s"""WITH toks AS (
+      | SELECT doc_id, source, string_split(text, ' ') AS l
+      | FROM documents),
+      |bgs AS (
+      | SELECT doc_id, source,
+      |   unnest(list_transform(range(1, len(l)),
+      |     i -> l[i] || ' ' || l[i + 1])) AS bg
+      | FROM toks),
+      |feats AS (
+      | SELECT doc_id, source,
+      |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(string_split_regex(bg, ''),
+      |       ch -> CAST(ascii(ch) AS BIGINT))),
+      |     (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS b
+      | FROM bgs),
+      |cnt AS (SELECT b,
+      |          CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+      |               AS BIGINT) AS cnt_t,
+      |          CAST(count(*) AS BIGINT) AS cnt_r
+      |        FROM feats GROUP BY b),
+      |tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS tt,
+      |          CAST(SUM(cnt_r) AS BIGINT) AS tr,
+      |          CAST(count(*) AS BIGINT) AS v
+      |        FROM cnt),
+      |shared AS (SELECT b, cnt_t, cnt_r, lpt_micro, lpr_micro
+      |           FROM read_parquet('$SharedDsirBigramCostsGlob')),
+      |chk AS (SELECT CASE WHEN
+      |    (SELECT count(*) FROM shared) = (SELECT count(*) FROM cnt) AND
+      |    (SELECT count(*) FROM shared n
+      |       JOIN cnt c ON n.b = c.b
+      |         AND n.cnt_t = c.cnt_t AND n.cnt_r = c.cnt_r
+      |       CROSS JOIN tot
+      |       WHERE abs(n.lpt_micro
+      |               - CAST(round(ln(CAST(c.cnt_t + 1 AS DOUBLE)
+      |                               / CAST(tt + v AS DOUBLE))
+      |                            * 1000000) AS BIGINT)) <= 1
+      |         AND abs(n.lpr_micro
+      |               - CAST(round(ln(CAST(c.cnt_r + 1 AS DOUBLE)
+      |                               / CAST(tr + v AS DOUBLE))
+      |                            * 1000000) AS BIGINT)) <= 1)
+      |      = (SELECT count(*) FROM cnt)
+      |  THEN 1 ELSE 0 END AS ok),
+      |costs AS (SELECT b, lpt_micro - lpr_micro AS dmu
+      |          FROM shared WHERE (SELECT ok FROM chk) = 1),
+      |w AS (SELECT doc_id,
+      |        CAST(count(*) AS BIGINT) AS n_bigrams,
+      |        CAST(SUM(dmu) AS BIGINT) AS weight_micro
+      |      FROM feats JOIN costs USING (b)
+      |      GROUP BY doc_id),
+      |sel AS (SELECT doc_id FROM w
+      |        ORDER BY weight_micro DESC, doc_id LIMIT 100)
+      |SELECT doc_id, n_bigrams, weight_micro,
       |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM sel)
       |       THEN 1 ELSE 0 END AS INTEGER) AS selected
       |FROM w

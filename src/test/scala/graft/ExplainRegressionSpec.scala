@@ -127,6 +127,17 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"no stage reuse between the weights output and the top-k side:\n$p")
   }
 
+  test("d34: bigram top-k fuses to TakeOrderedAndProject; bucket-bounded cost table broadcasts; no global window") {
+    val p = plan("d34_dsir_bigram")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bigram dsir top-k lost its distributed fusion:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bigram dsir cost join not broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"a global window crept into the bigram dsir selection:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in d34:\n$p")
+  }
+
   test("d21/e07: cluster compositions stay equi-join only (no cartesian)") {
     for (q <- Seq("d21_cluster_curation", "e07_embed_dup_clusters")) {
       val p = plan(q)

@@ -782,6 +782,49 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     PairIndex.dropDocIndex(spark, compacted)
   }
 
+  test("auto-compaction keeps a 10-frozen-advance chain within the files/bucket bound") {
+    // round-16, VERDICT item 3: advances consult compactDue themselves —
+    // a long frozen chain must keep its consumers at bounded read
+    // amplification with NO manual compactDocIndex call, and the chain
+    // must stay row-identical to from-scratch materialization.
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "totally unrelated content sits here quietly")
+    val idx0 = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 2, keepPostings = true)
+    val bound = 3.0
+    var cur = idx0
+    var all = corpus
+    var compactions = 0
+    for (i <- 1 to 10) {
+      // distinct tokens per batch → flip-free, so every advance takes
+      // the pure-append path unless the auto-compaction fires
+      val b = docsDf((100L + i) ->
+        s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h")
+      all = all.unionByName(b)
+      val prev = cur
+      val r = PairIndex.advanceDocIndex(spark, prev, b, "doc_id", "text",
+        frozenCaps = true, autoCompactMaxFiles = bound)
+      if (!r.appended) compactions += 1
+      for (t <- Seq(r.idx.survivorsTable, r.idx.pairsTable) ++
+          r.idx.postingsTable ++ r.idx.dfTable)
+        assert(PairIndex.filesPerBucket(spark, t) <= bound,
+          s"advance $i left $t over the $bound files/bucket bound")
+      assert(!PairIndex.compactDue(spark, r.idx, bound))
+      PairIndex.dropSuperseded(spark, prev, r.idx)
+      cur = r.idx
+    }
+    // 10 appends against a 3-files/bucket bound must have compacted
+    // more than once — otherwise the bound assert above proved nothing
+    assert(compactions >= 2, s"expected >=2 auto-compactions, saw $compactions")
+    val scratch = PairIndex.materializeDocIndex(all, "doc_id", "text",
+      numBuckets = 2, keepPostings = true)
+    assertTablesEqual(cur, scratch)
+    PairIndex.dropDocIndex(spark, idx0)
+    PairIndex.dropDocIndex(spark, cur)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
   test("clusterCurationFromIndex keeps exactly one doc per cluster plus singletons") {
     val out = PairIndex.clusterCurationFromIndex(spark, idx, "doc_id", "text")
     val rows = out.collect()
