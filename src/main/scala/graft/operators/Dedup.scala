@@ -180,11 +180,76 @@ object Dedup {
         .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
         .filter(col("__df") <= maxDocFreq)
         .drop("__df")
-    // card reads from the repartitioned branch too: its groupBy re-shuffles
-    // on doc_id either way, but sourcing from `sh` reuses the same
-    // materialized exchange instead of re-running the shingle transform.
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    scoreJaccardPairs(pairIntersections(sh), card, threshold)
+    // Carry each doc's capped cardinality INTO the posting lists
+    // (round-16, VERDICT item 1): the former tail re-joined the PAIR
+    // stream against the per-doc cardinalities twice — at the sf10
+    // decade that was 2 × ~440M-row sort-merge shuffles (6.5 GB of
+    // exchange + ~4 GB disk spill) to attach 16 bytes per pair. One
+    // window over the POSTING stream (27M rows at the same decade —
+    // ~16× smaller) attaches n once; sort_array on (doc_id, n) structs
+    // keeps the same doc_id order (ids are unique), and n1/n2 ride the
+    // grouping keys (functionally dependent on the pair, so the
+    // aggregate is unchanged). The pair stream is born fully scored —
+    // zero joins from here to the result at ANY corpus size.
+    val shN = sh.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val p = pairParallelism(sh0)
+    val postings = shN
+      .repartition(p, col("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+    val pairs = postings
+      .select(posexplode(col("ids")).as(Seq("__i", "d1")), col("ids"))
+      .select(col("d1"),
+        explode(slice(col("ids"), col("__i") + lit(2), size(col("ids")))).as("d2"))
+      .select(col("d1").getField("doc_id").as("doc_id1"),
+        col("d1").getField("n").as("n1"),
+        col("d2").getField("doc_id").as("doc_id2"),
+        col("d2").getField("n").as("n2"))
+    // The explicit numbered repartition is load-bearing twice over:
+    // (a) AQE sizes coalesced partitions from MAP-side bytes, which
+    // undercounts explode-heavy stages by the pair fan-out — at sf10
+    // it coalesced the pair aggregation to 32 partitions of ~14M pair
+    // rows each, tripping the hash aggregate's sort-based fallback
+    // (measured ~44 GB memory spill); a numbered repartition is exempt
+    // from coalescing. (b) hash(doc_id1, doc_id2) already satisfies
+    // the aggregate's clustering (n1/n2 are key-functional), so the
+    // agg runs COMPLETE-mode after the exchange — no partial hash map
+    // over the full exploded stream (partial combine only removed ~11%
+    // of rows here; it cost a second full hash pass).
+    val inter = pairs
+      .repartition(p, col("doc_id1"), col("doc_id2"))
+      .groupBy(col("doc_id1"), col("doc_id2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") / col("n_union").cast("double")
+    inter
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .filter(jac >= threshold)
+      .select(col("doc_id1"), col("doc_id2"), col("n_inter"), col("n_union"),
+        // exact half-up integer rounding: round(double,4) diverges from
+        // the oracle on half-boundary ratios (see ExactNum.roundRatio4)
+        graft.functions.ExactNum.roundRatio4(col("n_inter"), col("n_union"))
+          .as("jaccard_r4"))
+  }
+
+  /** Shuffle width for PAIR-VOLUME stages (the posting aggregation
+    * that explodes into pairs, and the pair aggregation itself). AQE's
+    * partition coalescing sizes partitions from MAP-side bytes, which
+    * underestimates an explode-heavy stage by the full pair fan-out —
+    * so these stages pin the session's scale-proportional initial
+    * partition count (Bench and cluster deployments size
+    * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` with
+    * the input) instead of letting AQE coalesce them back to default
+    * parallelism. */
+  private def pairParallelism(df: DataFrame): Int = {
+    val ss = df.sparkSession
+    val base = ss.sessionState.conf.numShufflePartitions
+    val init = ss.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      .map(_.toInt).getOrElse(base)
+    math.max(base, init)
   }
 
   /** Shared-shingle counts per ordered doc pair from a capped
@@ -197,10 +262,13 @@ object Dedup {
     * linear in corpus size by construction). sort_array makes
     * doc_id1 < doc_id2 positional instead of a join predicate.
     *
-    * Shared by `jaccardPairsHashed` (full run) and
-    * `PairIndex.advanceDocIndex` (delta rescore over candidate
-    * shingles) — one kernel, so the incremental path is row-identical
-    * to the full path by construction. */
+    * Used by `PairIndex.advanceDocIndex` (delta rescore over candidate
+    * shingles — batch-scale volumes, scored via `scoreJaccardPairs`'s
+    * cardinality joins because the standing artifact cannot carry n:
+    * a batch changes OTHER docs' capped cardinalities). The full-run
+    * path (`jaccardPairsHashed`) instead carries n inside the posting
+    * structs — same math on both paths, pinned row-identical by
+    * PairIndexSpec. */
   private[operators] def pairIntersections(sh: DataFrame): DataFrame = {
     val postings = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

@@ -210,6 +210,15 @@ object TextQueries {
   private def d07(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
     Dedup.jaccardPairs(sh, 0.6, maxDocFreq = 100)
+      // materialization point between the pair aggregation and the
+      // presentation sort (round-16): a global orderBy SAMPLES its
+      // child to pick range bounds, re-executing the whole subtree —
+      // measured as a second full pass over the 7.8 GB pair exchange
+      // at sf10 (~20 s). This small AQE-coalescible exchange carries
+      // only the thresholded result (output-scale, ~48 MB at sf10), so
+      // the sampler reads a materialized stage instead of re-running
+      // the aggregation.
+      .repartition(col("doc_id1"))
       .orderBy(col("doc_id1"), col("doc_id2"))
   }
 

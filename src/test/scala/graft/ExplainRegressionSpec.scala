@@ -60,10 +60,33 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"no exchange reuse in d06 final plan:\n$p")
   }
 
-  test("d07: inverted-index self-join reuses the shingle Exchange") {
-    val p = executedPlan("d07_jaccard_pairs")
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
-      s"no exchange reuse in d07 final plan:\n$p")
+  test("d07: carded pair kernel — no joins, pinned pair shuffles, single complete-mode agg") {
+    // round-16 shape: per-doc cardinalities ride the posting structs,
+    // so the pair stream is born scored — the plan must contain NO
+    // join of any kind (the former tail sort-merge-joined the ~440M-row
+    // pair stream twice at sf10); the two pair-volume exchanges are
+    // numbered repartitions (exempt from AQE coalescing, which sizes
+    // from pre-explosion map bytes); and the pair aggregation runs
+    // after the numbered exchange (partial+final fuse into ONE stage —
+    // no map-side hash pass over the pre-shuffle exploded stream, so
+    // the explode streams straight into the exchange writer).
+    val p = plan("d07_jaccard_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"a join crept back into the carded d07 plan:\n$p")
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size >= 2,
+      s"pair-volume shuffles lost their pinned partition counts:\n$p")
+    // the pair aggregation must ride the numbered repartition, not add
+    // its own ENSURE_REQUIREMENTS exchange on the grouping keys — and
+    // no partial aggregate may sit BELOW the exchange (that would be
+    // the full-stream map-side hash pass this plan exists to avoid)
+    // (plan text prints top-down, so "below the exchange" = partial
+    // appearing AFTER the first numbered exchange line)
+    assert(!p.matches("(?s).*REPARTITION_BY_NUM.*partial_count.*"),
+      s"a partial pair aggregate moved below the pair exchange:\n$p")
+    assert("Exchange hashpartitioning\\(doc_id1#\\d+L, doc_id2#\\d+L, \\d+\\), ENSURE_REQUIREMENTS".r
+      .findFirstIn(p).isEmpty,
+      s"the pair aggregation re-shuffled instead of riding the numbered exchange:\n$p")
   }
 
   test("d13: incremental cross-join is an equi-join sharing the union Exchange") {
@@ -82,7 +105,10 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     // limit. The merge hints pin both inner cardinality joins to
     // sort-merge (the left-semi prune in d13 MAY broadcast: its build
     // side is the incoming batch's distinct keys, bounded by design).
-    for (q <- Seq("d07_jaccard_pairs", "d13_incremental_dedup")) {
+    // d07 left this list in round-16: its carded kernel carries the
+    // cardinalities through the posting structs and has no such joins
+    // (see the carded-kernel test above).
+    for (q <- Seq("d13_incremental_dedup")) {
       val p = plan(q)
       assert("BroadcastHashJoin .*, Inner".r.findFirstIn(p).isEmpty,
         s"$q: an inner join planned as broadcast despite the merge hint:\n$p")
