@@ -158,13 +158,17 @@ object Dedup {
 
   /** `jaccardPairs` over an ALREADY-hashed, already-distinct
     * (doc_id, s:long) posting relation — the entry point for
-    * MATERIALIZED shingle indexes (PairIndex): a bucketed index scan is
-    * already hash-partitioned by `s`, so feeding it here lets the
-    * df-cap window, the distinct and the posting aggregation all ride
-    * the bucketing with ZERO exchanges, where `jaccardPairs` would add
-    * its own repartition. Caller contract: rows are distinct and `s` is
-    * `xxhash64` of the shingle string (collision semantics identical to
-    * `jaccardPairs` by construction). */
+    * MATERIALIZED shingle indexes (PairIndex): a bucketed index scan
+    * is already hash-partitioned by `s`, so the df-cap window rides
+    * the bucketing with no exchange. The carded kernel below (round
+    * 16) then deliberately re-shuffles the POSTING stream twice more
+    * (doc_id for the cardinality window, then the pinned-width s
+    * repartition feeding the pair explosion) — posting-scale shuffles
+    * bought to eliminate the two PAIR-scale cardinality joins the old
+    * tail paid (~16× more data at the sf10 decade). Caller contract:
+    * rows are distinct and `s` is `xxhash64` of the shingle string
+    * (collision semantics identical to `jaccardPairs` by
+    * construction). */
   def jaccardPairsHashed(sh0: DataFrame, threshold: Double,
                          maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // df-cap BEFORE the posting-list aggregation: the window counts

@@ -177,20 +177,8 @@ object Multimodal {
     * padding handling is exercised by every row. */
   def packBmpPayload(spark: SparkSession, df: DataFrame,
                      idCol: String, textCol: String,
-                     width: Int = 17): DataFrame = {
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        val rowBytes = width * 3
-        rows.map { case (id, raw) =>
-          val h = math.max(1, (raw.length + rowBytes - 1) / rowBytes)
-          val pixels = java.util.Arrays.copyOf(raw, rowBytes * h)
-          java.util.Arrays.fill(pixels, raw.length, pixels.length, ' '.toByte)
-          (id, encodeBmp24(width, h, pixels))
-        }
-      }.toDF(idCol, "payload")
-  }
+                     width: Int = 17): DataFrame =
+    packBmpWith(spark, df, idCol, textCol, _ => width)
 
   /** Varied-width BMP packing for the resize family (m03): width
     * 17 + (id mod 97) so the REAL decoded dims sweep 17..113 px wide
@@ -199,13 +187,22 @@ object Multimodal {
     * `decodeStub` (round-15 VERDICT item 4). The formula is id-only so
     * an oracle mirrors it without seeing the container. */
   def packBmpPayloadVaried(spark: SparkSession, df: DataFrame,
-                           idCol: String, textCol: String): DataFrame = {
+                           idCol: String, textCol: String): DataFrame =
+    packBmpWith(spark, df, idCol, textCol,
+      id => 17 + math.floorMod(id, 97L).toInt)
+
+  /** Shared packer body: one place for the ceil-height / space-pad /
+    * encode arithmetic so the fixed- and varied-width entry points
+    * cannot drift (round-16 review). */
+  private def packBmpWith(spark: SparkSession, df: DataFrame,
+                          idCol: String, textCol: String,
+                          widthOf: Long => Int): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, raw) =>
-          val width = 17 + math.floorMod(id, 97L).toInt
+          val width = widthOf(id)
           val rowBytes = width * 3
           val h = math.max(1, (raw.length + rowBytes - 1) / rowBytes)
           val pixels = java.util.Arrays.copyOf(raw, rowBytes * h)

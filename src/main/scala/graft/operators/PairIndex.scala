@@ -1058,7 +1058,6 @@ object PairIndex {
         AdvanceResult(DocIndex(sTab, pTab, Some(postTab), newDf),
           appended = false, nNew, nEvicted, nAffected, nFlips, flipHolders)
       }
-    val fin = finish(result, fallback = false)
     // ---- self-triggered file hygiene (round-16, VERDICT item 3) ----
     // The drift estimator already makes the REBUILD decision adaptive;
     // this makes the FILE decision adaptive too: once any artifact's
@@ -1070,20 +1069,26 @@ object PairIndex {
     // rewrite. Intermediate tables the compaction supersedes are
     // released here — EXCEPT any still shared with the caller's input
     // index (the append path reuses all of them), whose release stays
-    // the caller's dropSuperseded decision.
-    if (autoCompactMaxFiles > 0 && compactDue(spark, fin.idx, autoCompactMaxFiles)) {
-      val compacted = ph("auto_compact")(compactDocIndex(spark, fin.idx, idCol))
-      graft.Telemetry.record("pairindex.advance_autocompact", 1L)
-      val callerLive = (Seq(idx.survivorsTable, idx.pairsTable) ++
-        idx.postingsTable ++ idx.dfTable).toSet ++
-        (Seq(compacted.survivorsTable, compacted.pairsTable) ++
-          compacted.postingsTable ++ compacted.dfTable)
-      (Seq(fin.idx.survivorsTable, fin.idx.pairsTable) ++
-        fin.idx.postingsTable ++ fin.idx.dfTable)
-        .filterNot(callerLive)
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
-      fin.copy(idx = compacted, appended = false)
-    } else fin
+    // the caller's dropSuperseded decision. Runs BEFORE finish() so
+    // the telemetry counters describe the RETURNED result (an
+    // auto-compacted append must not record advance_appended=1 for a
+    // result whose tables are a fresh generation).
+    val compactedResult =
+      if (autoCompactMaxFiles > 0 &&
+          compactDue(spark, result.idx, autoCompactMaxFiles)) {
+        val compacted = ph("auto_compact")(compactDocIndex(spark, result.idx, idCol))
+        graft.Telemetry.record("pairindex.advance_autocompact", 1L)
+        val callerLive = (Seq(idx.survivorsTable, idx.pairsTable) ++
+          idx.postingsTable ++ idx.dfTable).toSet ++
+          (Seq(compacted.survivorsTable, compacted.pairsTable) ++
+            compacted.postingsTable ++ compacted.dfTable)
+        (Seq(result.idx.survivorsTable, result.idx.pairsTable) ++
+          result.idx.postingsTable ++ result.idx.dfTable)
+          .filterNot(callerLive)
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+        result.copy(idx = compacted, appended = false)
+      } else result
+    finish(compactedResult, fallback = false)
   }
 
   /** Files-per-bucket hygiene check for a standing index: true when

@@ -27,6 +27,10 @@ object AutoCompactRung {
     val mod = sys.env.getOrElse("SPARK_GRAFT_ADV_MOD", "64").toInt
     val advances = sys.env.getOrElse("SPARK_GRAFT_COMPACT_ADVANCES", "10").toInt
     val bound = sys.env.getOrElse("SPARK_GRAFT_COMPACT_MAXFILES", "3.0").toDouble
+    require(advances < mod,
+      s"advances=$advances must be < mod=$mod — batch k matches " +
+        "pmod(doc_id, mod) == k, so k >= mod selects NO docs and the rung " +
+        "would silently record no-op advances as data points")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -84,7 +84,12 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     // appearing AFTER the first numbered exchange line)
     assert(!p.matches("(?s).*REPARTITION_BY_NUM.*partial_count.*"),
       s"a partial pair aggregate moved below the pair exchange:\n$p")
-    assert("Exchange hashpartitioning\\(doc_id1#\\d+L, doc_id2#\\d+L, \\d+\\), ENSURE_REQUIREMENTS".r
+    // key-prefix match, no trailing anchor: the regression exchange
+    // EnsureRequirements would insert carries ALL four grouping keys
+    // (doc_id1, doc_id2, n1, n2) — a `, \d+\)` right after doc_id2
+    // could never match it and made this tripwire vacuous (round-16
+    // review)
+    assert("Exchange hashpartitioning\\(doc_id1#\\d+L, doc_id2#\\d+L[^)]*\\), ENSURE_REQUIREMENTS".r
       .findFirstIn(p).isEmpty,
       s"the pair aggregation re-shuffled instead of riding the numbered exchange:\n$p")
   }
@@ -162,6 +167,16 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"),
       s"a global window crept into the bigram dsir selection:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in d34:\n$p")
+  }
+
+  test("d34: the bigram weights subtree is computed once — the flag join reuses its stages") {
+    // same contract as the d33 twin: the static plan holds the weights
+    // aggregation twice (full output + under the top-k); AQE must
+    // dedupe the identical exchanges at runtime or the corpus-wide
+    // shingle scan runs twice more than it has to
+    val p = executedPlan("d34_dsir_bigram")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no stage reuse between the bigram weights output and the top-k side:\n$p")
   }
 
   test("d21/e07: cluster compositions stay equi-join only (no cartesian)") {
