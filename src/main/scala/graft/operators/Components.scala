@@ -138,8 +138,18 @@ object Components {
     // edge checkpoint (symmetrization is lazy; its cost lands in
     // init_ms/round_ms consumers), so cross-round comparisons against
     // pre-fix sym_ms numbers are not like-for-like under the old name
+    // The checkpoint is re-partitioned by EDGE bytes, not by whatever
+    // width the upstream pair pipeline ran at (round-16): the pair
+    // stages pin a scale-proportional shuffle width for their own
+    // explode volumes, and inheriting it here made every propagation
+    // round run 2×that many tasks over a far smaller edge list — at
+    // sf10, 352 tasks each rebuilding the 500k-row broadcast label
+    // relation, ~8 s/round for a 65 MB edge list. The AQE-coalescible
+    // repartition costs one edge-scale shuffle once and sizes the
+    // rounds' task count to the data.
     val onedir = timed("components.edges_ckpt_ms")(ck(edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))))
     val sym = onedir.unionByName(
       onedir.select(col("dst").as("src"), col("src").as("dst")))
     // initial labels fused with the first propagation round: label0(v) =
