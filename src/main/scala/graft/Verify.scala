@@ -41,7 +41,8 @@ object Verify {
     // consumes the SAME integers (no Math.log bit-identity assumption;
     // the mirrors re-validate the tables against DuckDB's own ln
     // within 1 micro-nat before using them — see LmScore scaladoc).
-    if (Set("d19_lm_quality", "d21_cluster_curation", "d23_tfidf_keywords")
+    if (Set("d19_lm_quality", "d21_cluster_curation", "d23_tfidf_keywords",
+        "e09_semdedup_curation")
         .exists(selected.contains)) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       graft.operators.LmScore.unigramCosts(docs, "text")

@@ -335,4 +335,54 @@ object Similarity {
     rankTopPairs(a.join(b, Seq("bucket")).filter(col("v1") < col("v2")),
       topN, minCos = Double.NegativeInfinity)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * keep ONE copy per group of semantically near-duplicate documents,
+    * where "near-duplicate" is judged in EMBEDDING space (the paper's
+    * point: paraphrases and template variants that lexical dedup
+    * misses) and "best copy" by LM quality. This composition bridges
+    * the e-family (ANN candidate generation) and the d-family
+    * (LM-quality scoring) over the shared doc-id universe:
+    *
+    *  1. candidate pairs from the LINEAR scale path (`nearDupLsh` —
+    *     hyperplane buckets, no training pass, no all-pairs; the
+    *     paper clusters with k-means, which is the e05/IVF variant —
+    *     swap `nearDupLsh` for `nearDupBlocked` to match it exactly);
+    *  2. pairs → semantic clusters via distributed connected
+    *     components (min-label, diameter rounds);
+    *  3. keep the LOWEST mean neg-log-prob (most fluent) doc per
+    *     cluster, id tie-break — a per-CLUSTER window, never global;
+    *  4. singletons (no semantic near-dup) pass through labeled.
+    *
+    * Same output contract as the lexical twin
+    * `PairIndex.clusterCurationFromIndex` (d21), so downstream
+    * curation consumers can switch between lexical and semantic
+    * dedup without plan changes. */
+  def semDedupCuration(docs: DataFrame, emb: DataFrame,
+                       idCol: String, textCol: String,
+                       topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDupLsh(emb, topN).select(col("v1"), col("v2"))
+    val cc = graft.operators.Components.connectedComponents(pairs, "v1", "v2")
+    val scores = graft.operators.LmScore.score(docs, idCol, textCol)
+      .select(col(idCol), (col("sum_nlp_micro").cast("double")
+        / col("n_tokens").cast("double")).as("__score"))
+    // merge hint: cluster sizes are estimated post-aggregation and the
+    // planner would commit an undemotable broadcast (the 8 GiB cliff
+    // class); both sides already hash by lbl
+    val sized = cc.hint("merge")
+      .join(cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), "lbl")
+    val best = sized.join(scores, sized("v") === scores(idCol))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("lbl")).orderBy(col("__score"), col("v"))))
+      .filter(col("__rk") === 1)
+      .select(col("v").as(idCol), col("lbl").as("cluster_rep"),
+        col("cluster_size"), lit("best_in_cluster").as("kept_reason"))
+    val singletons = docs.select(col(idCol))
+      .join(cc, docs(idCol) === cc("v"), "left_anti")
+      .select(col(idCol), col(idCol).as("cluster_rep"),
+        lit(1L).as("cluster_size"), lit("singleton").as("kept_reason"))
+    best.unionByName(singletons)
+  }
 }

@@ -179,8 +179,9 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"no stage reuse between the bigram weights output and the top-k side:\n$p")
   }
 
-  test("d21/e07: cluster compositions stay equi-join only (no cartesian)") {
-    for (q <- Seq("d21_cluster_curation", "e07_embed_dup_clusters")) {
+  test("d21/e07/e09: cluster compositions stay equi-join only (no cartesian)") {
+    for (q <- Seq("d21_cluster_curation", "e07_embed_dup_clusters",
+        "e09_semdedup_curation")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
       // the only BroadcastNestedLoopJoin allowed is the single-row
