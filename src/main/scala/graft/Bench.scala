@@ -84,9 +84,12 @@ object Bench {
     // spill and shuffle volumes, so a super-linear decade growth is
     // attributable to "spilling at N partitions" vs "true output
     // growth" from the bench artifact alone. Listener events are
-    // asynchronous; the short post-query sleep below lets the bus
-    // drain before attribution (the sleep is outside the timed
-    // window, and exact attribution is diagnostic, not correctness).
+    // asynchronous; the bus is DRAINED deterministically after each
+    // query (waitListenerBusEmpty, outside the timed window) — the
+    // former fixed 300 ms sleep silently discarded any stage event
+    // arriving later (round-16 ADVICE); a drain timeout now records a
+    // loud bench.listener_drain_timeout marker instead of losing
+    // volume invisibly.
     val stageAgg = new org.apache.spark.scheduler.SparkListener {
       val disk = new java.util.concurrent.atomic.AtomicLong
       val mem = new java.util.concurrent.atomic.AtomicLong
@@ -126,7 +129,8 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = selected.map { case (name, fn) =>
       // a prior query's rounds / stage metrics (and the warm-up's)
-      // must not bleed in: flush the listener residue, then discard
+      // must not bleed in: drain the bus, flush the residue, discard
+      org.apache.spark.sql.GraftColumnBridge.waitListenerBusEmpty(spark, 10000L)
       stageAgg.flush()
       Telemetry.drain()
       // a failed query records -1 (not a plausible-looking elapsed time)
@@ -145,9 +149,10 @@ object Bench {
       def med(xs: Seq[Double]) =
         if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.size - 1) / 2)
       // stage metrics are summed over ALL runs of this query (divide
-      // by `runs` for per-execution volumes); the sleep drains the
-      // async listener bus outside the timed window
-      Thread.sleep(300)
+      // by `runs` for per-execution volumes); the deterministic drain
+      // runs outside the timed window
+      if (!org.apache.spark.sql.GraftColumnBridge.waitListenerBusEmpty(spark, 10000L))
+        Telemetry.record("bench.listener_drain_timeout", 1L)
       stageAgg.flush()
       // convergence telemetry recorded by iterative operators during the
       // runs (deterministic per query+data, so last-run values suffice)

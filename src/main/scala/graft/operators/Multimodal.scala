@@ -191,6 +191,35 @@ object Multimodal {
     packBmpWith(spark, df, idCol, textCol,
       id => 17 + math.floorMod(id, 97L).toInt)
 
+  /** (id, payload-bytes) rows for the container packers, with the
+    * ASCII invariant ASSERTED at the boundary (round-16 ADVICE): the
+    * m03/m04/m05 oracles mirror the packing arithmetic with
+    * `length(text)` (a CHARACTER count) and `rpad(text, n, ' ')`
+    * (1 byte per char), while the packers operate on the UTF-8 byte
+    * form — identical only for ASCII text. The gate corpus is
+    * ASCII-normalized, so the invariant holds there; a future corpus
+    * with multi-byte characters now fails LOUDLY at the packer with an
+    * attributable message instead of silently diverging from its
+    * mirror. The char length rides the same projection (one built-in
+    * `length` column), so the check is row-local and shuffle-free. */
+  private def asciiPayloadRows(spark: SparkSession, df: DataFrame,
+                               idCol: String, textCol: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("binary"),
+        length(col(textCol)))
+      .as[(Long, Array[Byte], Int)]
+      .map { case (id, raw, charLen) =>
+        require(raw.length == charLen,
+          s"non-ASCII payload for id=$id: $charLen chars != ${raw.length} " +
+            "UTF-8 bytes — the multimodal oracles mirror packing " +
+            "arithmetic in characters (length/rpad), which assumes " +
+            "1 byte per char; normalize the corpus to ASCII or move " +
+            "the mirrors to byte arithmetic before packing this data")
+        (id, raw)
+      }
+  }
+
   /** Shared packer body: one place for the ceil-height / space-pad /
     * encode arithmetic so the fixed- and varied-width entry points
     * cannot drift (round-16 review). */
@@ -198,8 +227,7 @@ object Multimodal {
                           idCol: String, textCol: String,
                           widthOf: Long => Int): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("binary"))
-      .as[(Long, Array[Byte])]
+    asciiPayloadRows(spark, df, idCol, textCol)
       .mapPartitions { rows =>
         rows.map { case (id, raw) =>
           val width = widthOf(id)
@@ -359,8 +387,7 @@ object Multimodal {
   def packWavPayload(spark: SparkSession, df: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("binary"))
-      .as[(Long, Array[Byte])]
+    asciiPayloadRows(spark, df, idCol, textCol)
       .mapPartitions { rows =>
         rows.map { case (id, raw) =>
           val channels = 1 + (id % 2).toInt
@@ -744,8 +771,7 @@ object Multimodal {
                      idCol: String, textCol: String,
                      width: Int = 17, rowsPerFrame: Int = 4): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("binary"))
-      .as[(Long, Array[Byte])]
+    asciiPayloadRows(spark, df, idCol, textCol)
       .mapPartitions { rows =>
         val frameBytes = width * 3 * rowsPerFrame
         rows.map { case (id, raw) =>

@@ -77,6 +77,24 @@ object Similarity {
       .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_r6"))
   }
 
+  /** Threshold tail: every candidate pair at `cos >= minCos` — no
+    * global ordering, no top-N cap, so the output scales with the
+    * corpus's true near-dup density instead of a fixed budget (the
+    * round-16 ADVICE on e09: a global top-N caps TOTAL deduplicated
+    * pairs corpus-wide, which undercuts SemDeDup semantics at scale —
+    * a threshold is the shape whose cluster coverage grows with N).
+    * Physically this also drops rankTopPairs' global sort: the filter
+    * runs inside the candidate join's stage. */
+  private[operators] def thresholdPairs(candidates: DataFrame,
+                                        minCos: Double): DataFrame = {
+    val cos = cosineFromE12(col("dot_e12"), col("n1"), col("n2"))
+    candidates
+      .withColumn("dot_e12", dotE12(col("e1"), col("e2")))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= minCos)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_r6"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * other vectors. Query side is small → broadcast; corpus is read
     * once; per-query top-k via row_number window (ties broken by id).
@@ -319,7 +337,28 @@ object Similarity {
     * skew-join split absorbs moderate imbalance, and raising planes
     * (lower `targetOccupancy`) thins hot buckets at linear cost. */
   def nearDupLsh(emb: DataFrame, topN: Int, planes: Int = 0,
-                 dims: Int = 64, targetOccupancy: Int = 64): DataFrame = {
+                 dims: Int = 64, targetOccupancy: Int = 64): DataFrame =
+    rankTopPairs(lshCandidates(emb, planes, dims, targetOccupancy),
+      topN, minCos = Double.NegativeInfinity)
+
+  /** Threshold twin of `nearDupLsh`: EVERY bucket-blocked pair at
+    * `cos >= minCos`, no global top-N — pair volume tracks true
+    * near-dup density, and the global sort disappears (the filter is
+    * stage-local). This is the candidate generator SemDeDup curation
+    * should run at corpus scale: a top-N cap bounds total deduplicated
+    * pairs corpus-wide (round-16 ADVICE on e09), whereas a cosine
+    * cutoff is the paper's own epsilon. Same recall caveat as
+    * `nearDupLsh` (a pair split across ≥2 sign bits is missed). */
+  def nearDupLshThreshold(emb: DataFrame, minCos: Double, planes: Int = 0,
+                          dims: Int = 64, targetOccupancy: Int = 64): DataFrame =
+    thresholdPairs(lshCandidates(emb, planes, dims, targetOccupancy), minCos)
+
+  /** Shared LSH multi-probe candidate stage for the near-dup variants:
+    * (v1, e1, n1) × (v2, e2, n2) rows whose signatures differ in at
+    * most one bit, each qualifying pair exactly once (see the
+    * `nearDupLsh` scaladoc for the distinct-probe argument). */
+  private def lshCandidates(emb: DataFrame, planes: Int,
+                            dims: Int, targetOccupancy: Int): DataFrame = {
     val p = if (planes > 0) planes else planesFor(emb.count(), targetOccupancy)
     val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), p, dims))
     // own bucket plus every one-bit flip — all distinct; n1 computed
@@ -332,8 +371,7 @@ object Similarity {
     val b = bucketed
       .select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
       .withColumn("n2", norm2E12(col("e2")))
-    rankTopPairs(a.join(b, Seq("bucket")).filter(col("v1") < col("v2")),
-      topN, minCos = Double.NegativeInfinity)
+    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -358,12 +396,45 @@ object Similarity {
     * Same output contract as the lexical twin
     * `PairIndex.clusterCurationFromIndex` (d21), so downstream
     * curation consumers can switch between lexical and semantic
-    * dedup without plan changes. */
+    * dedup without plan changes.
+    *
+    * `topN` bounds the TOTAL deduplicated pairs corpus-wide (a global
+    * budget, not a per-doc neighborhood — round-16 ADVICE): at any
+    * fixed topN, a growing corpus passes an ever-larger fraction
+    * through as singletons. Use it for "dedup the N most egregious
+    * near-dups"; for the paper's epsilon semantics whose coverage
+    * scales with the corpus, use `semDedupCurationThreshold`. */
   def semDedupCuration(docs: DataFrame, emb: DataFrame,
                        idCol: String, textCol: String,
-                       topN: Int): DataFrame = {
+                       topN: Int): DataFrame =
+    semDedupCurationWith(docs, idCol, textCol,
+      nearDupLsh(emb, topN).select(col("v1"), col("v2")))
+
+  /** Threshold-based SemDeDup (round-17, the round-16 ADVICE shape and
+    * the paper's own epsilon): clusters form from EVERY LSH-blocked
+    * pair at `cos >= minCos`, so semantic cluster coverage scales with
+    * the corpus instead of a fixed global pair budget — at sf30 the
+    * topN=20 form can dedup at most 20 pairs corpus-wide while this
+    * form dedups every near-dup the buckets surface. Same output
+    * contract; registered as e10 with a from-scratch oracle. */
+  def semDedupCurationThreshold(docs: DataFrame, emb: DataFrame,
+                                idCol: String, textCol: String,
+                                minCos: Double): DataFrame =
+    semDedupCurationWith(docs, idCol, textCol,
+      nearDupLshThreshold(emb, minCos).select(col("v1"), col("v2")))
+
+  /** SemDeDup core over an EXPLICIT candidate pair list — the
+    * generator-pluggable form: `semDedupCuration` feeds it LSH top-N
+    * pairs (e09), `semDedupCurationThreshold` LSH threshold pairs
+    * (e10), and the k-means-faithful variant of the paper is
+    * `nearDupBlocked(emb, n).select("v1", "v2")` (the IVF generator —
+    * SemDedupSpec pins that the keep-set contract holds under both
+    * generators on a fixture where they disagree). `pairs` must carry
+    * (v1, v2) drawn from `docs`' id universe. */
+  def semDedupCurationWith(docs: DataFrame,
+                           idCol: String, textCol: String,
+                           pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = nearDupLsh(emb, topN).select(col("v1"), col("v2"))
     val cc = graft.operators.Components.connectedComponents(pairs, "v1", "v2")
     val scores = graft.operators.LmScore.score(docs, idCol, textCol)
       .select(col(idCol), (col("sum_nlp_micro").cast("double")

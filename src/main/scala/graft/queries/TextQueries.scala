@@ -1270,7 +1270,8 @@ object TextQueries {
     QuerySpec("d31_pair_index_advance", d31, Some(d12Sql)),
     QuerySpec("d32_frozen_cap_advance", d32, Some(d12Sql)),
     QuerySpec("d33_dsir_selection", d33, Some(d33Sql)),
-    QuerySpec("d34_dsir_bigram", d34, Some(d34Sql)))
+    QuerySpec("d34_dsir_bigram", d34, Some(d34Sql)),
+    QuerySpec("d35_exact_substring", d35, Some(d35Sql)))
 
   /** DSIR target-domain selection (d33): every document weighted by
     * how much more likely its unigram occurrences are under the
@@ -1409,4 +1410,55 @@ object TextQueries {
       |       THEN 1 ELSE 0 END AS INTEGER) AS selected
       |FROM w
       |ORDER BY doc_id""".stripMargin
+
+  /** Exact-substring contamination matches (d35, round-17, VERDICT
+    * item 3 — Lee et al. 2022 ExactSubstr granularity): every maximal
+    * verbatim run of >= 15 tokens shared between two documents, with
+    * 1-based start positions on both sides — the span-localizing
+    * hygiene step d17's winnowing only approximates. Distributed as a
+    * positional 5-gram chain join (md5 gram keys, occurrence-capped
+    * universe) + diagonal gaps-and-islands run confirmation — never
+    * all-pairs, never a suffix array (see Dedup.exactSubstringMatches
+    * for the scale argument). The oracle recomputes positional grams,
+    * the occurrence cap, the cross-doc gram join and the island
+    * aggregation from scratch in SQL — every stage independently
+    * derived, nothing shared but the corpus. */
+  private def d35(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringMatches(Tables.documents(s, dir), "doc_id", "text",
+      minTokens = 15, k = 5, maxOcc = 100)
+      .orderBy(col("doc_id1"), col("doc_id2"), col("pos1"), col("pos2"))
+
+  private val d35Sql =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      | SELECT doc_id,
+      |   unnest(range(1, greatest(len(t) - 3, 1))) AS pos,
+      |   unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+      |     i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+      |              || t[i+3] || ' ' || t[i+4]))) AS f
+      | FROM toks),
+      |capped AS (
+      | SELECT doc_id, pos, f FROM (
+      |   SELECT doc_id, pos, f, COUNT(*) OVER (PARTITION BY f) AS occ
+      |   FROM grams)
+      | WHERE occ <= 100),
+      |m AS (
+      | SELECT a.doc_id AS doc_id1, a.pos AS pos1,
+      |        b.doc_id AS doc_id2, b.pos AS pos2
+      | FROM capped a JOIN capped b
+      |   ON a.f = b.f AND a.doc_id < b.doc_id),
+      |runs AS (
+      | SELECT doc_id1, doc_id2, pos1 - pos2 AS diag,
+      |   pos1 - row_number() OVER (
+      |     PARTITION BY doc_id1, doc_id2, pos1 - pos2 ORDER BY pos1) AS grp,
+      |   pos1, pos2
+      | FROM m)
+      |SELECT doc_id1, doc_id2,
+      |  CAST(MIN(pos1) AS BIGINT) AS pos1,
+      |  CAST(MIN(pos2) AS BIGINT) AS pos2,
+      |  CAST(COUNT(*) + 4 AS BIGINT) AS match_tokens
+      |FROM runs GROUP BY doc_id1, doc_id2, diag, grp
+      |HAVING COUNT(*) + 4 >= 15
+      |ORDER BY doc_id1, doc_id2, pos1, pos2""".stripMargin
 }

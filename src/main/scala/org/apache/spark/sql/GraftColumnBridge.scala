@@ -23,4 +23,20 @@ object GraftColumnBridge {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Block until the async listener bus has dispatched every posted
+    * event, or `timeoutMs` elapses. Returns true when the bus drained,
+    * false on timeout. Bench uses this to attribute per-query stage
+    * metrics exactly: a fixed post-query sleep silently discarded any
+    * stage-completion event that arrived later than the sleep (the
+    * round-16 ADVICE finding) — a deterministic drain makes late
+    * events impossible rather than merely unlikely. The bus is
+    * `private[spark]`, hence this bridge. */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMs: Long): Boolean =
+    try {
+      spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+      true
+    } catch {
+      case _: java.util.concurrent.TimeoutException => false
+    }
 }

@@ -1005,4 +1005,174 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       assert(h === exp, s"frame $idx: wrong recovered bytes")
     }
   }
+
+  // ---------------- exact-substring matches (d35, round-17) ----------------
+
+  private def tokRange(prefix: String, from: Int, to: Int): String =
+    (from to to).map(i => s"$prefix$i").mkString(" ")
+
+  test("exact substrings: maximal runs localized with exact positions and lengths") {
+    // A carries the 20-token run r1..r20 at positions 5..24; B the same
+    // run at 3..22; F exactly the first 15 run tokens (the at-threshold
+    // case); C only 14 of them (below minTokens -> excluded); D shares
+    // nothing. k=5-gram chains, minTokens=15.
+    val fix = Seq(
+      (1L, tokRange("x", 1, 4) + " " + tokRange("r", 1, 20) + " " + tokRange("y", 1, 6)),
+      (2L, "z1 z2 " + tokRange("r", 1, 20) + " z3 z4"),
+      (3L, "c1 c2 " + tokRange("r", 1, 14) + " c3"),
+      (4L, tokRange("d", 1, 25)),
+      (6L, tokRange("r", 1, 15))).toDF("doc_id", "text")
+    val m = Dedup.exactSubstringMatches(fix, "doc_id", "text",
+      minTokens = 15, k = 5, maxOcc = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(m === Set(
+      (1L, 2L, 5L, 3L, 20L),   // the full shared run, both starts exact
+      (1L, 6L, 5L, 1L, 15L),   // exactly-at-threshold run kept
+      (2L, 6L, 3L, 1L, 15L)),  // ...and found against B's copy too
+      s"got $m")
+  }
+
+  test("exact substrings: intra-doc repetition is not a match; sub-gram docs are inert") {
+    val fix = Seq(
+      (1L, tokRange("e", 1, 3) + " " + tokRange("m", 1, 16) + " e4 " +
+        tokRange("m", 1, 16) + " e5"), // 16-token run repeated WITHIN one doc
+      (2L, tokRange("w", 1, 30)),
+      (3L, "only four tokens here"))   // < k tokens after w3's 4 -> no grams
+    .toDF("doc_id", "text")
+    assert(Dedup.exactSubstringMatches(fix, "doc_id", "text",
+      minTokens = 15, k = 5).count() === 0L)
+  }
+
+  test("exact substrings: the occurrence cap bounds hot grams, mirrored semantics") {
+    // three identical 20-token docs: every gram occurs 3 times. At
+    // maxOcc >= 3 all three pairs report the full run; at maxOcc = 2
+    // the entire gram universe is over-cap -> empty (exact over the
+    // CAPPED universe, the documented contract)
+    val t = tokRange("h", 1, 20)
+    val fix = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")
+    val full = Dedup.exactSubstringMatches(fix, "doc_id", "text",
+      minTokens = 15, k = 5, maxOcc = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(full === Set((1L, 2L, 20L), (1L, 3L, 20L), (2L, 3L, 20L)))
+    assert(Dedup.exactSubstringMatches(fix, "doc_id", "text",
+      minTokens = 15, k = 5, maxOcc = 2).count() === 0L)
+  }
+
+  test("exact substrings: two disjoint shared runs report as two islands") {
+    // B shares A's r-run AND A's s-run, separated on both sides by
+    // non-matching filler -> two distinct diagonals, two rows
+    val fix = Seq(
+      (1L, tokRange("r", 1, 15) + " " + tokRange("g", 1, 6) + " " + tokRange("s", 1, 15)),
+      (2L, tokRange("s", 1, 15) + " " + tokRange("q", 1, 9) + " " + tokRange("r", 1, 15)))
+      .toDF("doc_id", "text")
+    val m = Dedup.exactSubstringMatches(fix, "doc_id", "text",
+      minTokens = 15, k = 5)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(m === Set((1L, 25L, 15L), (22L, 1L, 15L)), s"got $m")
+  }
+
+  test("exact substrings: parameter validation") {
+    val fix = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstringMatches(fix, "doc_id", "text", minTokens = 3, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstringMatches(fix, "doc_id", "text", minTokens = 5, k = 5,
+        maxOcc = 1)
+    }
+  }
+
+  test("jaccardPairsHashed: pairWidth override rewires the pinned shuffles, rows identical") {
+    // round-16 ADVICE: a batch-scale invocation inside a session sized
+    // for a large corpus must be able to override the session pin
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .repartition(col("s")).distinct()
+    val dflt = Dedup.jaccardPairsHashed(sh, 0.35)
+    val overridden = Dedup.jaccardPairsHashed(sh, 0.35, pairWidth = Some(3))
+    val p = overridden.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\([^)]*, 3\\), REPARTITION_BY_NUM".r
+      .findAllIn(p).size >= 2,
+      s"pairWidth=3 did not reach both pinned exchanges:\n$p")
+    assert(dflt.collect().map(_.toString).sorted.toSeq ===
+      overridden.collect().map(_.toString).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsHashed(sh, 0.35, pairWidth = Some(0))
+    }
+  }
+
+  // ---------------- SemDeDup generator twin (round-17, VERDICT 6) ----------------
+
+  test("semDedup keep-set contract holds under BOTH candidate generators " +
+      "on a fixture where they disagree") {
+    val rnd = new scala.util.Random(42)
+    def randVec(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val planted = randVec()
+    // ids 10/11/12: identical vectors — same LSH bucket AND same IVF
+    // cell by construction, so both generators connect the planted
+    // cluster; ids 1..9 and 13..16: independent noise, where the two
+    // generators' top-10 pair sets diverge (LSH with 1 derived plane
+    // multi-probes everything; IVF blocks by trained cell)
+    val vecs = ((1 to 9) ++ (13 to 16)).map(i => (i.toLong, randVec())) ++
+      Seq(10L, 11L, 12L).map(i => (i, planted.clone()))
+    val emb = vecs.toDF("vec_id", "embedding")
+    // LM quality: doc 11 uses only corpus-common tokens -> lowest mean
+    // neg-log-prob -> must be the kept copy of the planted cluster
+    val docTexts = vecs.map(_._1).sorted.map { id =>
+      val text =
+        if (id == 11L) "common common common common common common"
+        else if (id == 10L || id == 12L) s"common rare$id common rare${id}b common"
+        else s"common tok${id}a tok${id}b tok${id}c common common"
+      (id, text)
+    }
+    val docFix = docTexts.toDF("doc_id", "text")
+    val pairsLsh = Similarity.nearDupLsh(emb, 10)
+      .select(col("v1"), col("v2"))
+    val pairsBlk = Similarity.nearDupBlocked(emb, 10, cells = 4)
+      .select(col("v1"), col("v2"))
+    val setLsh = pairsLsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val setBlk = pairsBlk.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(setLsh !== setBlk,
+      "fixture no longer distinguishes the generators — rebuild it")
+    val plantedPairs = Set((10L, 11L), (10L, 12L), (11L, 12L))
+    assert(plantedPairs.subsetOf(setLsh) && plantedPairs.subsetOf(setBlk),
+      s"planted identical-vector cluster not fully connected: lsh=$setLsh blk=$setBlk")
+    // independent expectation: union-find over the generator's pairs +
+    // LmScore-derived per-doc quality -> expected keep rows
+    val scores = graft.operators.LmScore.score(docFix, "doc_id", "text")
+      .select(col("doc_id"), (col("sum_nlp_micro").cast("double")
+        / col("n_tokens").cast("double")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def expected(pairs: Set[(Long, Long)]): Set[(Long, Long, Long, String)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val members = pairs.flatMap(p => Seq(p._1, p._2))
+      val clusters = members.groupBy(find)
+      val best = clusters.map { case (_, ms) =>
+        val rep = ms.min
+        val keep = ms.minBy(m => (scores(m), m))
+        (keep, rep, ms.size.toLong, "best_in_cluster")
+      }.toSet
+      val singles = docTexts.map(_._1).filterNot(members.contains)
+        .map(id => (id, id, 1L, "singleton")).toSet
+      best ++ singles
+    }
+    for ((pairs, set, tag) <- Seq((pairsLsh, setLsh, "lsh"),
+        (pairsBlk, setBlk, "blocked"))) {
+      val got = Similarity.semDedupCurationWith(docFix, "doc_id", "text", pairs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got === expected(set), s"[$tag] keep-set contract broken")
+      assert(got.exists(r => r._1 == 11L && r._4 == "best_in_cluster"),
+        s"[$tag] planted cluster did not keep the best-LM copy")
+    }
+  }
 }

@@ -199,6 +199,45 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"nested-loop join in e08 — bucket blocking lost:\n$p")
   }
 
+  test("d35: exact-substring chain join is equi-join only; pair stages run at pinned width") {
+    val p = plan("d35_exact_substring")
+    assert(!p.contains("CartesianProduct"), s"cartesian in d35:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in d35 — gram blocking lost:\n$p")
+    // two pair-volume shuffles are pinned (gram-key posting stage and
+    // the per-pair diagonal island stage): both must be numbered
+    // repartitions, exempt from AQE's map-byte coalescing — the d07
+    // lesson applied at birth (round-16 "hold the line" item 8)
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size >= 2,
+      s"pair-volume stages lost their pinned width in d35:\n$p")
+  }
+
+  test("d35: island window and run aggregation share the one diagonal Exchange") {
+    // the numbered (doc_id1, doc_id2, diag) repartition must satisfy
+    // BOTH the gaps-and-islands window and the per-island aggregation
+    // (whose key set extends the partition keys) — a second exchange
+    // over the pair stream would double the operator's largest shuffle
+    val p = plan("d35_exact_substring")
+    assert(!"Exchange hashpartitioning\\(doc_id1#\\d+L, doc_id2#\\d+L[^)]*\\), ENSURE_REQUIREMENTS".r
+      .findFirstIn(p).isDefined,
+      s"an ENSURE_REQUIREMENTS exchange re-shuffles the d35 pair stream:\n$p")
+  }
+
+  test("e10: threshold SemDeDup keeps e09's join discipline and drops the global pair sort") {
+    val p = plan("e10_semdedup_threshold")
+    assert(!p.contains("CartesianProduct"), s"cartesian in e10:\n$p")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, s"$nlj nested-loop joins in e10:\n$p")
+    // the operator-level contract: unlike the top-N form, the epsilon
+    // filter needs NO global sort — the only global Sort allowed in
+    // the registered plan is the presentation orderBy(doc_id)
+    val globalSorts = "Sort \\[doc_id1?#[^\\]]*\\], true".r.findAllIn(p).size +
+      "Sort \\[cos[^\\]]*\\], true".r.findAllIn(p).size
+    assert(!"Sort \\[cos[^\\]]*\\], true".r.findFirstIn(p).isDefined,
+      s"a global cosine sort crept into the threshold pair stage:\n$p")
+    assert(globalSorts <= 1, s"unexpected global sorts in e10:\n$p")
+  }
+
   test("q30: session windows and the regroup share one user_id Exchange") {
     val p = plan("q30_sessionization")
     // both lag/sum windows and the final (user_id, session_seq) aggregate
