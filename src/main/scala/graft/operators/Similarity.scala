@@ -189,11 +189,28 @@ object Similarity {
     * near-duplicates co-locate), exact re-rank on candidates only —
     * N²/cells pair evaluations instead of N². At the cost-optimal
     * c = √N cells the total (build + blocked join) is O(N^1.5) BY
-    * DESIGN (measured ~40× wall for 10× data at the sf10 decade):
-    * use it when trained cells matter (cluster-shaped corpora, reuse
-    * of an existing IVF index), and use `nearDupLsh` (e08) — the
-    * linear-growth twin with training-free hyperplane buckets — at
-    * corpus scale, the way e03 documents its fixed-size sample.
+    * DESIGN.
+    *
+    * SCALE CONTRACT (round-17, VERDICT item 2 — the operating rule a
+    * 100 TB deployment plans around; measured numbers in NOTES):
+    *  - Measured walls (r16b window, runs=2): 2.91 s at sf1 (20k
+    *    vectors) → 29.6 s at sf10 (200k) — 10.2× for 10× data. The
+    *    window sits BELOW the N^1.5 asymptote because the Lloyd
+    *    assignment's per-unit constant dominates the pair dots at
+    *    these N; the N^1.5 pair-volume term wins as N grows.
+    *  - The linear twin `nearDupLsh` (e08) measured 1.05 → 5.90 s in
+    *    the same windows (5.6×). e08 is cheaper at EVERY measured
+    *    decade and the ratio grows ≈ N^0.26 in-window: there is no
+    *    crossover in e05's favor — choose e05 only when trained cells
+    *    themselves matter (cluster-shaped corpora where hyperplane
+    *    recall degrades, or reuse of an IVF index e04 already built).
+    *  - Hard ceiling: `MaxCells` (2^16) caps the cell count, so past
+    *    N ≈ 4·10⁹ vectors the blocked join degrades to N²/2^16 —
+    *    QUADRATIC. Do not run e05's shape there; shard the corpus per
+    *    IVF index or use e08 (whose own 16-plane cap degrades the
+    *    same way past ~4M vectors per its scaladoc — raise planes
+    *    alongside the mirror's sign table at that scale).
+    *
     * Approximate: a pair split across cells is missed; measure recall
     * against topSimilarPairs on a sample (DedupSimilaritySpec).
     * `cells <= 0` (the default) derives √N from a metadata-cheap

@@ -1,0 +1,29 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_sf10.json (r16b format) from the round-17 sidecar
+bench JSONs (/tmp/heavies_r17_sf1.json + /tmp/heavies_r17_sf10.json),
+which carry queries/cpu_sec/telemetry maps directly — no log parsing.
+
+Usage: assemble_bench_sf10_r17.py <note> <out> <sf1_sidecar> <sf10_sidecar>
+"""
+import json, sys
+
+note, out, p1, p10 = sys.argv[1:5]
+d1 = json.load(open(p1))
+d10 = json.load(open(p10))
+q1 = {k: round(v, 4) for k, v in d1["queries"].items() if v >= 0}
+q10 = {k: round(v, 4) for k, v in d10["queries"].items() if v >= 0}
+growth = {k: round(q10[k] / q1[k], 2) for k in sorted(q10) if k in q1 and q1[k] > 0}
+doc = {
+    "note": note,
+    "sf1_dir": "/root/repo/benchdata/sf1",
+    "sf10_dir": "/root/repo/benchdata/sf10",
+    "runs": d10.get("runs", 2),
+    "round": 17,
+    "window": "r17a",
+    "queries_sf1_sec": dict(sorted(q1.items())),
+    "queries_sf10_sec": dict(sorted(q10.items())),
+    "growth_10x": growth,
+    "spill_telemetry_sf10": dict(sorted(d10.get("telemetry", {}).items())),
+}
+json.dump(doc, open(out, "w"), indent=1)
+print(f"wrote {out}: {len(q10)} sf10 queries, growth {growth}")
