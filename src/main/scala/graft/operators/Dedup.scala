@@ -496,6 +496,111 @@ object Dedup {
         col("match_tokens"))
   }
 
+  /** Cross-corpus exact-substring decontamination (d36) — the actual
+    * Lee et al. 2022 deployment shape: find every maximal verbatim run
+    * of `minTokens`+ tokens a PROBE set (an eval benchmark, a test
+    * split) shares with a training CORPUS, so the contaminated spans
+    * can be excised before training. `exactSubstringMatches` is the
+    * within-corpus audit; this is the probe-vs-corpus sweep a release
+    * pipeline runs per benchmark, and it must cost Θ(corpus scan +
+    * probe-proportional work), never corpus × corpus.
+    *
+    * Scale shape, on top of the d35 kernel:
+    *  - both sides' positional k-grams union into ONE exchange keyed
+    *    on the gram digest; side rides the rows as a boolean;
+    *  - corpus-only grams are pruned BEFORE the posting-list
+    *    aggregation by a shuffled-hash semi-join against the probe's
+    *    distinct gram keys (the d13/crossJaccardPairs lesson: without
+    *    it the aggregation builds collect_list state for the ENTIRE
+    *    corpus index; with it, state is bounded by grams the probe
+    *    actually carries — probe-proportional). shuffle_hash, not
+    *    broadcast: probe keys are Θ(probe) and a statically committed
+    *    broadcast is the 8 GiB-cliff class;
+    *  - the occurrence cap counts BOTH sides' occurrences of the
+    *    surviving grams — identical to capping before the prune for
+    *    every gram that can produce a pair (the prune is per-gram,
+    *    not per-row), so the oracle mirrors the full-universe cap;
+    *  - per gram, probe × corpus occurrence pairs explode (≤
+    *    maxOcc²/4 each), then the same diagonal gaps-and-islands
+    *    confirmation as d35, keyed (probe_id, corpus_id, diag).
+    *
+    * Output: (probe_id, corpus_id, probe_pos, corpus_pos,
+    * match_tokens), 1-based positions, one row per maximal run ≥
+    * minTokens. */
+  def exactSubstringContamination(corpus: DataFrame, probe: DataFrame,
+                                  idCol: String, textCol: String,
+                                  minTokens: Int, k: Int = 5,
+                                  maxOcc: Int = 100,
+                                  pairWidth: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minTokens >= k,
+      s"minTokens ($minTokens) must be >= gram size k ($k)")
+    require(maxOcc >= 2, s"maxOcc must allow cross-side pairs: $maxOcc")
+    val p = pairWidth.getOrElse(pairParallelism(corpus))
+    require(p > 0, s"pairWidth must be positive: $p")
+    def grams(df: DataFrame, side: Int): DataFrame = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.shinglesCol(col(textCol), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5(col("g")).as("f"), lit(side).as("__side"))
+    val tagged = grams(probe, 1).unionByName(grams(corpus, 0))
+    // probe gram keys recomputed from the small side (narrow scan, no
+    // dependence on the big union Exchange)
+    val probeKeys = probe
+      .select(explode(TextAnalysis.shinglesCol(col(textCol), k)).as("g"))
+      .select(md5(col("g")).as("f")).distinct()
+    // Gram-stream width note: the numbered repartition below is
+    // DEFENSIVE — the optimizer pushes the semi join through both it
+    // and the union (PushDownLeftSemiAntiJoin), plans one
+    // ShuffledHashJoin per union branch, and then removes the
+    // repartition as redundant because Spark 4 propagates the
+    // branches' compatible hash(f) partitioning through the Union —
+    // the window and posting aggregation ride the joins' exchanges
+    // (verified in the d36 plan assert). Those exchanges are
+    // AQE-coalescible by gram map bytes, which is SAFE here, unlike
+    // d35's corpus×corpus kernel: d36's pair fan-out is
+    // probe-bounded (probe×corpus occurrences per gram, grams pruned
+    // to the probe's universe), so the post-aggregation explode is
+    // small relative to the corpus-scale gram stream the coalescing
+    // actually measures. The diagonal island stage below keeps its
+    // own pinned width. If a future Spark stops propagating union
+    // partitioning, this repartition materializes and pins the width
+    // instead — either plan is sound.
+    val capped = tagged
+      .repartition(p, col("f"))
+      .join(probeKeys.hint("shuffle_hash"), Seq("f"), "left_semi")
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("f"))))
+      .filter(col("__occ") <= maxOcc)
+      .drop("__occ")
+    val postings = capped
+      .groupBy(col("f"))
+      .agg(
+        collect_list(when(col("__side") === 1,
+          struct(col("doc_id"), col("pos")))).as("ps"),
+        collect_list(when(col("__side") === 0,
+          struct(col("doc_id"), col("pos")))).as("cs"))
+      .filter(size(col("ps")) > 0 && size(col("cs")) > 0)
+      .select(col("ps"), col("cs"))
+    val pairs = postings
+      .select(explode(col("ps")).as("a"), col("cs"))
+      .select(col("a"), explode(col("cs")).as("b"))
+      .select(col("a.doc_id").as("probe_id"), col("a.pos").as("probe_pos"),
+        col("b.doc_id").as("corpus_id"), col("b.pos").as("corpus_pos"))
+    val diag = pairs.withColumn("__diag", col("probe_pos") - col("corpus_pos"))
+      .repartition(p, col("probe_id"), col("corpus_id"), col("__diag"))
+    val w = Window.partitionBy(col("probe_id"), col("corpus_id"), col("__diag"))
+      .orderBy(col("probe_pos"))
+    diag
+      .withColumn("__grp", col("probe_pos") - row_number().over(w))
+      .groupBy(col("probe_id"), col("corpus_id"), col("__diag"), col("__grp"))
+      .agg(min(col("probe_pos")).as("probe_pos"),
+        min(col("corpus_pos")).as("corpus_pos"),
+        (count(lit(1)) + lit(k - 1)).as("match_tokens"))
+      .filter(col("match_tokens") >= minTokens)
+      .select(col("probe_id"), col("corpus_id"), col("probe_pos"),
+        col("corpus_pos"), col("match_tokens"))
+  }
+
   // ---------------- incremental (batch-vs-corpus) ----------------
 
   /** Cross-corpus Jaccard pairs: (incoming doc, corpus doc) pairs that

@@ -1271,7 +1271,8 @@ object TextQueries {
     QuerySpec("d32_frozen_cap_advance", d32, Some(d12Sql)),
     QuerySpec("d33_dsir_selection", d33, Some(d33Sql)),
     QuerySpec("d34_dsir_bigram", d34, Some(d34Sql)),
-    QuerySpec("d35_exact_substring", d35, Some(d35Sql)))
+    QuerySpec("d35_exact_substring", d35, Some(d35Sql)),
+    QuerySpec("d36_contamination_sweep", d36, Some(d36Sql)))
 
   /** DSIR target-domain selection (d33): every document weighted by
     * how much more likely its unigram occurrences are under the
@@ -1461,4 +1462,62 @@ object TextQueries {
       |FROM runs GROUP BY doc_id1, doc_id2, diag, grp
       |HAVING COUNT(*) + 4 >= 15
       |ORDER BY doc_id1, doc_id2, pos1, pos2""".stripMargin
+
+  /** Cross-corpus exact-substring decontamination sweep (d36, round
+    * 17): the actual Lee et al. 2022 deployment shape — every maximal
+    * verbatim run >= 15 tokens a PROBE split (doc_id % 5 == 0, the
+    * d30-style eval-set stand-in) shares with the TRAINING corpus
+    * (the rest), localized on both sides so contaminated spans can be
+    * excised. Probe-proportional by construction: corpus-only grams
+    * are semi-join-pruned before any posting state builds (the d13
+    * lesson), so the sweep costs one corpus scan plus work bounded by
+    * the probe's gram universe. The oracle recomputes both sides'
+    * grams, the full-universe occurrence cap, the cross-side join and
+    * the island aggregation from scratch (capping before vs after the
+    * prune is identical for every gram that can produce a pair — the
+    * prune is per-gram, not per-row). */
+  private def d36(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.exactSubstringContamination(
+      corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      probe = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", minTokens = 15, k = 5, maxOcc = 100)
+      .orderBy(col("probe_id"), col("corpus_id"), col("probe_pos"),
+        col("corpus_pos"))
+  }
+
+  private val d36Sql =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      | SELECT doc_id, doc_id % 5 = 0 AS probe,
+      |   unnest(range(1, greatest(len(t) - 3, 1))) AS pos,
+      |   unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+      |     i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+      |              || t[i+3] || ' ' || t[i+4]))) AS f
+      | FROM toks),
+      |capped AS (
+      | SELECT doc_id, probe, pos, f FROM (
+      |   SELECT doc_id, probe, pos, f, COUNT(*) OVER (PARTITION BY f) AS occ
+      |   FROM grams)
+      | WHERE occ <= 100),
+      |m AS (
+      | SELECT a.doc_id AS probe_id, a.pos AS probe_pos,
+      |        b.doc_id AS corpus_id, b.pos AS corpus_pos
+      | FROM capped a JOIN capped b
+      |   ON a.f = b.f AND a.probe AND NOT b.probe),
+      |runs AS (
+      | SELECT probe_id, corpus_id, probe_pos - corpus_pos AS diag,
+      |   probe_pos - row_number() OVER (
+      |     PARTITION BY probe_id, corpus_id, probe_pos - corpus_pos
+      |     ORDER BY probe_pos) AS grp,
+      |   probe_pos, corpus_pos
+      | FROM m)
+      |SELECT probe_id, corpus_id,
+      |  CAST(MIN(probe_pos) AS BIGINT) AS probe_pos,
+      |  CAST(MIN(corpus_pos) AS BIGINT) AS corpus_pos,
+      |  CAST(COUNT(*) + 4 AS BIGINT) AS match_tokens
+      |FROM runs GROUP BY probe_id, corpus_id, diag, grp
+      |HAVING COUNT(*) + 4 >= 15
+      |ORDER BY probe_id, corpus_id, probe_pos, corpus_pos""".stripMargin
 }

@@ -1074,6 +1074,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(m === Set((1L, 25L, 15L), (22L, 1L, 15L)), s"got $m")
   }
 
+  test("contamination sweep: probe-vs-corpus runs only, both spans exact") {
+    // probe doc 5 carries corpus doc 1's r-run (contaminated) and
+    // shares a 16-token run with FELLOW PROBE doc 10 — the probe-probe
+    // run must NOT report (the sweep is cross-side only); corpus docs
+    // 1 and 2 share their own run — corpus-corpus must not report
+    // either (that is d35's job)
+    val corpus = Seq(
+      (1L, tokRange("x", 1, 4) + " " + tokRange("r", 1, 20)),
+      (2L, tokRange("r", 1, 20) + " " + tokRange("w", 1, 3)),
+      (4L, tokRange("d", 1, 25))).toDF("doc_id", "text")
+    val probe = Seq(
+      (5L, "p1 p2 " + tokRange("r", 1, 16) + " " + tokRange("m", 1, 16)),
+      (10L, tokRange("m", 1, 16) + " p9")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringContamination(corpus, probe,
+      "doc_id", "text", minTokens = 15, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(
+      (5L, 1L, 3L, 5L, 16L),   // probe 5 contaminated by corpus 1
+      (5L, 2L, 3L, 1L, 16L)),  // ...and by corpus 2's copy
+      s"got $got")
+  }
+
   test("exact substrings: parameter validation") {
     val fix = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

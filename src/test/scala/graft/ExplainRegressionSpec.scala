@@ -238,6 +238,30 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(globalSorts <= 1, s"unexpected global sorts in e10:\n$p")
   }
 
+  test("d36: contamination sweep prunes corpus grams probe-side before any posting state") {
+    val p = plan("d36_contamination_sweep")
+    assert(!p.contains("CartesianProduct"), s"cartesian in d36:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in d36 — gram blocking lost:\n$p")
+    // the probe-key prune must stay a SHUFFLED hash semi join (a
+    // statically committed broadcast of the probe keys is the 8 GiB
+    // cliff class; a sort-merge would sort the whole corpus gram
+    // stream) and run BEFORE the posting aggregation, else the
+    // collect_list state covers the entire corpus index (the d13
+    // regression shape). The optimizer pushes it through the side
+    // union, so one semi join per branch is the expected shape.
+    assert("ShuffledHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftSemi".r
+      .findFirstIn(p).isDefined,
+      s"probe-key prune is not a shuffled hash semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join crept into d36 (sorts the corpus gram stream):\n$p")
+    // the diagonal island stage keeps its pinned width (the gram-side
+    // pin is legitimately absorbed by Spark 4's union partitioning
+    // propagation — see exactSubstringContamination's width note)
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size >= 1,
+      s"the island stage lost its pinned width in d36:\n$p")
+  }
+
   test("q30: session windows and the regroup share one user_id Exchange") {
     val p = plan("q30_sessionization")
     // both lag/sum windows and the final (user_id, session_seq) aggregate
