@@ -601,6 +601,65 @@ object Dedup {
         col("corpus_pos"), col("match_tokens"))
   }
 
+  /** Span excision (d37, the back half of decontamination): given the
+    * probe-side match spans (`exactSubstringContamination`'s output
+    * shape — 1-based `probe_pos` + `match_tokens` per run), rewrite
+    * each probe document with every covered token REMOVED, and report
+    * what was cut. Lee et al. 2022 drop the duplicated substring and
+    * keep the remainder — cutting the span, not the document, is what
+    * preserves the rest of an eval-contaminated page for training.
+    *
+    * Shape: spans aggregate per probe doc (collect_list of (start,
+    * len) structs — bounded by the doc's own match count, a row-local
+    * list), one broadcast-or-shuffle join back onto the probe docs,
+    * then a single narrow pass per row: token i is kept iff NO span
+    * covers it (an indexed `filter` lambda over the token array with
+    * an `exists` over the span list — O(tokens × spans) per row,
+    * spans per doc are few by construction). No merging pass is
+    * needed: coverage-by-any-span is already the union of overlapping
+    * spans. Untouched probe docs pass through with zero counts —
+    * the output is the FULL probe set, rewritten.
+    *
+    * Output: (doc_id, clean_md5, n_tokens_kept, n_tokens_removed,
+    * n_spans) — the md5 of the space-rejoined kept tokens pins the
+    * rewrite byte-exactly without shipping the text. */
+  def exciseSpans(probe: DataFrame, idCol: String, textCol: String,
+                  spans: DataFrame): DataFrame = {
+    val perDoc = spans
+      .groupBy(col("probe_id"))
+      .agg(collect_list(struct(col("probe_pos").as("s"),
+        (col("probe_pos") + col("match_tokens") - 1).as("e"))).as("__spans"),
+        count(lit(1)).as("n_spans"))
+    val toks = split(col(textCol), " ")
+    // indexed filter: i is 0-based, span positions 1-based
+    val kept = filter(col("__toks"), (t, i) =>
+      !exists(col("__spans"), s =>
+        i + 1 >= s.getField("s") && i + 1 <= s.getField("e")))
+    probe
+      .join(perDoc, probe(idCol) === perDoc("probe_id"), "left")
+      .withColumn("__toks", toks)
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks")).otherwise(kept))
+      .select(col(idCol),
+        md5(array_join(col("__kept"), " ")).as("clean_md5"),
+        size(col("__kept")).cast("long").as("n_tokens_kept"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_tokens_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /** End-to-end decontamination (d37 registered form): sweep the
+    * probe against the corpus (`exactSubstringContamination`), then
+    * excise every matched span from the probe docs. One composition,
+    * both halves oracle-mirrored from scratch. */
+  def decontaminate(corpus: DataFrame, probe: DataFrame,
+                    idCol: String, textCol: String,
+                    minTokens: Int, k: Int = 5, maxOcc: Int = 100,
+                    pairWidth: Option[Int] = None): DataFrame =
+    exciseSpans(probe, idCol, textCol,
+      exactSubstringContamination(corpus, probe, idCol, textCol,
+        minTokens, k, maxOcc, pairWidth))
+
   // ---------------- incremental (batch-vs-corpus) ----------------
 
   /** Cross-corpus Jaccard pairs: (incoming doc, corpus doc) pairs that

@@ -1272,7 +1272,8 @@ object TextQueries {
     QuerySpec("d33_dsir_selection", d33, Some(d33Sql)),
     QuerySpec("d34_dsir_bigram", d34, Some(d34Sql)),
     QuerySpec("d35_exact_substring", d35, Some(d35Sql)),
-    QuerySpec("d36_contamination_sweep", d36, Some(d36Sql)))
+    QuerySpec("d36_contamination_sweep", d36, Some(d36Sql)),
+    QuerySpec("d37_decontaminate", d37, Some(d37Sql)))
 
   /** DSIR target-domain selection (d33): every document weighted by
     * how much more likely its unigram occurrences are under the
@@ -1520,4 +1521,83 @@ object TextQueries {
       |FROM runs GROUP BY probe_id, corpus_id, diag, grp
       |HAVING COUNT(*) + 4 >= 15
       |ORDER BY probe_id, corpus_id, probe_pos, corpus_pos""".stripMargin
+
+  /** End-to-end decontamination (d37, round-17): d36's sweep + span
+    * EXCISION — every probe/eval doc rewritten with all matched spans'
+    * tokens removed (Lee et al. cut the duplicated substring, keeping
+    * the rest of the page), reported as the md5 of the space-rejoined
+    * kept tokens plus kept/removed/span counts over the FULL probe
+    * set. The oracle recomputes the whole composition from scratch:
+    * the two-side sweep, per-span covered positions, positional
+    * anti-join excision and the ordered re-join — both halves
+    * independently derived. */
+  private def d37(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.decontaminate(
+      corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      probe = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", minTokens = 15, k = 5, maxOcc = 100)
+      .orderBy(col("doc_id"))
+  }
+
+  private val d37Sql =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      | SELECT doc_id, doc_id % 5 = 0 AS probe,
+      |   unnest(range(1, greatest(len(t) - 3, 1))) AS pos,
+      |   unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+      |     i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+      |              || t[i+3] || ' ' || t[i+4]))) AS f
+      | FROM toks),
+      |capped AS (
+      | SELECT doc_id, probe, pos, f FROM (
+      |   SELECT doc_id, probe, pos, f, COUNT(*) OVER (PARTITION BY f) AS occ
+      |   FROM grams)
+      | WHERE occ <= 100),
+      |m AS (
+      | SELECT a.doc_id AS probe_id, a.pos AS probe_pos,
+      |        b.doc_id AS corpus_id, b.pos AS corpus_pos
+      | FROM capped a JOIN capped b
+      |   ON a.f = b.f AND a.probe AND NOT b.probe),
+      |runs AS (
+      | SELECT probe_id, corpus_id, probe_pos - corpus_pos AS diag,
+      |   probe_pos - row_number() OVER (
+      |     PARTITION BY probe_id, corpus_id, probe_pos - corpus_pos
+      |     ORDER BY probe_pos) AS grp,
+      |   probe_pos
+      | FROM m),
+      |spans AS (
+      | SELECT probe_id, MIN(probe_pos) AS s,
+      |   MIN(probe_pos) + COUNT(*) + 4 - 1 AS e
+      | FROM runs GROUP BY probe_id, corpus_id, diag, grp
+      | HAVING COUNT(*) + 4 >= 15),
+      |ptok AS (
+      | SELECT doc_id,
+      |   unnest(range(1, len(t) + 1)) AS pos,
+      |   unnest(t) AS tok
+      | FROM toks WHERE doc_id % 5 = 0),
+      |covered AS (
+      | SELECT DISTINCT probe_id AS doc_id, unnest(range(s, e + 1)) AS pos
+      | FROM spans),
+      |keptt AS (
+      | SELECT p.doc_id, p.pos, p.tok FROM ptok p
+      | LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
+      | WHERE c.doc_id IS NULL),
+      |agg AS (
+      | SELECT doc_id,
+      |   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5,
+      |   CAST(count(*) AS BIGINT) AS n_tokens_kept
+      | FROM keptt GROUP BY doc_id),
+      |nsp AS (SELECT probe_id AS doc_id, CAST(count(*) AS BIGINT) AS n_spans
+      |        FROM spans GROUP BY probe_id),
+      |ntk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks
+      |        WHERE doc_id % 5 = 0)
+      |SELECT ntk.doc_id,
+      |  COALESCE(agg.clean_md5, md5('')) AS clean_md5,
+      |  COALESCE(agg.n_tokens_kept, 0) AS n_tokens_kept,
+      |  ntk.n - COALESCE(agg.n_tokens_kept, 0) AS n_tokens_removed,
+      |  COALESCE(nsp.n_spans, 0) AS n_spans
+      |FROM ntk LEFT JOIN agg USING (doc_id) LEFT JOIN nsp USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -1098,6 +1098,54 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       s"got $got")
   }
 
+  test("excision: overlapping spans union, untouched docs pass through, full cover empties") {
+    val probe = Seq(
+      (5L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (10L, "u1 u2 u3 u4"),
+      (15L, "v1 v2 v3")).toDF("doc_id", "text")
+    // doc 5: spans [2..5] (start 2 len 4) and [4..8] (start 4 len 5)
+    // overlap -> covered 2..8, kept t1 t9 t10; doc 15: one span covers
+    // everything; doc 10: untouched
+    val spans = Seq(
+      (5L, 2L, 4L), (5L, 4L, 5L), (15L, 1L, 3L))
+      .toDF("probe_id", "probe_pos", "match_tokens")
+    val got = Dedup.exciseSpans(probe, "doc_id", "text", spans)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    def m(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got === Set(
+      (5L, m("t1 t9 t10"), 3L, 7L, 2L),
+      (10L, m("u1 u2 u3 u4"), 4L, 0L, 0L),
+      (15L, m(""), 0L, 3L, 1L)), s"got $got")
+  }
+
+  test("decontaminate: sweep + excision end-to-end cuts exactly the matched spans") {
+    // probe doc 5 carries corpus doc 1's r1..r16 at positions 3..18;
+    // the m-run is probe-internal only (no corpus copy) and must stay
+    val corpus = Seq(
+      (1L, tokRange("x", 1, 4) + " " + tokRange("r", 1, 20)),
+      (4L, tokRange("d", 1, 25))).toDF("doc_id", "text")
+    val probe = Seq(
+      (5L, "p1 p2 " + tokRange("r", 1, 16) + " " + tokRange("m", 1, 16)),
+      (10L, tokRange("m", 1, 16) + " p9")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, probe, "doc_id", "text",
+      minTokens = 15, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    def m(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got === Set(
+      (5L, m("p1 p2 " + tokRange("m", 1, 16)), 18L, 16L, 1L),
+      (10L, m(tokRange("m", 1, 16) + " p9"), 17L, 0L, 0L)), s"got $got")
+  }
+
   test("exact substrings: parameter validation") {
     val fix = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -262,6 +262,24 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"the island stage lost its pinned width in d36:\n$p")
   }
 
+  test("d37: decontamination composition stays equi-join only; excision is one narrow pass") {
+    val p = plan("d37_decontaminate")
+    assert(!p.contains("CartesianProduct"), s"cartesian in d37:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in d37:\n$p")
+    // the excision itself must stay row-local: no generator explode of
+    // tokens or covered positions — the indexed filter lambda rewrites
+    // each doc in place. The sweep owns exactly 6 Generates (2 pair
+    // explodes + the probe/corpus gram posexplodes + the probe-key
+    // subtree's gram explode duplicated per union branch by the
+    // semi-join pushdown); a 7th means token-level fan-out crept into
+    // the excision.
+    val gens = "Generate ".r.findAllIn(p).size
+    assert(gens <= 6, s"excision added generator fan-out ($gens Generates):\n$p")
+    assert(!"Generate [a-z]*explode\\((__toks|__kept)".r.findFirstIn(p).isDefined,
+      s"the excision exploded the token array:\n$p")
+  }
+
   test("q30: session windows and the regroup share one user_id Exchange") {
     val p = plan("q30_sessionization")
     // both lag/sum windows and the final (user_id, session_seq) aggregate
