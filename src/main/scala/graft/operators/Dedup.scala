@@ -901,6 +901,45 @@ object Dedup {
       .select(col(idCol), col("para_idx").cast("long").as("para_idx"), col("para"))
   }
 
+  /** Within-document repetition removal (d38 — the Gopher/MassiveText
+    * "repetition removal" cleaning rule, Rae et al. 2021 §A.1.2):
+    * drop every repeated occurrence of an exact paragraph WITHIN one
+    * document, keeping the first — the row-local twin of d27 (which
+    * dedups paragraphs across the corpus). Templated pages, quoted
+    * reply chains and navigation boilerplate repeat within a page;
+    * cutting the repeats keeps the page.
+    *
+    * Segmentation follows `paragraphs`: a literal delimiter when the
+    * corpus has one, else fixed non-overlapping `paraTokens` token
+    * blocks (the native chunker). The rewrite is ONE narrow pass —
+    * split, indexed-filter against the preceding prefix (first
+    * occurrence kept by construction), re-join — zero shuffles at any
+    * corpus size; the per-row cost is O(paras² · cmp), and paragraph
+    * counts per doc are small. Output pins the rewrite by md5 plus
+    * kept/dropped counts per doc (full corpus out, untouched docs
+    * pass through with 0 dropped). */
+  def dropRepeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+                             delimiter: Option[String] = None,
+                             paraTokens: Int = 40): DataFrame = {
+    val sep = delimiter.getOrElse(" ")
+    val parts = delimiter match {
+      case Some(d) => split(col(textCol), java.util.regex.Pattern.quote(d))
+      case None => TextAnalysis.chunksCol(col(textCol), paraTokens, paraTokens)
+    }
+    // keep part i iff no EARLIER part equals it: exists() over the
+    // prefix slice — slice(arr, 1, i) is exactly the first i elements,
+    // so element 0 always survives
+    val kept = filter(col("__parts"), (x, i) =>
+      !exists(slice(col("__parts"), lit(1), i), y => y === x))
+    df.withColumn("__parts", parts)
+      .withColumn("__kept", kept)
+      .select(col(idCol),
+        md5(array_join(col("__kept"), sep)).as("clean_md5"),
+        size(col("__kept")).cast("long").as("n_paras_kept"),
+        (size(col("__parts")) - size(col("__kept"))).cast("long")
+          .as("n_paras_dropped"))
+  }
+
   /** Paragraph-granular exact dedup (d27): per document, how many of
     * its paragraphs survive corpus-wide first-occurrence dedup. A
     * paragraph is KEPT iff its (doc, position) is the lexicographically

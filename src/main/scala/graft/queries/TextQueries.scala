@@ -1273,7 +1273,8 @@ object TextQueries {
     QuerySpec("d34_dsir_bigram", d34, Some(d34Sql)),
     QuerySpec("d35_exact_substring", d35, Some(d35Sql)),
     QuerySpec("d36_contamination_sweep", d36, Some(d36Sql)),
-    QuerySpec("d37_decontaminate", d37, Some(d37Sql)))
+    QuerySpec("d37_decontaminate", d37, Some(d37Sql)),
+    QuerySpec("d38_repetition_removal", d38, Some(d38Sql)))
 
   /** DSIR target-domain selection (d33): every document weighted by
     * how much more likely its unigram occurrences are under the
@@ -1599,5 +1600,63 @@ object TextQueries {
       |  ntk.n - COALESCE(agg.n_tokens_kept, 0) AS n_tokens_removed,
       |  COALESCE(nsp.n_spans, 0) AS n_spans
       |FROM ntk LEFT JOIN agg USING (doc_id) LEFT JOIN nsp USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Within-document repetition removal (d38 — the Gopher/MassiveText
+    * cleaning rule): drop repeated occurrences of an exact paragraph
+    * inside one document, keep the first. The word-salad corpus has
+    * no intra-doc repeats (verified: zero repeated 5/10/40-token
+    * blocks at the gate SFs), so the query INJECTS deterministic
+    * doc_id-derived boilerplate — the d20 precedent — and runs the
+    * real removal machinery end-to-end: every doc gains a repeated
+    * "share/follow" paragraph (twice; three times when doc_id % 3 = 0)
+    * around a unique middle line, and the operator must cut exactly
+    * the repeats and pin the rewrite by md5. Row-local, shuffle-free
+    * at any corpus size. */
+  private def d38(s: SparkSession, dir: String): DataFrame = {
+    val boiler = concat(lit("share follow like subscribe "),
+      (col("doc_id") % 7).cast("string"))
+    val injected = concat(
+      col("text"), lit("\n\n"), boiler,
+      lit("\n\nmid "), col("doc_id").cast("string"),
+      lit("\n\n"), boiler,
+      when(col("doc_id") % 3 === 0,
+        concat(lit("\n\n"), boiler)).otherwise(lit("")))
+    graft.operators.Dedup.dropRepeatedParagraphs(
+      Tables.documents(s, dir).withColumn("text", injected),
+      "doc_id", "text", delimiter = Some("\n\n"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d38Sql =
+    """WITH inj AS (
+      | SELECT doc_id,
+      |   text || chr(10) || chr(10) || 'share follow like subscribe ' || CAST(doc_id % 7 AS VARCHAR)
+      |        || chr(10) || chr(10) || 'mid ' || CAST(doc_id AS VARCHAR)
+      |        || chr(10) || chr(10) || 'share follow like subscribe ' || CAST(doc_id % 7 AS VARCHAR)
+      |        || CASE WHEN doc_id % 3 = 0
+      |             THEN chr(10) || chr(10) || 'share follow like subscribe ' || CAST(doc_id % 7 AS VARCHAR)
+      |             ELSE '' END AS t2
+      | FROM documents),
+      |parts AS (
+      | SELECT doc_id, string_split(t2, chr(10) || chr(10)) AS p FROM inj),
+      |pos AS (
+      | SELECT doc_id,
+      |   unnest(range(1, len(p) + 1)) AS i,
+      |   unnest(p) AS para
+      | FROM parts),
+      |firsts AS (
+      | SELECT doc_id, para, MIN(i) AS fi FROM pos GROUP BY doc_id, para),
+      |kept AS (
+      | SELECT doc_id, fi AS i, para FROM firsts),
+      |agg AS (
+      | SELECT doc_id,
+      |   md5(string_agg(para, chr(10) || chr(10) ORDER BY i)) AS clean_md5,
+      |   CAST(count(*) AS BIGINT) AS n_paras_kept
+      | FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(len(p) AS BIGINT) AS n FROM parts)
+      |SELECT tot.doc_id, agg.clean_md5, agg.n_paras_kept,
+      |  tot.n - agg.n_paras_kept AS n_paras_dropped
+      |FROM tot JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 }

@@ -1146,6 +1146,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       (10L, m(tokRange("m", 1, 16) + " p9"), 17L, 0L, 0L)), s"got $got")
   }
 
+  test("repetition removal: repeats drop, first occurrence and order survive") {
+    def m(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val fix = Seq(
+      (1L, "alpha\n\nbeta\n\nalpha\n\ngamma\n\nbeta"), // two repeats drop
+      (2L, "one\n\ntwo\n\nthree"),                     // untouched
+      (3L, "x\n\nx\n\nx\n\nx"))                        // all but first drop
+      .toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedParagraphs(fix, "doc_id", "text",
+      delimiter = Some("\n\n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, m("alpha\n\nbeta\n\ngamma"), 3L, 2L),
+      (2L, m("one\n\ntwo\n\nthree"), 3L, 0L),
+      (3L, m("x"), 1L, 3L)), s"got $got")
+    // token-block fallback (no delimiter): blocks of 2 tokens; the
+    // repeated "a b" block drops, the distinct tail stays
+    val fix2 = Seq((9L, "a b a b c d")).toDF("doc_id", "text")
+    val got2 = Dedup.dropRepeatedParagraphs(fix2, "doc_id", "text",
+      delimiter = None, paraTokens = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).head
+    assert(got2 === ((m("a b c d"), 2L, 1L)), s"got $got2")
+  }
+
   test("exact substrings: parameter validation") {
     val fix = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -280,6 +280,14 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"the excision exploded the token array:\n$p")
   }
 
+  test("d38: repetition removal is one narrow pass — zero exchanges, zero generators") {
+    val p = plan("d38_repetition_removal")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a shuffle crept into the row-local rewrite:\n$p")
+    assert(!p.contains("Generate "),
+      s"a generator explode crept into the row-local rewrite:\n$p")
+  }
+
   test("q30: session windows and the regroup share one user_id Exchange") {
     val p = plan("q30_sessionization")
     // both lag/sum windows and the final (user_id, session_seq) aggregate
