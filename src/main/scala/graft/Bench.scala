@@ -129,10 +129,16 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = selected.map { case (name, fn) =>
       // a prior query's rounds / stage metrics (and the warm-up's)
-      // must not bleed in: drain the bus, flush the residue, discard
-      org.apache.spark.sql.GraftColumnBridge.waitListenerBusEmpty(spark, 10000L)
+      // must not bleed in: drain the bus, flush the residue, discard.
+      // A pre-drain timeout means stale stage events may still land in
+      // THIS query's window — record the marker AFTER the discard so
+      // it survives into this query's telemetry map instead of being
+      // drained away with the residue it is reporting about.
+      val preDrained = org.apache.spark.sql.GraftColumnBridge
+        .waitListenerBusEmpty(spark, 10000L)
       stageAgg.flush()
       Telemetry.drain()
+      if (!preDrained) Telemetry.record("bench.pre_drain_timeout", 1L)
       // a failed query records -1 (not a plausible-looking elapsed time)
       val times = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()

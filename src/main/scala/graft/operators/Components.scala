@@ -160,12 +160,17 @@ object Components {
     // edge-scale shuffle + snapshot — tens of MB at sf10). The extra
     // materialization writes the 2-long edge list once more; both
     // snapshots use the caller's durability policy and the first is
-    // released as soon as the second exists.
+    // released as soon as the second exists — block-manager storage
+    // for local checkpoints, checkpoint-store FILES for reliable ones
+    // (Spark itself never deletes non-streaming reliable checkpoints
+    // mid-session, so without the explicit delete every cluster-mode
+    // call would hold two edge-list snapshots instead of one).
     val raw = timed("components.pairgen_ms")(ck(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
     val onedir = timed("components.edges_ckpt_ms")(ck(
       raw.repartition(col("src"))))
     GraftColumnBridge.unpersistCheckpointed(raw)
+    GraftColumnBridge.removeCheckpointFiles(raw)
     val sym = onedir.unionByName(
       onedir.select(col("dst").as("src"), col("src").as("dst")))
     // initial labels fused with the first propagation round: label0(v) =

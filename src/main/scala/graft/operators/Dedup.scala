@@ -476,24 +476,34 @@ object Dedup {
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id1"), col("a.pos").as("pos1"),
         col("b.doc_id").as("doc_id2"), col("b.pos").as("pos2"))
-    // islands: within one (doc_id1, doc_id2, diagonal) group pos1 is
-    // unique (a position carries exactly one gram), so pos1 − rank is
-    // constant exactly along a maximal consecutive run. The numbered
-    // repartition satisfies both the window's and the aggregation's
-    // required clustering (the group key set extends the partition
-    // keys), so the whole confirmation is ONE pair-volume shuffle.
-    val diag = pairs.withColumn("__diag", col("pos1") - col("pos2"))
-      .repartition(p, col("doc_id1"), col("doc_id2"), col("__diag"))
-    val w = Window.partitionBy(col("doc_id1"), col("doc_id2"), col("__diag"))
-      .orderBy(col("pos1"))
+    maximalRuns(pairs, "doc_id1", "pos1", "doc_id2", "pos2",
+      p, k, minTokens)
+  }
+
+  /** Diagonal gaps-and-islands run confirmation shared by the
+    * within-corpus (d35) and cross-corpus (d36) substring kernels:
+    * within one (id1, id2, diagonal = pos1 − pos2) group, pos1 is
+    * unique (a position carries exactly one gram), so pos1 − rank is
+    * constant exactly along a maximal consecutive run — one window,
+    * one aggregate per island, emit runs of ≥ minTokens tokens. The
+    * numbered repartition satisfies both the window's and the
+    * aggregation's required clustering (the group key set extends the
+    * partition keys), so the whole confirmation is ONE pair-volume
+    * shuffle at pinned width. */
+  private def maximalRuns(pairs: DataFrame, id1: String, pos1: String,
+                          id2: String, pos2: String,
+                          p: Int, k: Int, minTokens: Int): DataFrame = {
+    val diag = pairs.withColumn("__diag", col(pos1) - col(pos2))
+      .repartition(p, col(id1), col(id2), col("__diag"))
+    val w = Window.partitionBy(col(id1), col(id2), col("__diag"))
+      .orderBy(col(pos1))
     diag
-      .withColumn("__grp", col("pos1") - row_number().over(w))
-      .groupBy(col("doc_id1"), col("doc_id2"), col("__diag"), col("__grp"))
-      .agg(min(col("pos1")).as("pos1"), min(col("pos2")).as("pos2"),
+      .withColumn("__grp", col(pos1) - row_number().over(w))
+      .groupBy(col(id1), col(id2), col("__diag"), col("__grp"))
+      .agg(min(col(pos1)).as(pos1), min(col(pos2)).as(pos2),
         (count(lit(1)) + lit(k - 1)).as("match_tokens"))
       .filter(col("match_tokens") >= minTokens)
-      .select(col("doc_id1"), col("doc_id2"), col("pos1"), col("pos2"),
-        col("match_tokens"))
+      .select(col(id1), col(id2), col(pos1), col(pos2), col("match_tokens"))
   }
 
   /** Cross-corpus exact-substring decontamination (d36) — the actual
@@ -581,24 +591,21 @@ object Dedup {
           struct(col("doc_id"), col("pos")))).as("cs"))
       .filter(size(col("ps")) > 0 && size(col("cs")) > 0)
       .select(col("ps"), col("cs"))
+    // the same-id guard protects the natural misuse of sweeping an
+    // eval split against the FULL corpus without excluding the eval
+    // rows (probe ⊆ corpus): a doc id present on BOTH sides is the
+    // same document and must not match itself — without this, every
+    // such probe doc self-matches end-to-end and `decontaminate`
+    // silently erases it to the empty string. Distinct-id text
+    // duplicates still report (that IS contamination).
     val pairs = postings
       .select(explode(col("ps")).as("a"), col("cs"))
       .select(col("a"), explode(col("cs")).as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("probe_id"), col("a.pos").as("probe_pos"),
         col("b.doc_id").as("corpus_id"), col("b.pos").as("corpus_pos"))
-    val diag = pairs.withColumn("__diag", col("probe_pos") - col("corpus_pos"))
-      .repartition(p, col("probe_id"), col("corpus_id"), col("__diag"))
-    val w = Window.partitionBy(col("probe_id"), col("corpus_id"), col("__diag"))
-      .orderBy(col("probe_pos"))
-    diag
-      .withColumn("__grp", col("probe_pos") - row_number().over(w))
-      .groupBy(col("probe_id"), col("corpus_id"), col("__diag"), col("__grp"))
-      .agg(min(col("probe_pos")).as("probe_pos"),
-        min(col("corpus_pos")).as("corpus_pos"),
-        (count(lit(1)) + lit(k - 1)).as("match_tokens"))
-      .filter(col("match_tokens") >= minTokens)
-      .select(col("probe_id"), col("corpus_id"), col("probe_pos"),
-        col("corpus_pos"), col("match_tokens"))
+    maximalRuns(pairs, "probe_id", "probe_pos", "corpus_id", "corpus_pos",
+      p, k, minTokens)
   }
 
   /** Span excision (d37, the back half of decontamination): given the

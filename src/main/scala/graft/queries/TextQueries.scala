@@ -1507,7 +1507,8 @@ object TextQueries {
       | SELECT a.doc_id AS probe_id, a.pos AS probe_pos,
       |        b.doc_id AS corpus_id, b.pos AS corpus_pos
       | FROM capped a JOIN capped b
-      |   ON a.f = b.f AND a.probe AND NOT b.probe),
+      |   ON a.f = b.f AND a.probe AND NOT b.probe
+      |   AND a.doc_id != b.doc_id),
       |runs AS (
       | SELECT probe_id, corpus_id, probe_pos - corpus_pos AS diag,
       |   probe_pos - row_number() OVER (
@@ -1560,7 +1561,8 @@ object TextQueries {
       | SELECT a.doc_id AS probe_id, a.pos AS probe_pos,
       |        b.doc_id AS corpus_id, b.pos AS corpus_pos
       | FROM capped a JOIN capped b
-      |   ON a.f = b.f AND a.probe AND NOT b.probe),
+      |   ON a.f = b.f AND a.probe AND NOT b.probe
+      |   AND a.doc_id != b.doc_id),
       |runs AS (
       | SELECT probe_id, corpus_id, probe_pos - corpus_pos AS diag,
       |   probe_pos - row_number() OVER (

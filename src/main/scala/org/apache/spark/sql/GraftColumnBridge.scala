@@ -24,6 +24,30 @@ object GraftColumnBridge {
       case _ => ()
     }
 
+  /** Delete the checkpoint FILES behind a reliably-checkpointed
+    * Dataset (no-op for local checkpoints and non-checkpoint plans).
+    * Spark never removes non-streaming reliable checkpoints until
+    * session end (and then only with cleanCheckpoints=true), so an
+    * intermediate snapshot that exists purely to split a timer — like
+    * Components' raw edge materialization — would otherwise double
+    * the checkpoint-store footprint per call on cluster deployments.
+    * Only call this once nothing will read the Dataset again. */
+  def removeCheckpointFiles(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical match {
+      case lr: execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          try fs.delete(path, true)
+          catch { case e: java.io.IOException =>
+            System.err.println(
+              s"[graft] checkpoint cleanup of $p failed: ${e.getMessage}")
+          }
+        }
+      case _ => ()
+    }
+
   /** Block until the async listener bus has dispatched every posted
     * event, or `timeoutMs` elapses. Returns true when the bus drained,
     * false on timeout. Bench uses this to attribute per-query stage

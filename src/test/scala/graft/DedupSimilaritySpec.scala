@@ -1008,6 +1008,11 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
 
   // ---------------- exact-substring matches (d35, round-17) ----------------
 
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   private def tokRange(prefix: String, from: Int, to: Int): String =
     (from to to).map(i => s"$prefix$i").mkString(" ")
 
@@ -1113,14 +1118,10 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
-    def m(s: String) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
     assert(got === Set(
-      (5L, m("t1 t9 t10"), 3L, 7L, 2L),
-      (10L, m("u1 u2 u3 u4"), 4L, 0L, 0L),
-      (15L, m(""), 0L, 3L, 1L)), s"got $got")
+      (5L, md5hex("t1 t9 t10"), 3L, 7L, 2L),
+      (10L, md5hex("u1 u2 u3 u4"), 4L, 0L, 0L),
+      (15L, md5hex(""), 0L, 3L, 1L)), s"got $got")
   }
 
   test("decontaminate: sweep + excision end-to-end cuts exactly the matched spans") {
@@ -1137,20 +1138,12 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
-    def m(s: String) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
     assert(got === Set(
-      (5L, m("p1 p2 " + tokRange("m", 1, 16)), 18L, 16L, 1L),
-      (10L, m(tokRange("m", 1, 16) + " p9"), 17L, 0L, 0L)), s"got $got")
+      (5L, md5hex("p1 p2 " + tokRange("m", 1, 16)), 18L, 16L, 1L),
+      (10L, md5hex(tokRange("m", 1, 16) + " p9"), 17L, 0L, 0L)), s"got $got")
   }
 
   test("repetition removal: repeats drop, first occurrence and order survive") {
-    def m(s: String) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
     val fix = Seq(
       (1L, "alpha\n\nbeta\n\nalpha\n\ngamma\n\nbeta"), // two repeats drop
       (2L, "one\n\ntwo\n\nthree"),                     // untouched
@@ -1162,16 +1155,40 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got === Set(
-      (1L, m("alpha\n\nbeta\n\ngamma"), 3L, 2L),
-      (2L, m("one\n\ntwo\n\nthree"), 3L, 0L),
-      (3L, m("x"), 1L, 3L)), s"got $got")
+      (1L, md5hex("alpha\n\nbeta\n\ngamma"), 3L, 2L),
+      (2L, md5hex("one\n\ntwo\n\nthree"), 3L, 0L),
+      (3L, md5hex("x"), 1L, 3L)), s"got $got")
     // token-block fallback (no delimiter): blocks of 2 tokens; the
     // repeated "a b" block drops, the distinct tail stays
     val fix2 = Seq((9L, "a b a b c d")).toDF("doc_id", "text")
     val got2 = Dedup.dropRepeatedParagraphs(fix2, "doc_id", "text",
       delimiter = None, paraTokens = 2)
       .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).head
-    assert(got2 === ((m("a b c d"), 2L, 1L)), s"got $got2")
+    assert(got2 === ((md5hex("a b c d"), 2L, 1L)), s"got $got2")
+  }
+
+  test("contamination sweep: a doc on BOTH sides never matches itself (probe ⊆ corpus misuse)") {
+    // the natural misuse: sweep an eval split against the FULL corpus
+    // without excluding the eval rows — doc 5 appears verbatim on both
+    // sides and must NOT self-match (which would erase it in
+    // decontaminate); its genuine cross-doc contamination still reports
+    val shared = "e1 e2 " + tokRange("r", 1, 16)
+    val corpus = Seq(
+      (5L, shared),                          // the probe doc itself
+      (1L, tokRange("r", 1, 20)),            // a real contaminating doc
+      (4L, tokRange("d", 1, 25))).toDF("doc_id", "text")
+    val probe = Seq((5L, shared)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringContamination(corpus, probe,
+      "doc_id", "text", minTokens = 15, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got === Set((5L, 1L, 16L)), s"got $got")
+    // and decontaminate keeps the non-matched prefix instead of
+    // erasing the whole doc
+    val cleaned = Dedup.decontaminate(corpus, probe, "doc_id", "text",
+      minTokens = 15, k = 5).collect().head
+    assert(cleaned.getString(1) === md5hex("e1 e2"), "prefix must survive")
+    assert(cleaned.getLong(2) === 2L && cleaned.getLong(3) === 16L)
   }
 
   test("exact substrings: parameter validation") {

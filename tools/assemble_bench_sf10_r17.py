@@ -12,6 +12,12 @@ d1 = json.load(open(p1))
 d10 = json.load(open(p10))
 q1 = {k: round(v, 4) for k, v in d1["queries"].items() if v >= 0}
 q10 = {k: round(v, 4) for k, v in d10["queries"].items() if v >= 0}
+# Bench records -1 for a FAILED query; dropping those silently would
+# make "failed at sf10" indistinguishable from "not benched" in the
+# committed artifact — carry them loudly instead.
+failed = sorted(set(
+    [k for k, v in d1["queries"].items() if v < 0] +
+    [k for k, v in d10["queries"].items() if v < 0]))
 growth = {k: round(q10[k] / q1[k], 2) for k in sorted(q10) if k in q1 and q1[k] > 0}
 doc = {
     "note": note,
@@ -24,6 +30,7 @@ doc = {
     "queries_sf10_sec": dict(sorted(q10.items())),
     "growth_10x": growth,
     "spill_telemetry_sf10": dict(sorted(d10.get("telemetry", {}).items())),
+    "failed_queries": failed,
 }
 json.dump(doc, open(out, "w"), indent=1)
-print(f"wrote {out}: {len(q10)} sf10 queries, growth {growth}")
+print(f"wrote {out}: {len(q10)} sf10 queries, failed {failed}, growth {growth}")
