@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Staged e10 oracle pin at sf10 — the run_d21_sf30_pin.sh precedent.
+"""Staged e10 oracle pin (any SF dir) — the run_d21_sf30_pin.sh precedent.
 
 The monolithic e10 mirror (lshPairCte + recursive components) ENOSPC'd
 at sf10: the single-query plan materializes ~64M candidate-pair rows
@@ -27,7 +27,7 @@ Prereq: run graft.Verify for e10 at the sf10 dir FIRST (it refreshes
 /tmp/graft_shared_oracle/lm_costs for THIS corpus — later gate runs
 at other SFs overwrite it) and pass its dump dir.
 
-Usage: pin_e10_sf10.py <sf10_dir> <spark_dump_dir>
+Usage: pin_e10_staged.py <sf10_dir> <spark_dump_dir>
 """
 import duckdb, hashlib, math, sys
 
@@ -181,6 +181,6 @@ SELECT
 print(f"oracle_rows={res[0]} spark_rows={res[1]} "
       f"oracle\\spark={res[2]} spark\\oracle={res[3]}")
 ok = res[0] == res[1] and res[2] == 0 and res[3] == 0
-print("PASS e10_semdedup_threshold (staged sf10 pin)" if ok else
-      "FAIL e10_semdedup_threshold (staged sf10 pin)")
+print("PASS e10_semdedup_threshold (staged pin)" if ok else
+      "FAIL e10_semdedup_threshold (staged pin)")
 sys.exit(0 if ok else 1)
