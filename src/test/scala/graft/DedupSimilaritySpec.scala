@@ -1191,6 +1191,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(cleaned.getLong(2) === 2L && cleaned.getLong(3) === 16L)
   }
 
+  test("e10 recall: threshold-LSH pairs are a sound, high-recall subset of the exact ε-universe") {
+    // the threshold form's quality contract: every reported pair
+    // genuinely clears the epsilon (soundness — the cosine is exact,
+    // only the BLOCKING is approximate), and the one-bit multi-probe
+    // recovers most of the true ε-pairs on the gate corpus
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val eps = 0.40
+    val got = Similarity.nearDupLshThreshold(emb, eps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.topSimilarPairs(emb, topN = Int.MaxValue,
+        minCos = eps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no exact ε-pairs — lower eps")
+    assert(got.subsetOf(exact),
+      s"unsound pairs reported: ${got -- exact}")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"recall $recall below floor: got ${got.size} of ${exact.size}")
+  }
+
   test("exact substrings: parameter validation") {
     val fix = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
