@@ -632,27 +632,32 @@ object Dedup {
     * rewrite byte-exactly without shipping the text. */
   def exciseSpans(probe: DataFrame, idCol: String, textCol: String,
                   spans: DataFrame): DataFrame = {
+    // the span aggregate's id column is renamed to a reserved name
+    // BEFORE the join: the natural chaining case passes a probe whose
+    // own idCol is `probe_id` (exactly what exactSubstringContamination
+    // emits), and keeping both sides' `probe_id` live would make the
+    // output projection ambiguous (round-17 ADVICE)
     val perDoc = spans
-      .groupBy(col("probe_id"))
+      .groupBy(col("probe_id").as("__span_doc_id"))
       .agg(collect_list(struct(col("probe_pos").as("s"),
         (col("probe_pos") + col("match_tokens") - 1).as("e"))).as("__spans"),
-        count(lit(1)).as("n_spans"))
+        count(lit(1)).as("__n_spans"))
     val toks = split(col(textCol), " ")
     // indexed filter: i is 0-based, span positions 1-based
     val kept = filter(col("__toks"), (t, i) =>
       !exists(col("__spans"), s =>
         i + 1 >= s.getField("s") && i + 1 <= s.getField("e")))
     probe
-      .join(perDoc, probe(idCol) === perDoc("probe_id"), "left")
+      .join(perDoc, probe(idCol) === perDoc("__span_doc_id"), "left")
       .withColumn("__toks", toks)
       .withColumn("__kept",
         when(col("__spans").isNull, col("__toks")).otherwise(kept))
-      .select(col(idCol),
+      .select(probe(idCol),
         md5(array_join(col("__kept"), " ")).as("clean_md5"),
         size(col("__kept")).cast("long").as("n_tokens_kept"),
         (size(col("__toks")) - size(col("__kept"))).cast("long")
           .as("n_tokens_removed"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans"))
   }
 
   /** End-to-end decontamination (d37 registered form): sweep the

@@ -1124,6 +1124,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       (15L, md5hex(""), 0L, 3L, 1L)), s"got $got")
   }
 
+  test("excision accepts a probe whose own idCol is probe_id (chaining case)") {
+    // the natural chain feeds exciseSpans a frame keyed exactly like
+    // the sweep's output (`probe_id`) — the join against the span
+    // aggregate must not be ambiguous (round-17 ADVICE)
+    val probe = Seq(
+      (5L, "t1 t2 t3 t4 t5"),
+      (10L, "u1 u2 u3")).toDF("probe_id", "text")
+    val spans = Seq((5L, 2L, 3L)).toDF("probe_id", "probe_pos", "match_tokens")
+    val got = Dedup.exciseSpans(probe, "probe_id", "text", spans)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(
+      (5L, md5hex("t1 t5"), 2L, 3L, 1L),
+      (10L, md5hex("u1 u2 u3"), 3L, 0L, 0L)), s"got $got")
+  }
+
   test("decontaminate: sweep + excision end-to-end cuts exactly the matched spans") {
     // probe doc 5 carries corpus doc 1's r1..r16 at positions 3..18;
     // the m-run is probe-internal only (no corpus copy) and must stay

@@ -272,12 +272,15 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     // each doc in place. The sweep owns exactly 6 Generates (2 pair
     // explodes + the probe/corpus gram posexplodes + the probe-key
     // subtree's gram explode duplicated per union branch by the
-    // semi-join pushdown); a 7th means token-level fan-out crept into
-    // the excision.
-    val gens = "Generate ".r.findAllIn(p).size
-    assert(gens <= 6, s"excision added generator fan-out ($gens Generates):\n$p")
-    assert(!"Generate [a-z]*explode\\((__toks|__kept)".r.findFirstIn(p).isDefined,
-      s"the excision exploded the token array:\n$p")
+    // semi-join pushdown). The intent is asserted directly — no
+    // generator over the excision's token/kept arrays or span list —
+    // rather than pinning a total Generate count, which tracked an
+    // optimizer artifact (how many times the pushdown duplicates the
+    // probe-gram subtree) and would flip on a benign Spark change
+    // (round-17 ADVICE).
+    assert(!"Generate [a-z]*explode\\((__toks|__kept|__spans)".r
+      .findFirstIn(p).isDefined,
+      s"the excision exploded a row-local array:\n$p")
   }
 
   test("d38: repetition removal is one narrow pass — zero exchanges, zero generators") {
