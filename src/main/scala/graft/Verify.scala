@@ -42,7 +42,8 @@ object Verify {
     // the mirrors re-validate the tables against DuckDB's own ln
     // within 1 micro-nat before using them — see LmScore scaladoc).
     if (Set("d19_lm_quality", "d21_cluster_curation", "d23_tfidf_keywords",
-        "e09_semdedup_curation", "e10_semdedup_threshold")
+        "e09_semdedup_curation", "e10_semdedup_threshold",
+        "e11_semdedup_banded")
         .exists(selected.contains)) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       graft.operators.LmScore.unigramCosts(docs, "text")

@@ -531,6 +531,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(rep === ((2, 3L, 10L, 1L, 10L)), s"got $rep")
   }
 
+  test("banded OR-construction: recall >= 0.9 vs the exact eps-universe, unique sound pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val eps = 0.42
+    // exact ε-universe: all-pairs integer-cosine (affordable at the
+    // 500-vector gate corpus)
+    val exact = Similarity.topSimilarPairs(emb, topN = 1000000, minCos = eps)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture lost its ε-pairs — re-derive eps")
+    // single-signature multi-probe (the e10 generator) vs 8 bands
+    val single = Similarity.nearDupLshThreshold(emb, eps)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val bandedRows = Similarity.nearDupLshBanded(emb, eps)
+      .select("v1", "v2").as[(Long, Long)].collect().toSeq
+    // first-match-band guard ⇒ each pair exactly once, no distinct pass
+    assert(bandedRows.size === bandedRows.toSet.size,
+      "banded generator emitted a duplicate pair")
+    val banded = bandedRows.toSet
+    // sound: only the blocking approximates — every reported pair is a
+    // true ε-pair (cosines are exact on both paths)
+    assert(banded.subsetOf(exact), s"unsound pairs: ${banded -- exact}")
+    assert(single.subsetOf(exact))
+    val rb = banded.size.toDouble / exact.size
+    val rs = single.size.toDouble / exact.size
+    info(f"banded recall = $rb%.3f (multi-probe single-signature: $rs%.3f)")
+    assert(rb >= 0.9, f"banded recall floor broken: $rb%.3f")
+    assert(rb >= rs, "banding lost recall vs the single-signature floor")
+  }
+
   test("parquetRowCount reads the exact count from footers; LSH plan construction runs zero jobs") {
     // footer metadata equals count() on both a single file and a
     // Spark-written directory

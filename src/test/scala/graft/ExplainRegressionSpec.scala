@@ -238,6 +238,22 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(globalSorts <= 1, s"unexpected global sorts in e10:\n$p")
   }
 
+  test("e11: banded SemDeDup stays sort-free with no cartesian; dedup is the row-local guard") {
+    val p = plan("e11_semdedup_banded")
+    assert(!p.contains("CartesianProduct"), s"cartesian in e11:\n$p")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, s"$nlj nested-loop joins in e11:\n$p")
+    // the epsilon filter is stage-local (no global cosine sort), and
+    // pair uniqueness comes from the first-match-band lambda — a
+    // HashAggregate/distinct over the (v1, v2) pair stream would mean
+    // the row-local guard regressed into a corpus-scale dedup shuffle
+    assert(!"Sort \\[cos[^\\]]*\\], true".r.findFirstIn(p).isDefined,
+      s"a global cosine sort crept into the banded pair stage:\n$p")
+    assert(!"Exchange hashpartitioning\\(v1#\\d+L, v2#\\d+L[^)]*\\)".r
+      .findFirstIn(p).isDefined,
+      s"a pair-stream dedup shuffle crept into e11:\n$p")
+  }
+
   test("d36: contamination sweep prunes corpus grams probe-side before any posting state") {
     val p = plan("d36_contamination_sweep")
     assert(!p.contains("CartesianProduct"), s"cartesian in d36:\n$p")
