@@ -1192,6 +1192,38 @@ object TextQueries {
       .orderBy(col("split"))
   }
 
+  /** Guard-ON pair-index advance (d39, round-18 — VERDICT item 2):
+    * d31's protocol with `economyGuard` at its DEFAULT (0.3). The
+    * guard is the production posture — when the delta's touched-pair
+    * volume exceeds the economy threshold the advance internally
+    * rematerializes from scratch instead of delta-rescoring — and it
+    * is ROW-IDENTICAL either way by contract, so this registration
+    * driver-gates the guard decision path itself against d12's
+    * full-corpus oracle (previously spec-covered only): whether the
+    * 1/64 batch stays under the guard (the expected case, exercising
+    * the guarded delta path) or a future fixture tips it over (the
+    * fallback path), the oracle hash must hold. */
+  private def d39(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PairIndex
+    PairIndex.sweepStale(s, PairIndex.SurvivorsBase)
+    PairIndex.sweepStale(s, PairIndex.PairsBase)
+    PairIndex.sweepStale(s, PairIndex.PostingsBase)
+    PairIndex.sweepStale(s, PairIndex.DfBase)
+    val docs = Tables.documents(s, dir)
+    val idx = PairIndex.materializeDocIndex(
+      docs.filter(pmod(col("doc_id"), lit(64)) =!= 0), "doc_id", "text",
+      keepPostings = true)
+    val adv = PairIndex.advanceDocIndex(
+      s, idx, docs.filter(pmod(col("doc_id"), lit(64)) === 0), "doc_id", "text")
+    PairIndex.dropSuperseded(s, idx, adv.idx)
+    PairIndex.keepLatest(s, "d39", adv.idx)
+    PairIndex.curateFromIndex(s, adv.idx, "doc_id", "text")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+      .orderBy(col("split"))
+  }
+
   /** Frozen-cap pair-index advance (d32, round-13): the CHEAP daily
     * path — same standing three+one-artifact index, advanced with
     * `frozenCaps = true`: new pairs are scored over the current capped
@@ -1274,7 +1306,11 @@ object TextQueries {
     QuerySpec("d35_exact_substring", d35, Some(d35Sql)),
     QuerySpec("d36_contamination_sweep", d36, Some(d36Sql)),
     QuerySpec("d37_decontaminate", d37, Some(d37Sql)),
-    QuerySpec("d38_repetition_removal", d38, Some(d38Sql)))
+    QuerySpec("d38_repetition_removal", d38, Some(d38Sql)),
+    // same oracle text as d12: the guard-ON advance must be
+    // row-identical to a from-scratch materialization whichever path
+    // the guard takes
+    QuerySpec("d39_guarded_advance", d39, Some(d12Sql)))
 
   /** DSIR target-domain selection (d33): every document weighted by
     * how much more likely its unigram occurrences are under the
