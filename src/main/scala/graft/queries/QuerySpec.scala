@@ -24,7 +24,8 @@ final case class QuerySpec(
 object Registry {
   def specs: Seq[QuerySpec] =
     Relational.specs ++ Functional.specs ++ Events.specs ++
-      TextQueries.specs ++ VectorQueries.specs ++ MultimodalQueries.specs
+      TextQueries.specs ++ VectorQueries.specs ++
+      MultimodalQueries.specs ++ CanonicalTpch.specs
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(q => q.name -> q.run).toMap
   def oracleSql: Map[String, String] =
