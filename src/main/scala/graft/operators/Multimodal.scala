@@ -177,8 +177,9 @@ object Multimodal {
     * padding handling is exercised by every row. */
   def packBmpPayload(spark: SparkSession, df: DataFrame,
                      idCol: String, textCol: String,
-                     width: Int = 17): DataFrame =
-    packBmpWith(spark, df, idCol, textCol, _ => width)
+                     width: Int = 17,
+                     requireAscii: Boolean = false): DataFrame =
+    packBmpWith(spark, df, idCol, textCol, _ => width, requireAscii)
 
   /** Varied-width BMP packing for the resize family (m03): width
     * 17 + (id mod 97) so the REAL decoded dims sweep 17..113 px wide
@@ -187,35 +188,41 @@ object Multimodal {
     * `decodeStub` (round-15 VERDICT item 4). The formula is id-only so
     * an oracle mirrors it without seeing the container. */
   def packBmpPayloadVaried(spark: SparkSession, df: DataFrame,
-                           idCol: String, textCol: String): DataFrame =
+                           idCol: String, textCol: String,
+                           requireAscii: Boolean = false): DataFrame =
     packBmpWith(spark, df, idCol, textCol,
-      id => 17 + math.floorMod(id, 97L).toInt)
+      id => 17 + math.floorMod(id, 97L).toInt, requireAscii)
 
-  /** (id, payload-bytes) rows for the container packers, with the
-    * ASCII invariant ASSERTED at the boundary (round-16 ADVICE): the
-    * m03/m04/m05 oracles mirror the packing arithmetic with
-    * `length(text)` (a CHARACTER count) and `rpad(text, n, ' ')`
-    * (1 byte per char), while the packers operate on the UTF-8 byte
-    * form — identical only for ASCII text. The gate corpus is
-    * ASCII-normalized, so the invariant holds there; a future corpus
-    * with multi-byte characters now fails LOUDLY at the packer with an
-    * attributable message instead of silently diverging from its
-    * mirror. The char length rides the same projection (one built-in
+  /** (id, payload-bytes) rows for the container packers. The packers
+    * themselves are byte-faithful — every dimension, pad and
+    * fingerprint is UTF-8-byte arithmetic, so any text packs and
+    * round-trips correctly. `requireAscii` is a COMPATIBILITY check
+    * (round-17 VERDICT item 7, demoting the round-16 corpus
+    * constraint), set only by callers whose external mirrors still
+    * compute in CHARACTERS (m01/m06/m07's length/rpad/substring
+    * oracles): for those, a multi-byte corpus would silently diverge
+    * from the mirror, so the packer fails LOUDLY with an attributable
+    * message instead. The m03/m04/m05 mirrors compute in bytes
+    * (octet_length + byte padding) and run unguarded — driver-exact
+    * on non-ASCII corpora (pinned by the round-18 non-ASCII staged
+    * pin). The char length rides the same projection (one built-in
     * `length` column), so the check is row-local and shuffle-free. */
-  private def asciiPayloadRows(spark: SparkSession, df: DataFrame,
-                               idCol: String, textCol: String)
+  private def payloadRows(spark: SparkSession, df: DataFrame,
+                          idCol: String, textCol: String,
+                          requireAscii: Boolean)
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("binary"),
         length(col(textCol)))
       .as[(Long, Array[Byte], Int)]
       .map { case (id, raw, charLen) =>
-        require(raw.length == charLen,
+        require(!requireAscii || raw.length == charLen,
           s"non-ASCII payload for id=$id: $charLen chars != ${raw.length} " +
-            "UTF-8 bytes — the multimodal oracles mirror packing " +
+            "UTF-8 bytes — this caller's external mirror computes packing " +
             "arithmetic in characters (length/rpad), which assumes " +
             "1 byte per char; normalize the corpus to ASCII or move " +
-            "the mirrors to byte arithmetic before packing this data")
+            "the mirror to byte arithmetic (the m03/m04/m05 form) " +
+            "before packing this data")
         (id, raw)
       }
   }
@@ -225,9 +232,10 @@ object Multimodal {
     * cannot drift (round-16 review). */
   private def packBmpWith(spark: SparkSession, df: DataFrame,
                           idCol: String, textCol: String,
-                          widthOf: Long => Int): DataFrame = {
+                          widthOf: Long => Int,
+                          requireAscii: Boolean): DataFrame = {
     import spark.implicits._
-    asciiPayloadRows(spark, df, idCol, textCol)
+    payloadRows(spark, df, idCol, textCol, requireAscii)
       .mapPartitions { rows =>
         rows.map { case (id, raw) =>
           val width = widthOf(id)
@@ -385,9 +393,10 @@ object Multimodal {
     * mirrored in oracle SQL arithmetic. The ingest twin of
     * `extractMetaWav`, same protocol as `packBmpPayload`. */
   def packWavPayload(spark: SparkSession, df: DataFrame,
-                     idCol: String, textCol: String): DataFrame = {
+                     idCol: String, textCol: String,
+                     requireAscii: Boolean = false): DataFrame = {
     import spark.implicits._
-    asciiPayloadRows(spark, df, idCol, textCol)
+    payloadRows(spark, df, idCol, textCol, requireAscii)
       .mapPartitions { rows =>
         rows.map { case (id, raw) =>
           val channels = 1 + (id % 2).toInt
@@ -769,9 +778,10 @@ object Multimodal {
     * twin of `extractMetaAvi`/`sampleFramesAvi`. */
   def packAviPayload(spark: SparkSession, df: DataFrame,
                      idCol: String, textCol: String,
-                     width: Int = 17, rowsPerFrame: Int = 4): DataFrame = {
+                     width: Int = 17, rowsPerFrame: Int = 4,
+                     requireAscii: Boolean = false): DataFrame = {
     import spark.implicits._
-    asciiPayloadRows(spark, df, idCol, textCol)
+    payloadRows(spark, df, idCol, textCol, requireAscii)
       .mapPartitions { rows =>
         val frameBytes = width * 3 * rowsPerFrame
         rows.map { case (id, raw) =>

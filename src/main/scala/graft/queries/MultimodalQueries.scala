@@ -23,15 +23,27 @@ import org.apache.spark.sql.functions._
   * m03/m04 exercise the metadata-level operators (resize arithmetic,
   * frame-sample fan-out) over REAL decoded dimensions — m03 through
   * the BMP codec at varied widths, m04 through the AVI demuxer —
-  * with the oracle mirroring the id/length packing arithmetic, never
-  * the containers (round-16: the synthetic decodeStub is retired).
+  * with the oracle mirroring the id/byte-length packing arithmetic,
+  * never the containers (round-16: the synthetic decodeStub is
+  * retired).
+  *
+  * Mirror arithmetic domains (round-18, VERDICT item 7): the
+  * m03/m04/m05 mirrors compute in UTF-8 BYTES (strlen, byte
+  * padding, a codepoint→UTF-8-byte-sum CASE), matching the packers'
+  * own byte arithmetic on ANY corpus — pinned oracle-exact on an
+  * injected non-ASCII fixture by tools/pin_multimodal_nonascii.py.
+  * m01/m02/m06/m07's mirrors still compute in characters
+  * (length/rpad/substring/per-char ascii), so their packer calls keep
+  * the `requireAscii` compatibility check: on a multi-byte corpus
+  * they fail attributably at the packer instead of hash-diverging.
   */
 object MultimodalQueries {
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractMetaBmp(
       s,
-      Multimodal.packBmpPayload(s, Tables.documents(s, dir), "doc_id", "text"),
+      Multimodal.packBmpPayload(s, Tables.documents(s, dir), "doc_id", "text",
+        requireAscii = true),
       "doc_id", "payload")
       .toDF()
       .orderBy(col("media_id"))
@@ -118,13 +130,16 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("frame_idx"))
 
   private val m04Sql =
-    """WITH meta AS (
+    """WITH b AS (
+      | SELECT doc_id, text, strlen(text) AS bl
+      | FROM documents),
+      |meta AS (
       | SELECT doc_id AS media_id, 'avi' AS kind,
-      |   greatest((length(text) + 50) // 51, 1) AS nf,
-      |   md5(rpad(text,
-      |     CAST(greatest((length(text) + 50) // 51, 1) * 51 AS INTEGER),
-      |     ' ')) AS fingerprint
-      | FROM documents)
+      |   greatest((bl + 50) // 51, 1) AS nf,
+      |   md5(text || repeat(' ',
+      |     CAST(greatest((bl + 50) // 51, 1) * 51 - bl AS INTEGER)))
+      |     AS fingerprint
+      | FROM b)
       |SELECT media_id, kind,
       |  CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_idx,
       |  fingerprint
@@ -135,7 +150,7 @@ object MultimodalQueries {
     """WITH meta AS (
       | SELECT doc_id AS media_id,
       |   CAST(17 + doc_id % 97 AS BIGINT) AS w,
-      |   CAST(greatest((length(text) + 3 * (17 + doc_id % 97) - 1)
+      |   CAST(greatest((strlen(text) + 3 * (17 + doc_id % 97) - 1)
       |                 // (3 * (17 + doc_id % 97)), 1) AS BIGINT) AS h
       | FROM documents)
       |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
@@ -169,15 +184,26 @@ object MultimodalQueries {
   private val m05Sql =
     """WITH m AS (
       | SELECT doc_id, text,
+      |   strlen(text) AS bl,
       |   CAST(2 * (1 + doc_id % 2) AS BIGINT) AS ba,
       |   CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
       |        ELSE 44100 END AS rate,
       |   coalesce(list_aggregate(list_transform(string_split_regex(text, ''),
-      |     ch -> CAST(ascii(ch) AS BIGINT)), 'sum'), 0) AS asum
+      |     ch -> CASE
+      |       WHEN ascii(ch) <= 127 THEN CAST(ascii(ch) AS BIGINT)
+      |       WHEN ascii(ch) <= 2047 THEN CAST(320
+      |         + (ascii(ch) // 64) + (ascii(ch) % 64) AS BIGINT)
+      |       WHEN ascii(ch) <= 65535 THEN CAST(480
+      |         + (ascii(ch) // 4096) + ((ascii(ch) // 64) % 64)
+      |         + (ascii(ch) % 64) AS BIGINT)
+      |       ELSE CAST(624
+      |         + (ascii(ch) // 262144) + ((ascii(ch) // 4096) % 64)
+      |         + ((ascii(ch) // 64) % 64) + (ascii(ch) % 64) AS BIGINT)
+      |     END), 'sum'), 0) AS bsum
       | FROM documents),
       |p AS (
-      | SELECT doc_id, text, ba, rate, asum,
-      |   ((length(text) + ba - 1) // ba) * ba AS plen
+      | SELECT doc_id, text, bl, ba, rate, bsum,
+      |   ((bl + ba - 1) // ba) * ba AS plen
       | FROM m)
       |SELECT doc_id AS media_id, 'wav' AS kind,
       |  CAST(plen AS BIGINT) AS n_bytes,
@@ -186,8 +212,8 @@ object MultimodalQueries {
       |  CAST(16 AS INTEGER) AS bits,
       |  CAST(plen // ba AS BIGINT) AS n_frames,
       |  CAST((plen // ba) * 1000 // rate AS BIGINT) AS duration_ms,
-      |  CAST(asum + 32 * (plen - length(text)) AS BIGINT) AS byte_sum,
-      |  md5(rpad(text, CAST(plen AS INTEGER), ' ')) AS fingerprint
+      |  CAST(bsum + 32 * (plen - bl) AS BIGINT) AS byte_sum,
+      |  md5(text || repeat(' ', CAST(plen - bl AS INTEGER))) AS fingerprint
       |FROM p
       |ORDER BY media_id""".stripMargin
 
@@ -246,7 +272,7 @@ object MultimodalQueries {
     Multimodal.sampleFramesAvi(
       s,
       Multimodal.packAviPayload(s, Tables.documents(s, dir), "doc_id", "text",
-        rowsPerFrame = 1),
+        rowsPerFrame = 1, requireAscii = true),
       "doc_id", "payload", stride = 4)
       .orderBy(col("media_id"), col("frame_idx"))
 
