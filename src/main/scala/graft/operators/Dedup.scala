@@ -608,6 +608,50 @@ object Dedup {
       p, k, minTokens)
   }
 
+  /** Cap telemetry for the decontamination sweep (d40, round-17
+    * ADVICE): the occurrence cap can silently split or drop a genuine
+    * contaminated run that passes through a corpus-hot gram — for a
+    * hygiene operator that is a recall caveat callers must SEE, not
+    * infer. This report quantifies exactly what the cap removed from
+    * this corpus/probe pairing: how many probe-relevant gram keys
+    * exist, how many the cap dropped, how many gram occurrences
+    * vanished with them, and how many PROBE documents carried at
+    * least one dropped gram (the docs whose excision could be
+    * under-complete). Same stages as the sweep up to the cap (one
+    * gram exchange + the shuffled-hash probe-key prune), then one
+    * aggregate; driver-verified with a from-scratch mirror. */
+  def contaminationCapReport(corpus: DataFrame, probe: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 5, maxOcc: Int = 100,
+                             pairWidth: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxOcc >= 2, s"maxOcc must allow cross-side pairs: $maxOcc")
+    val p = pairWidth.getOrElse(pairParallelism(corpus))
+    def grams(df: DataFrame, side: Int): DataFrame = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.shinglesCol(col(textCol), k)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("f"), lit(side).as("__side"))
+    val tagged = grams(probe, 1).unionByName(grams(corpus, 0))
+    val probeKeys = probe
+      .select(explode(TextAnalysis.shinglesCol(col(textCol), k)).as("g"))
+      .select(md5(col("g")).as("f")).distinct()
+    // prune-then-window exactly like the sweep: for a surviving gram
+    // the window count equals its full-universe occurrence count (the
+    // prune is per-gram), which is what the mirror recomputes
+    val occd = tagged
+      .repartition(p, col("f"))
+      .join(probeKeys.hint("shuffle_hash"), Seq("f"), "left_semi")
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("f"))))
+    occd.agg(
+      count_distinct(col("f")).as("grams_surviving_prune"),
+      count_distinct(when(col("__occ") > maxOcc, col("f")))
+        .as("grams_over_cap"),
+      sum(when(col("__occ") > maxOcc, 1L).otherwise(0L))
+        .as("occurrences_dropped"),
+      count_distinct(when(col("__occ") > maxOcc && col("__side") === 1,
+        col("doc_id"))).as("probe_docs_touched"))
+  }
+
   /** Span excision (d37, the back half of decontamination): given the
     * probe-side match spans (`exactSubstringContamination`'s output
     * shape — 1-based `probe_pos` + `match_tokens` per run), rewrite

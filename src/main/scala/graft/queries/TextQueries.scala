@@ -1310,7 +1310,47 @@ object TextQueries {
     // same oracle text as d12: the guard-ON advance must be
     // row-identical to a from-scratch materialization whichever path
     // the guard takes
-    QuerySpec("d39_guarded_advance", d39, Some(d12Sql)))
+    QuerySpec("d39_guarded_advance", d39, Some(d12Sql)),
+    QuerySpec("d40_gram_cap_report", d40, Some(d40Sql)))
+
+  /** Decontamination cap telemetry (d40, round-18 — round-17 ADVICE):
+    * what d36/d37's occurrence cap removed from THIS corpus/probe
+    * pairing — probe-relevant gram keys, keys over the cap, gram
+    * occurrences dropped with them, and probe docs carrying at least
+    * one dropped gram (the under-excision exposure). Same mod-5
+    * split as d36 so the report describes the registered sweep. */
+  private def d40(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationCapReport(
+      corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      probe = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", k = 5, maxOcc = 100)
+  }
+
+  private val d40Sql =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      | SELECT doc_id, doc_id % 5 = 0 AS probe,
+      |   unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+      |     i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+      |              || t[i+3] || ' ' || t[i+4]))) AS f
+      | FROM toks),
+      |pk AS (SELECT DISTINCT f FROM grams WHERE probe),
+      |pruned AS (
+      | SELECT doc_id, probe, f, occ FROM (
+      |   SELECT doc_id, probe, f, COUNT(*) OVER (PARTITION BY f) AS occ
+      |   FROM grams)
+      | WHERE f IN (SELECT f FROM pk))
+      |SELECT
+      |  CAST(COUNT(DISTINCT f) AS BIGINT) AS grams_surviving_prune,
+      |  CAST(COUNT(DISTINCT CASE WHEN occ > 100 THEN f END) AS BIGINT)
+      |    AS grams_over_cap,
+      |  CAST(SUM(CASE WHEN occ > 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS occurrences_dropped,
+      |  CAST(COUNT(DISTINCT CASE WHEN occ > 100 AND probe THEN doc_id END)
+      |    AS BIGINT) AS probe_docs_touched
+      |FROM pruned""".stripMargin
 
   /** DSIR target-domain selection (d33): every document weighted by
     * how much more likely its unigram occurrences are under the
