@@ -91,6 +91,17 @@ UNION ALL
 SELECT b.vec_id, xor(b.bucket, CAST(1 << pp.p AS INTEGER))
 FROM buckets b CROSS JOIN (SELECT DISTINCT p FROM hp) pp""")
 
+# round-18: the maxBucketOcc hot-bucket cap (Similarity.DefaultMaxBucketOcc
+# = 512) — a candidate pair survives iff its JOIN-KEY bucket's own-bucket
+# occupancy is <= cap, mirroring the committed e10Sql occ8 filter
+CAP = 512
+con.execute("CREATE TABLE occ AS SELECT bucket, count(*) AS oc FROM buckets GROUP BY bucket")
+print("cap telemetry:", con.execute(f"""
+SELECT count(*) AS n_buckets, max(oc) AS max_occ,
+  sum(CASE WHEN oc > {CAP} THEN 1 ELSE 0 END) AS buckets_over_cap,
+  sum(CASE WHEN oc > {CAP} THEN oc ELSE 0 END) AS rows_in_over_cap
+FROM occ""").fetchone(), flush=True)
+
 # 3. chunked candidate scoring: survivors only ever materialize
 con.execute("CREATE TABLE pairs(v1 BIGINT, v2 BIGINT)")
 CHUNKS = 16
@@ -101,6 +112,7 @@ for c in range(CHUNKS):
      SELECT pr.v1, b.vec_id AS v2
      FROM probes pr JOIN buckets b
        ON pr.bucket = b.bucket AND pr.v1 < b.vec_id
+     JOIN occ ON pr.bucket = occ.bucket AND occ.oc <= {CAP}
      WHERE b.bucket % {CHUNKS} = {c}),
     pd AS (
      SELECT cand.v1, cand.v2,
