@@ -547,30 +547,38 @@ object Similarity {
     val occ = sigs
       .select(posexplode(col("bks")).as(Seq("band", "bucket")))
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("occ"))
-    val hot = occ.filter(col("occ") > maxBucketOcc)
-      .select(col("band"), col("bucket"))
-    def side(v: String, e: String, n: String, bk: String): DataFrame = {
-      val s0 = sigs.withColumn(n, norm2E12(col("embedding")))
-        .select(col("vec_id").as(v), col("embedding").as(e), col(n),
-          col("bks").as(bk), posexplode(col("bks")).as(Seq("band", "bucket")))
-      if (maxBucketOcc == Int.MaxValue) s0
-      else s0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    // One join PER BAND, unioned — not one join over a band-exploded
+    // stream. Same result set, two scale wins (round-18, measured 4750
+    // CPU-s at the sf10 decade in the exploded form): (a) the
+    // first-match-band guard becomes a STATIC conjunction of b array
+    // indexes per branch (whole-stage codegen) instead of an
+    // interpreted zip_with/slice/exists lambda allocating per candidate
+    // row; (b) each branch shuffles N rows on its own band key instead
+    // of one 8N-row exchange, so AQE sizes each band's join
+    // independently.
+    val branches = (0 until bands).map { b =>
+      def side(v: String, e: String, n: String, bk: String): DataFrame = {
+        val s0 = sigs.withColumn(n, norm2E12(col("embedding")))
+          .select(col("vec_id").as(v), col("embedding").as(e), col(n),
+            col("bks").as(bk), col("bks")(b).as("bucket"))
+        if (maxBucketOcc == Int.MaxValue) s0
+        else s0.join(
+          broadcast(occ.filter(col("band") === b && col("occ") > maxBucketOcc)
+            .select(col("bucket"))),
+          Seq("bucket"), "left_anti")
+      }
+      // no band BEFORE b also matches — band 0 has no predecessor, so
+      // its branch keeps every bucket match
+      val noEarlierMatch = (0 until b)
+        .map(i => col("bks1")(i) =!= col("bks2")(i))
+        .foldLeft(lit(true))(_ && _)
+      side("v1", "e1", "n1", "bks1")
+        .join(side("v2", "e2", "n2", "bks2"), Seq("bucket"))
+        .filter(col("v1") < col("v2") && noEarlierMatch)
+        .select(col("v1"), col("e1"), col("n1"),
+          col("v2"), col("e2"), col("n2"))
     }
-    // first-match-band guard: keep the joined row only when no band
-    // BEFORE this one also matches (slice of length 0 at band 0 —
-    // exists over an empty array is false, so band 0 always keeps)
-    val earlierMatch = exists(
-      zip_with(
-        slice(col("bks1"), lit(1), col("band")),
-        slice(col("bks2"), lit(1), col("band")),
-        (x, y) => x === y),
-      m => m)
-    side("v1", "e1", "n1", "bks1")
-      .join(side("v2", "e2", "n2", "bks2"), Seq("band", "bucket"))
-      .filter(col("v1") < col("v2"))
-      .filter(!earlierMatch)
-      .select(col("v1"), col("e1"), col("n1"),
-        col("v2"), col("e2"), col("n2"))
+    branches.reduce(_ unionByName _)
   }
 
   /** SemDeDup over the banded OR-construction generator (e11): the
