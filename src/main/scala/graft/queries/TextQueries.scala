@@ -1199,10 +1199,13 @@ object TextQueries {
     * rematerializes from scratch instead of delta-rescoring — and it
     * is ROW-IDENTICAL either way by contract, so this registration
     * driver-gates the guard decision path itself against d12's
-    * full-corpus oracle (previously spec-covered only): whether the
-    * 1/64 batch stays under the guard (the expected case, exercising
-    * the guarded delta path) or a future fixture tips it over (the
-    * fallback path), the oracle hash must hold. */
+    * full-corpus oracle (previously spec-covered only). On this
+    * corpus the guard FIRES at every verified SF (the dup-heavy
+    * fixture's affected set is ~57% of the corpus, telemetry
+    * `pairindex.advance_fallback=1`), so d39 pins the
+    * decision + internal-rematerialize path end-to-end while d31
+    * (guard disabled) pins the exact delta algebra — together the
+    * two registrations cover both sides of the economy decision. */
   private def d39(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.PairIndex
     PairIndex.sweepStale(s, PairIndex.SurvivorsBase)
