@@ -547,38 +547,37 @@ object Similarity {
     val occ = sigs
       .select(posexplode(col("bks")).as(Seq("band", "bucket")))
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("occ"))
-    // One join PER BAND, unioned — not one join over a band-exploded
-    // stream. Same result set, two scale wins (round-18, measured 4750
-    // CPU-s at the sf10 decade in the exploded form): (a) the
-    // first-match-band guard becomes a STATIC conjunction of b array
-    // indexes per branch (whole-stage codegen) instead of an
-    // interpreted zip_with/slice/exists lambda allocating per candidate
-    // row; (b) each branch shuffles N rows on its own band key instead
-    // of one 8N-row exchange, so AQE sizes each band's join
-    // independently.
-    val branches = (0 until bands).map { b =>
-      def side(v: String, e: String, n: String, bk: String): DataFrame = {
-        val s0 = sigs.withColumn(n, norm2E12(col("embedding")))
-          .select(col("vec_id").as(v), col("embedding").as(e), col(n),
-            col("bks").as(bk), col("bks")(b).as("bucket"))
-        if (maxBucketOcc == Int.MaxValue) s0
-        else s0.join(
-          broadcast(occ.filter(col("band") === b && col("occ") > maxBucketOcc)
-            .select(col("bucket"))),
-          Seq("bucket"), "left_anti")
-      }
-      // no band BEFORE b also matches — band 0 has no predecessor, so
-      // its branch keeps every bucket match
-      val noEarlierMatch = (0 until b)
-        .map(i => col("bks1")(i) =!= col("bks2")(i))
-        .foldLeft(lit(true))(_ && _)
-      side("v1", "e1", "n1", "bks1")
-        .join(side("v2", "e2", "n2", "bks2"), Seq("bucket"))
-        .filter(col("v1") < col("v2") && noEarlierMatch)
-        .select(col("v1"), col("e1"), col("n1"),
-          col("v2"), col("e2"), col("n2"))
+    val hot = occ.filter(col("occ") > maxBucketOcc)
+      .select(col("band"), col("bucket"))
+    def side(v: String, e: String, n: String, bk: String): DataFrame = {
+      val s0 = sigs.withColumn(n, norm2E12(col("embedding")))
+        .select(col("vec_id").as(v), col("embedding").as(e), col(n),
+          col("bks").as(bk), posexplode(col("bks")).as(Seq("band", "bucket")))
+      if (maxBucketOcc == Int.MaxValue) s0
+      else s0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     }
-    branches.reduce(_ unionByName _)
+    // First-match-band guard as a STATIC when-chain over the band
+    // column — band b's arm is a conjunction of b array-index
+    // inequalities, all whole-stage codegen. Round-18 perf lesson,
+    // measured at the sf10 decade: the same predicate as an
+    // interpreted zip_with/slice/exists lambda allocated per candidate
+    // row and cost 4,750 CPU-s; a union-of-8-per-band-joins variant
+    // fixed the CPU but scanned and re-signed the corpus 16× (2 sides
+    // × 8 branches) — a 100 TB anti-pattern and +70% wall at sf0.1.
+    // This form keeps the TWO-scan, one-join-per-side shape AND the
+    // codegen guard. Band 0 has no predecessor: always keep.
+    val noEarlierMatch = (1 until bands)
+      .foldLeft(when(col("band") === 0, lit(true))) { (acc, b) =>
+        acc.when(col("band") === b,
+          (0 until b).map(i => col("bks1")(i) =!= col("bks2")(i))
+            .reduce(_ && _))
+      }
+      .otherwise(lit(false))
+    side("v1", "e1", "n1", "bks1")
+      .join(side("v2", "e2", "n2", "bks2"), Seq("band", "bucket"))
+      .filter(col("v1") < col("v2") && noEarlierMatch)
+      .select(col("v1"), col("e1"), col("n1"),
+        col("v2"), col("e2"), col("n2"))
   }
 
   /** SemDeDup over the banded OR-construction generator (e11): the
