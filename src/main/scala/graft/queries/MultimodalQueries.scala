@@ -17,8 +17,7 @@ import org.apache.spark.sql.functions._
   * the space-padded ORIGINAL text, its pixel sum to the text's byte sum
   * plus the space padding, and the dims to the packing arithmetic —
   * any header/offset/padding/row-order bug in either codec side breaks
-  * the hash. The corpus is ASCII (pinned by d09's codepoint oracle), so
-  * byte values equal `ascii()` codes on the SQL side.
+  * the hash.
   *
   * m03/m04 exercise the metadata-level operators (resize arithmetic,
   * frame-sample fan-out) over REAL decoded dimensions — m03 through
@@ -27,41 +26,60 @@ import org.apache.spark.sql.functions._
   * never the containers (round-16: the synthetic decodeStub is
   * retired).
   *
-  * Mirror arithmetic domains (round-18, VERDICT item 7): the
-  * m03/m04/m05 mirrors compute in UTF-8 BYTES (strlen, byte
-  * padding, a codepoint→UTF-8-byte-sum CASE), matching the packers'
+  * Mirror arithmetic domains (round-18, VERDICT item 7): every
+  * mirror except m07's computes in UTF-8 BYTES (strlen, byte-exact
+  * `|| repeat(' ')` padding, a codepoint→UTF-8-byte-sum CASE, and
+  * for m02 a codepoint→byte-list EXPANSION), matching the packers'
   * own byte arithmetic on ANY corpus — pinned oracle-exact on an
   * injected non-ASCII fixture by tools/pin_multimodal_nonascii.py.
-  * m01/m02/m06/m07's mirrors still compute in characters
-  * (length/rpad/substring/per-char ascii), so their packer calls keep
-  * the `requireAscii` compatibility check: on a multi-byte corpus
-  * they fail attributably at the packer instead of hash-diverging.
+  * m07 is the one irreducibly char-domain mirror: its fingerprints
+  * hash 51-BYTE frame slices, a boundary that can split a multi-byte
+  * codepoint into an invalid-UTF-8 fragment, and DuckDB has no
+  * BLOB slicing or BLOB hashing (md5/sha are VARCHAR-only) — so its
+  * packer call keeps the `requireAscii` compatibility check and
+  * fails attributably on multi-byte text instead of hash-diverging.
   */
 object MultimodalQueries {
+
+  /** UTF-8 byte sum of one character's codepoint, as a SQL CASE over
+    * `ascii(ch)` — the byte-domain mirror arithmetic for text the
+    * engine treats as bytes (2/3/4-byte forms sum their encoded byte
+    * values: 0xC0|hi + 0x80|lo etc.). */
+  private def utf8ByteSumCase: String =
+    """CASE
+      |       WHEN ascii(ch) <= 127 THEN CAST(ascii(ch) AS BIGINT)
+      |       WHEN ascii(ch) <= 2047 THEN CAST(320
+      |         + (ascii(ch) // 64) + (ascii(ch) % 64) AS BIGINT)
+      |       WHEN ascii(ch) <= 65535 THEN CAST(480
+      |         + (ascii(ch) // 4096) + ((ascii(ch) // 64) % 64)
+      |         + (ascii(ch) % 64) AS BIGINT)
+      |       ELSE CAST(624
+      |         + (ascii(ch) // 262144) + ((ascii(ch) // 4096) % 64)
+      |         + ((ascii(ch) // 64) % 64) + (ascii(ch) % 64) AS BIGINT)
+      |     END""".stripMargin
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractMetaBmp(
       s,
-      Multimodal.packBmpPayload(s, Tables.documents(s, dir), "doc_id", "text",
-        requireAscii = true),
+      Multimodal.packBmpPayload(s, Tables.documents(s, dir), "doc_id", "text"),
       "doc_id", "payload")
       .toDF()
       .orderBy(col("media_id"))
 
-  private val m01Sql =
-    """WITH m AS (
-      | SELECT doc_id, text,
-      |   greatest((length(text) + 50) // 51, 1) AS h,
+  private lazy val m01Sql =
+    s"""WITH m AS (
+      | SELECT doc_id, text, strlen(text) AS bl,
+      |   greatest((strlen(text) + 50) // 51, 1) AS h,
       |   coalesce(list_aggregate(list_transform(string_split_regex(text, ''),
-      |     ch -> CAST(ascii(ch) AS BIGINT)), 'sum'), 0) AS asum
+      |     ch -> $utf8ByteSumCase), 'sum'), 0) AS bsum
       | FROM documents)
       |SELECT doc_id AS media_id, 'bmp' AS kind,
       |  CAST(51 * h AS BIGINT) AS n_bytes,
       |  CAST(17 AS INTEGER) AS width,
       |  CAST(h AS INTEGER) AS height,
       |  CAST(1 AS INTEGER) AS n_frames,
-      |  CAST(asum + 32 * (51 * h - length(text)) AS BIGINT) AS pixel_sum,
-      |  md5(rpad(text, CAST(51 * h AS INTEGER), ' ')) AS fingerprint
+      |  CAST(bsum + 32 * (51 * h - bl) AS BIGINT) AS pixel_sum,
+      |  md5(text || repeat(' ', CAST(51 * h - bl AS INTEGER))) AS fingerprint
       |FROM m
       |ORDER BY media_id""".stripMargin
 
@@ -81,9 +99,22 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("bin"))
 
   private val m02Sql =
-    """SELECT doc_id AS media_id, CAST(ascii(ch) // 16 AS INTEGER) AS bin,
+    """SELECT doc_id AS media_id, CAST(b // 16 AS INTEGER) AS bin,
       |  CAST(COUNT(*) AS BIGINT) AS n_bytes
-      |FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents)
+      |FROM (SELECT doc_id,
+      |        unnest(flatten(list_transform(string_split_regex(text, ''),
+      |          ch -> CASE
+      |            WHEN ascii(ch) <= 127 THEN [ascii(ch)]
+      |            WHEN ascii(ch) <= 2047 THEN
+      |              [192 + ascii(ch) // 64, 128 + ascii(ch) % 64]
+      |            WHEN ascii(ch) <= 65535 THEN
+      |              [224 + ascii(ch) // 4096, 128 + (ascii(ch) // 64) % 64,
+      |               128 + ascii(ch) % 64]
+      |            ELSE
+      |              [240 + ascii(ch) // 262144, 128 + (ascii(ch) // 4096) % 64,
+      |               128 + (ascii(ch) // 64) % 64, 128 + ascii(ch) % 64]
+      |          END))) AS b
+      |      FROM documents)
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
@@ -181,25 +212,15 @@ object MultimodalQueries {
       .toDF()
       .orderBy(col("media_id"))
 
-  private val m05Sql =
-    """WITH m AS (
+  private lazy val m05Sql =
+    s"""WITH m AS (
       | SELECT doc_id, text,
       |   strlen(text) AS bl,
       |   CAST(2 * (1 + doc_id % 2) AS BIGINT) AS ba,
       |   CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
       |        ELSE 44100 END AS rate,
       |   coalesce(list_aggregate(list_transform(string_split_regex(text, ''),
-      |     ch -> CASE
-      |       WHEN ascii(ch) <= 127 THEN CAST(ascii(ch) AS BIGINT)
-      |       WHEN ascii(ch) <= 2047 THEN CAST(320
-      |         + (ascii(ch) // 64) + (ascii(ch) % 64) AS BIGINT)
-      |       WHEN ascii(ch) <= 65535 THEN CAST(480
-      |         + (ascii(ch) // 4096) + ((ascii(ch) // 64) % 64)
-      |         + (ascii(ch) % 64) AS BIGINT)
-      |       ELSE CAST(624
-      |         + (ascii(ch) // 262144) + ((ascii(ch) // 4096) % 64)
-      |         + ((ascii(ch) // 64) % 64) + (ascii(ch) % 64) AS BIGINT)
-      |     END), 'sum'), 0) AS bsum
+      |     ch -> $utf8ByteSumCase), 'sum'), 0) AS bsum
       | FROM documents),
       |p AS (
       | SELECT doc_id, text, bl, ba, rate, bsum,
@@ -238,13 +259,13 @@ object MultimodalQueries {
       .toDF()
       .orderBy(col("media_id"))
 
-  private val m06Sql =
-    """WITH m AS (
-      | SELECT doc_id, text,
+  private lazy val m06Sql =
+    s"""WITH m AS (
+      | SELECT doc_id, text, strlen(text) AS bl,
       |   CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 25 END AS fps,
-      |   greatest((length(text) + 203) // 204, 1) AS nf,
+      |   greatest((strlen(text) + 203) // 204, 1) AS nf,
       |   coalesce(list_aggregate(list_transform(string_split_regex(text, ''),
-      |     ch -> CAST(ascii(ch) AS BIGINT)), 'sum'), 0) AS asum
+      |     ch -> $utf8ByteSumCase), 'sum'), 0) AS bsum
       | FROM documents)
       |SELECT doc_id AS media_id, 'avi' AS kind,
       |  CAST(nf * 204 AS BIGINT) AS n_bytes,
@@ -253,8 +274,8 @@ object MultimodalQueries {
       |  CAST(fps AS INTEGER) AS fps,
       |  CAST(nf AS BIGINT) AS n_frames,
       |  CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
-      |  CAST(asum + 32 * (nf * 204 - length(text)) AS BIGINT) AS byte_sum,
-      |  md5(rpad(text, CAST(nf * 204 AS INTEGER), ' ')) AS fingerprint
+      |  CAST(bsum + 32 * (nf * 204 - bl) AS BIGINT) AS byte_sum,
+      |  md5(text || repeat(' ', CAST(nf * 204 - bl AS INTEGER))) AS fingerprint
       |FROM m
       |ORDER BY media_id""".stripMargin
 

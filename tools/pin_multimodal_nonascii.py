@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
-"""Non-ASCII multimodal oracle pin (round-18, VERDICT item 7).
+"""Non-ASCII multimodal oracle pin (round-18, VERDICT item 7; extended
+the same round to every mirror except m07, whose 51-byte frame slices
+can split codepoints and DuckDB cannot hash blobs).
 
-The m03/m04/m05 mirrors compute packing arithmetic in UTF-8 BYTES
+The m01-m06 mirrors compute packing arithmetic in UTF-8 BYTES
 (octet_length, byte padding, a codepoint->UTF-8-byte-sum CASE), so the
 byte-faithful packers need no ASCII corpus. The driver's gate corpus is
 ASCII-normalized and can never exercise that, so this pin injects a
@@ -13,9 +15,8 @@ Usage:
   pin_multimodal_nonascii.py gen <fixture_dir>
   pin_multimodal_nonascii.py check <fixture_dir> <verify_out_dir> <out_json>
 
-(run graft.Verify with SPARK_GRAFT_VERIFY_ONLY=m03_resize_meta,
- m04_frame_sample,m05_wav_meta between the two steps — see
- tools/run_nonascii_pin.sh)
+(run graft.Verify with SPARK_GRAFT_VERIFY_ONLY over QUERIES between
+ the two steps — see tools/run_nonascii_pin.sh)
 """
 import json
 import os
@@ -23,7 +24,8 @@ import sys
 
 import duckdb
 
-QUERIES = ["m03_resize_meta", "m04_frame_sample", "m05_wav_meta"]
+QUERIES = ["m01_media_meta", "m02_byte_histogram", "m03_resize_meta",
+           "m04_frame_sample", "m05_wav_meta", "m06_avi_meta"]
 
 # deterministic multi-byte building blocks: Latin accents (2-byte),
 # CJK (3-byte), emoji (4-byte), mixed with ASCII
