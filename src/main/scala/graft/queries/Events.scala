@@ -238,6 +238,60 @@ object Events {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** Streaming cross-batch exact dedup (q33, round-18): the documents
+    * table replays as 4 id-ordered chunk files (one micro-batch each),
+    * and `DocsStreaming.dedupDocsStream` keeps ONE copy per canonical
+    * text form across batches via flatMapGroupsWithState — explicit
+    * seen-form state carried through the streaming state store, NOT a
+    * per-batch dropDuplicates. Because the replay is id-ordered, the
+    * bounded run's sink equals the batch `Dedup.dropExactDuplicates`
+    * answer row-for-row, so the STREAMING RUNTIME (state store,
+    * cross-batch carry, append emission) gets an exact batch-SQL
+    * oracle; the out-of-order and checkpoint-restart state semantics
+    * are pinned in StreamingSpec. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val sink = graft.streaming.EventsStreaming
+      .tempDirDeletedOnExit("graft_q33_sink").toString
+    // the gate corpora carry ZERO exact duplicates (verified at every
+    // driver SF), so the registered replay INJECTS deterministic
+    // copies — the d38/d20 precedent: ids offset by 10M/20M sort into
+    // the LAST chunks, so suppression provably crosses micro-batches
+    // (and the doubled %14 copies land in one chunk, exercising the
+    // within-batch minimum too); the oracle mirrors the injection
+    val base = graft.sources.Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val docs = base
+      .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(14)) === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+    graft.streaming.DocsStreaming
+      .runDedupToParquetSink(s, docs, sink, chunks = 4)
+      .awaitTermination()
+    s.read.parquet(sink)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q33Sql =
+    """WITH injected AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 7 = 0
+      | UNION ALL
+      | SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 14 = 0)
+      |SELECT doc_id, md5(text) AS text_md5,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |FROM (
+      | SELECT doc_id, text,
+      |   row_number() OVER (
+      |     PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |     ORDER BY doc_id) AS rn
+      | FROM injected)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q16_events_hourly", q16, Some(q16Sql)),
     QuerySpec("q17_json_props", q17, Some(q17Sql)),
@@ -245,5 +299,6 @@ object Events {
     QuerySpec("q29_events_stream_sink", q29, Some(q16Sql)),
     QuerySpec("q30_sessionization", q30, Some(q30Sql)),
     QuerySpec("q31_sessions_stream_sink", q31, Some(q31Sql)),
-    QuerySpec("q32_salted_join", q32, Some(q32Sql)))
+    QuerySpec("q32_salted_join", q32, Some(q32Sql)),
+    QuerySpec("q33_stream_dedup", q33, Some(q33Sql)))
 }

@@ -289,6 +289,70 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming exact dedup: cross-batch suppression, first-arrival state, restart") {
+    import graft.streaming.DocsStreaming
+    import spark.implicits._
+    // fixture: form A appears in chunks 1 and 3, form B twice within
+    // chunk 2, forms C/D unique — ids chosen so ntile(3) over id order
+    // yields chunks [1,2],[3,4],[5,6]
+    val docs = Seq(
+      (1L, "alpha text"), (2L, "beta text"),     // chunk 1
+      (3L, "gamma text"), (4L, "beta text"),     // chunk 2: B dup (in-batch)
+      (5L, "alpha text"), (6L, "delta text"))    // chunk 3: A dup (cross-batch)
+      .toDF("doc_id", "text")
+    val streamDir = EventsStreaming.tempDirDeletedOnExit("graft_dd_chunks")
+    DocsStreaming.stageDocChunks(spark, docs, 3, streamDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_dd_sink").toString
+    DocsStreaming.runDedupFromChunkDir(spark, streamDir, out, None)
+      .awaitTermination()
+    val kept = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    // in-batch dup keeps the min (2 not 4); cross-batch dup suppressed
+    // by carried state (5 never emits)
+    assert(kept === Seq(1L, 2L, 3L, 6L), s"got $kept")
+
+    // OUT-OF-ORDER replay: reverse the chunk mtimes — chunk 3 replays
+    // first, then 2, then 1. First-arrival now keeps 5 (form A,
+    // suppressing 1) and 4 (form B — its chunk-2 copy precedes chunk
+    // 1's id-2 copy), the documented stream semantics when arrival
+    // order is not id order; the REGISTERED q33 stages id-ordered
+    // chunks precisely so first-arrival == min id == the batch oracle
+    val streamDir2 = EventsStreaming.tempDirDeletedOnExit("graft_dd_chunks2")
+    val staged = DocsStreaming.stageDocChunks(spark, docs, 3, streamDir2)
+    staged.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1500000000000L + (staged.size - i) * 60000L))
+    }
+    val out2 = java.nio.file.Files.createTempDirectory("graft_dd_sink2").toString
+    DocsStreaming.runDedupFromChunkDir(spark, streamDir2, out2, None)
+      .awaitTermination()
+    val kept2 = spark.read.parquet(out2).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept2 === Seq(3L, 4L, 5L, 6L), s"got $kept2")
+
+    // CHECKPOINT RESTART: run chunks 1-2 to a checkpoint, "crash",
+    // stage chunk 3, restart — the restored seen-form state must
+    // suppress doc 5 (form A was seen before the crash); losing state
+    // would re-emit it
+    val pending = EventsStreaming.tempDirDeletedOnExit("graft_dd_pending")
+    val live = EventsStreaming.tempDirDeletedOnExit("graft_dd_live")
+    val all = DocsStreaming.stageDocChunks(spark, docs, 3, pending)
+    all.take(2).foreach(p =>
+      java.nio.file.Files.move(p, live.resolve(p.getFileName)))
+    val out3 = java.nio.file.Files.createTempDirectory("graft_dd_sink3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dd_ckpt").toString
+    DocsStreaming.runDedupFromChunkDir(spark, live, out3, Some(ckpt))
+      .awaitTermination()
+    all.drop(2).foreach(p =>
+      java.nio.file.Files.move(p, live.resolve(p.getFileName)))
+    DocsStreaming.runDedupFromChunkDir(spark, live, out3, Some(ckpt))
+      .awaitTermination()
+    val kept3 = spark.read.parquet(out3).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept3 === Seq(1L, 2L, 3L, 6L), s"restart lost dedup state: $kept3")
+  }
+
   test("session windows produce bounded, ordered sessions") {
     val sessions = EventsStreaming.userSessions(
       graft.sources.Tables.events(spark, sfDir), "10 minutes")
