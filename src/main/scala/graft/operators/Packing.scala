@@ -36,4 +36,90 @@ object Packing {
         coalesce(sum(col(tokensCol)).over(w), lit(0L)),
         lit(budgetTokens)))
   }
+
+  /** Fixed-length SEQUENCE packing manifest (d41) — the step LLM
+    * pretraining actually runs: documents in a deterministic global
+    * order concatenate into one token stream, the stream splits at
+    * every `seqLen` boundary, and each training sequence is built from
+    * the document slices that land in it (a long document spans
+    * several sequences; a short one shares its sequence with
+    * neighbors). Output: one row per (sequence, document) slice —
+    * (seq_id, doc_id, doc_off, seq_off, n_tokens), 0-based offsets —
+    * the manifest a tokenizer-side packer consumes to materialize
+    * sequences without re-scanning text.
+    *
+    * The global exclusive prefix sum is the scale hazard here:
+    * `assignShards` deliberately partitions per source because an
+    * unpartitioned ordered window funnels the WHOLE corpus through one
+    * task (the "No Partition Defined" trap). Sequence packing cannot
+    * dodge it — the order is global by definition — so this operator
+    * implements the classic TWO-PHASE distributed prefix sum,
+    * declaratively:
+    *   1. rows bucket by fixed VALUE ranges of `orderCol` (range
+    *      bucketing needs only the (min, max) scalars — one cheap
+    *      agg, broadcast back; bucket order is aligned with key order
+    *      by construction, no global pass);
+    *   2. within-bucket exclusive cumsum — a PARTITIONED window, all
+    *      buckets in parallel;
+    *   3. per-bucket totals cumsum — the only unpartitioned window,
+    *      over ≤ `buckets` ROWS (bounded by the knob, never by the
+    *      corpus), broadcast-joined back;
+    *   4. global offset = bucket base + within-bucket prefix; each
+    *      doc explodes to its covered sequences via one `sequence`
+    *      generator (≤ ceil(len/seqLen)+1 rows per doc).
+    *
+    * Deterministic, exact integer arithmetic end to end; the oracle
+    * mirrors the SEMANTICS with a plain global-window cumsum (fine at
+    * oracle scale) — the two-phase decomposition is bit-equal to the
+    * global sum because token counts are integers and addition is
+    * associative. Ties in `orderCol` would make the prefix sum
+    * order-ambiguous, so uniqueness is a contract (`doc_id` for the
+    * registered query). */
+  def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
+                    seqLen: Long, buckets: Int = 1024): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val bounds = df.agg(
+      min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
+    // value-range bucket: (key - lo) * buckets / (hi - lo + 1) — integer,
+    // order-aligned, and every bucket id is in [0, buckets)
+    val bucketed = df
+      .select(col(orderCol), col(tokensCol).cast("long").as("__n"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        call_function("div",
+          (col(orderCol) - col("__lo")).cast("long") * buckets,
+          (col("__hi") - col("__lo")).cast("long") + 1L))
+      .drop("__lo", "__hi")
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = bucketed.withColumn("__local",
+      coalesce(sum(col("__n")).over(inBucket), lit(0L)))
+    // per-bucket totals, then the bounded unpartitioned cumsum
+    val baseW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bucketed.groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__tot"))
+      .withColumn("__base", coalesce(sum(col("__tot")).over(baseW), lit(0L)))
+      .select(col("__b"), col("__base"))
+    val offd = withLocal.join(broadcast(bases), Seq("__b"))
+      .withColumn("__o", col("__base") + col("__local"))
+    // sequences covered: floor(o/S) .. floor((o+n-1)/S); slice bounds
+    // per sequence by pure integer clamps
+    val S = lit(seqLen)
+    offd
+      .filter(col("__n") > 0)
+      .withColumn("seq_id",
+        explode(sequence(
+          call_function("div", col("__o"), S),
+          call_function("div", col("__o") + col("__n") - 1L, S))))
+      .withColumn("__sstart", col("seq_id") * S)
+      .select(
+        col("seq_id"),
+        col(orderCol),
+        greatest(col("__sstart") - col("__o"), lit(0L)).as("doc_off"),
+        greatest(col("__o") - col("__sstart"), lit(0L)).as("seq_off"),
+        (least(col("__sstart") + S, col("__o") + col("__n"))
+          - greatest(col("__sstart"), col("__o"))).as("n_tokens"))
+  }
 }

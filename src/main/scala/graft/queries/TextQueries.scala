@@ -1314,7 +1314,47 @@ object TextQueries {
     // row-identical to a from-scratch materialization whichever path
     // the guard takes
     QuerySpec("d39_guarded_advance", d39, Some(d12Sql)),
-    QuerySpec("d40_gram_cap_report", d40, Some(d40Sql)))
+    QuerySpec("d40_gram_cap_report", d40, Some(d40Sql)),
+    QuerySpec("d41_sequence_packing", d41, Some(d41Sql)))
+
+  /** Fixed-length sequence packing manifest (d41, round-18): documents
+    * concatenate in doc_id order into one token stream split at every
+    * 256-token boundary — one row per (sequence, document) slice, the
+    * manifest the tokenizer-side packer consumes. The engine runs the
+    * TWO-PHASE distributed prefix sum (value-range buckets → parallel
+    * within-bucket windows → a bounded ≤1024-row base cumsum — never
+    * a corpus-wide unpartitioned window); the oracle mirrors the
+    * semantics with a plain global cumsum, which is bit-equal because
+    * integer addition is associative. */
+  private def d41(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+      Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      orderCol = "doc_id", tokensCol = "n_tokens", seqLen = 256L)
+      .orderBy(col("seq_id"), col("doc_id"))
+
+  private val d41Sql =
+    """WITH t AS (
+      | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      | FROM documents),
+      |o AS (
+      | SELECT doc_id, n,
+      |   COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      | FROM t),
+      |spans AS (
+      | SELECT doc_id, n, off,
+      |   unnest(generate_series(CAST(off // 256 AS BIGINT),
+      |                          CAST((off + n - 1) // 256 AS BIGINT))) AS seq_id
+      | FROM o WHERE n > 0)
+      |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+      |  CAST(greatest(seq_id * 256 - off, 0) AS BIGINT) AS doc_off,
+      |  CAST(greatest(off - seq_id * 256, 0) AS BIGINT) AS seq_off,
+      |  CAST(least(seq_id * 256 + 256, off + n)
+      |       - greatest(seq_id * 256, off) AS BIGINT) AS n_tokens
+      |FROM spans
+      |ORDER BY seq_id, doc_id""".stripMargin
 
   /** Decontamination cap telemetry (d40, round-18 — round-17 ADVICE):
     * what d36/d37's occurrence cap removed from THIS corpus/probe

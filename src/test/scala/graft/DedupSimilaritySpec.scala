@@ -404,6 +404,54 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got(20L) === ((3L, 0L, 3L)))
   }
 
+  test("sequence packing: spans, boundaries, and two-phase == global prefix sum") {
+    import graft.operators.Packing
+    // tokens: 10, 250, 300, 8, 512 at seqLen 256 — exercises a doc
+    // ending exactly at a boundary (10+250-1 ends475... see below), a
+    // doc spanning 2 and 3 sequences, and an exact multi-seq doc
+    val docs = Seq((1L, 10L), (2L, 246L), (3L, 300L), (4L, 8L), (5L, 512L))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(docs, "doc_id", "n_tokens", seqLen = 256L,
+        buckets = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // offsets: d1 o=0 n=10; d2 o=10 n=246 (fills seq 0 exactly to 256);
+    // d3 o=256 n=300 (seq 1 full 256 + seq 2 first 44); d4 o=556 n=8;
+    // d5 o=564 n=512 (seq 2 remaining 204 + seq 3 full + seq 4 last 52)
+    assert(got === Set(
+      (0L, 1L, 0L, 0L, 10L),
+      (0L, 2L, 0L, 10L, 246L),
+      (1L, 3L, 0L, 0L, 256L),
+      (2L, 3L, 256L, 0L, 44L),
+      (2L, 4L, 0L, 44L, 8L),
+      (2L, 5L, 0L, 52L, 204L),
+      (3L, 5L, 204L, 0L, 256L),
+      (4L, 5L, 460L, 0L, 52L)), s"got $got")
+    // per-sequence token budget holds: every sequence except the last
+    // sums to exactly seqLen
+    val bySeq = got.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(bySeq === Map(0L -> 256L, 1L -> 256L, 2L -> 256L, 3L -> 256L, 4L -> 52L))
+    // two-phase distributed prefix == plain global window at any
+    // bucket count, including buckets with no rows (sparse ids)
+    val sparse = Seq(1L, 2L, 900L, 901L, 5000L).zipWithIndex
+      .map { case (id, i) => (id, (i * 37 + 5).toLong) }
+      .toDF("doc_id", "n_tokens")
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = sparse
+      .withColumn("__o", coalesce(sum(col("n_tokens")).over(wAll), lit(0L)))
+      .select("doc_id", "__o").as[(Long, Long)].collect().toMap
+    for (b <- Seq(1, 2, 7, 64)) {
+      val two = Packing.packSequences(sparse, "doc_id", "n_tokens",
+          seqLen = 16L, buckets = b)
+        .filter(col("doc_off") === 0)
+        .select(col("doc_id"), col("seq_id") * 16 + col("seq_off"))
+        .as[(Long, Long)].collect().toMap
+      assert(two === ref, s"two-phase offsets diverged at buckets=$b")
+    }
+  }
+
   test("hash-coin sample is deterministic and near the nominal rate") {
     val emb = Tables.embeddings(spark, sfDir)
     val keep = Similarity.hashCoin(col("vec_id")) // default ¼

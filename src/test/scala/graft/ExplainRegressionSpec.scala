@@ -299,6 +299,25 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"the excision exploded a row-local array:\n$p")
   }
 
+  test("d41: the only unpartitioned window is the bounded per-bucket base cumsum") {
+    val p = plan("d41_sequence_packing")
+    // every corpus-scale window must carry a partition spec (the
+    // within-bucket cumsum partitions by __b); an ordered window with
+    // NO partition list funnels the whole corpus through one task —
+    // the exact trap packSequences exists to avoid. The one allowed
+    // unpartitioned window is the per-bucket base cumsum, whose input
+    // is the <=1024-row bucket-totals aggregate, identifiable by its
+    // __tot input column.
+    val unpartitioned = "Window \\[[^\\]]*\\], \\[[^\\]]*ASC[^\\]]*\\]\\n"
+      .r // Window [exprs], [order] — two bracket groups = no partition list
+    val wins = "Window \\[[^\\]]*\\](, \\[[^\\]]*\\])*".r.findAllIn(p).toList
+    val noPart = wins.filterNot(_.matches(
+      "Window \\[[^\\]]*\\], \\[[^\\]]*\\], \\[[^\\]]*\\]"))
+    assert(noPart.forall(_.contains("__tot")),
+      s"an unpartitioned window runs over corpus-scale input:\n$noPart\n$p")
+    assert(noPart.size <= 1, s"extra unpartitioned windows:\n$noPart\n$p")
+  }
+
   test("d38: repetition removal is one narrow pass — zero exchanges, zero generators") {
     val p = plan("d38_repetition_removal")
     assert(!p.contains("Exchange hashpartitioning"),
