@@ -231,6 +231,33 @@ object Similarity {
       topN, minCos = Double.NegativeInfinity)
   }
 
+  /** Cluster-balanced sampling (e13): keep up to `perCell` vectors
+    * from EVERY IVF cell — the diversity-sampling step a curation
+    * pipeline runs so a subsample covers the embedding space instead
+    * of its density peaks (uniform sampling of a clustered corpus
+    * over-draws the dense clusters; per-cell caps flatten that, the
+    * stratified twin of d24's temperature flattening over sources).
+    * Within a cell the kept vectors are the `perCell` smallest by
+    * (md5(vec_id), vec_id) — `hashSample`'s deterministic hash-order
+    * rule applied per group, so membership is reproducible,
+    * append-stable per cell, and exactly mirrorable.
+    *
+    * Scale shape: the IVF assignment scores N×cells against a
+    * BROADCAST centroid table (no shuffle), and the per-cell rank is
+    * a window PARTITIONED by cell — parallel across cells, no global
+    * pass. Output: (vec_id, cell_id, cell_rank). */
+  def clusterBalancedSample(emb: DataFrame, cells: Int,
+                            perCell: Int): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1: $perCell")
+    val index = Ivf.build(emb, cells, iters = 2)
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    index.assigned
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .filter(col("cell_rank") <= perCell)
+      .select(col("vec_id"), col("cell_id"), col("cell_rank"))
+  }
+
   /** Int8 scalar quantization: per-vector scale = max |x_i|, code
     * q_i = round(x_i / scale · 127) ∈ [-127, 127] — 4× smaller at rest,
     * which at 100 TB of embeddings is the difference between fitting
