@@ -326,6 +326,38 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"a generator explode crept into the row-local rewrite:\n$p")
   }
 
+  test("c2: junction distinct and dims keep the canonical join shape") {
+    val p = plan("c2_movies_by_genre")
+    // the transliterated junction (distinct lineitem x supplier pairs)
+    // must join supplier/nation/part without a cartesian; the genre
+    // filter must reach the nation scan (partition-pruning class)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in c2:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(n_name), EqualTo(n_name,NATION_3)]") ||
+      p.contains("EqualTo(n_name,NATION_3)"),
+      s"genre predicate not pushed to the nation scan:\n$p")
+  }
+
+  test("e13: cluster sample assigns against a broadcast centroid table, ranks per cell") {
+    val p = plan("e13_cluster_sample")
+    // the IVF assignment must not shuffle the corpus against the
+    // centroids (the centroid table is driver-local metadata inlined
+    // as literals/broadcast), and the rank window partitions by cell
+    assert(!p.contains("SortMergeJoin"),
+      s"IVF assignment regressed to a corpus shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in e13:\n$p")
+  }
+
+  test("d40: cap report keeps the sweep's shuffled-hash probe prune") {
+    val p = plan("d40_gram_cap_report")
+    assert("ShuffledHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftSemi".r
+      .findFirstIn(p).isDefined,
+      s"probe-key prune is not a shuffled hash semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join crept into d40 (sorts the gram stream):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in d40:\n$p")
+  }
+
   test("q30: session windows and the regroup share one user_id Exchange") {
     val p = plan("q30_sessionization")
     // both lag/sum windows and the final (user_id, session_seq) aggregate
