@@ -716,6 +716,38 @@ object Dedup {
       exactSubstringContamination(corpus, probe, idCol, textCol,
         minTokens, k, maxOcc, pairWidth))
 
+  /** Contamination-aware dataset split (d42): the composition a
+    * release pipeline actually ships — every corpus document gets its
+    * deterministic content-hash split (d11's train/val/test rule),
+    * EXCEPT documents sharing a ≥ `minTokens` verbatim run with the
+    * probe/eval set (the d36 sweep), which are QUARANTINED out of
+    * every split. Splitting and decontamination are otherwise
+    * independently correct but composed wrong in practice (hash-split
+    * first, scrub later, leak through the val set); doing both in one
+    * declarative contract makes the leak structurally impossible and
+    * driver-checkable. Scale shape: the sweep is probe-proportional
+    * (d36), the contaminated-id set is Θ(matches) and joins back as
+    * one equi-join, the split is a per-row expression — nothing here
+    * adds a corpus-scale stage beyond the sweep itself. */
+  def contaminationAwareSplit(corpus: DataFrame, probe: DataFrame,
+                              idCol: String, textCol: String,
+                              minTokens: Int, k: Int = 5, maxOcc: Int = 100,
+                              pairWidth: Option[Int] = None): DataFrame = {
+    val contaminated = exactSubstringContamination(corpus, probe,
+        idCol, textCol, minTokens, k, maxOcc, pairWidth)
+      .select(col("corpus_id").as("__cid")).distinct()
+      .withColumn("__cont", lit(true))
+    corpus
+      .select(col(idCol).cast("long").as(idCol),
+        TextAnalysis.hashSplit(TextAnalysis.textHash(col(textCol)))
+          .as("__split0"))
+      .join(contaminated, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        when(col("__cont"), lit("quarantined")).otherwise(col("__split0"))
+          .as("split"),
+        coalesce(col("__cont"), lit(false)).as("contaminated"))
+  }
+
   // ---------------- incremental (batch-vs-corpus) ----------------
 
   /** Cross-corpus Jaccard pairs: (incoming doc, corpus doc) pairs that

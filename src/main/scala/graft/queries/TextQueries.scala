@@ -1315,7 +1315,75 @@ object TextQueries {
     // the guard takes
     QuerySpec("d39_guarded_advance", d39, Some(d12Sql)),
     QuerySpec("d40_gram_cap_report", d40, Some(d40Sql)),
-    QuerySpec("d41_sequence_packing", d41, Some(d41Sql)))
+    QuerySpec("d41_sequence_packing", d41, Some(d41Sql)),
+    QuerySpec("d42_contamination_split", d42, Some(d42Sql)))
+
+  /** Contamination-aware split (d42, round-18): d11's content-hash
+    * train/val/test rule over the corpus side, with every document
+    * the d36 sweep finds contaminated (≥15-token verbatim run shared
+    * with the mod-5 probe/eval set) QUARANTINED out of all splits —
+    * the one-contract composition that makes eval leakage through any
+    * split structurally impossible. The oracle re-derives BOTH halves
+    * from scratch: the full two-side sweep pipeline and the double-md5
+    * bucket split. */
+  private def d42(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationAwareSplit(
+      corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      probe = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", minTokens = 15, k = 5, maxOcc = 100)
+      .orderBy(col("doc_id"))
+  }
+
+  private val d42Sql =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      | SELECT doc_id, doc_id % 5 = 0 AS probe,
+      |   unnest(range(1, greatest(len(t) - 3, 1))) AS pos,
+      |   unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+      |     i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+      |              || t[i+3] || ' ' || t[i+4]))) AS f
+      | FROM toks),
+      |capped AS (
+      | SELECT doc_id, probe, pos, f FROM (
+      |   SELECT doc_id, probe, pos, f, COUNT(*) OVER (PARTITION BY f) AS occ
+      |   FROM grams)
+      | WHERE occ <= 100),
+      |m AS (
+      | SELECT a.doc_id AS probe_id, a.pos AS probe_pos,
+      |        b.doc_id AS corpus_id, b.pos AS corpus_pos
+      | FROM capped a JOIN capped b
+      |   ON a.f = b.f AND a.probe AND NOT b.probe
+      |   AND a.doc_id != b.doc_id),
+      |runs AS (
+      | SELECT probe_id, corpus_id, probe_pos - corpus_pos AS diag,
+      |   probe_pos - row_number() OVER (
+      |     PARTITION BY probe_id, corpus_id, probe_pos - corpus_pos
+      |     ORDER BY probe_pos) AS grp,
+      |   probe_pos
+      | FROM m),
+      |contam AS (
+      | SELECT DISTINCT corpus_id FROM runs
+      | GROUP BY probe_id, corpus_id, diag, grp
+      | HAVING COUNT(*) + 4 >= 15),
+      |splits AS (
+      | SELECT doc_id,
+      |   CASE WHEN bucket < 25 THEN 'val'
+      |        WHEN bucket < 50 THEN 'test'
+      |        ELSE 'train' END AS split0
+      | FROM (SELECT doc_id,
+      |         (strpos('0123456789abcdef', h[1]) - 1) * 16 +
+      |         (strpos('0123456789abcdef', h[2]) - 1) AS bucket
+      |       FROM (SELECT doc_id,
+      |               substr(md5(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))), 1, 2) AS h
+      |             FROM documents WHERE doc_id % 5 <> 0)))
+      |SELECT s.doc_id,
+      |  CASE WHEN c.corpus_id IS NOT NULL THEN 'quarantined'
+      |       ELSE s.split0 END AS split,
+      |  c.corpus_id IS NOT NULL AS contaminated
+      |FROM splits s LEFT JOIN contam c ON s.doc_id = c.corpus_id
+      |ORDER BY s.doc_id""".stripMargin
 
   /** Fixed-length sequence packing manifest (d41, round-18): documents
     * concatenate in doc_id order into one token stream split at every

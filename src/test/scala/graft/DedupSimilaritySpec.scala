@@ -1358,6 +1358,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
       (10L, md5hex(tokRange("m", 1, 16) + " p9"), 17L, 0L, 0L)), s"got $got")
   }
 
+  test("contamination-aware split: contaminated docs quarantine, others keep their hash split") {
+    import graft.operators.TextAnalysis
+    // corpus doc 1 carries the probe's r-run (contaminated); docs 2/4
+    // are clean and must keep exactly their content-hash splits
+    val corpus = Seq(
+      (1L, tokRange("x", 1, 4) + " " + tokRange("r", 1, 20)),
+      (2L, tokRange("c", 1, 25)),
+      (4L, tokRange("d", 1, 25))).toDF("doc_id", "text")
+    val probe = Seq(
+      (5L, "p1 p2 " + tokRange("r", 1, 16))).toDF("doc_id", "text")
+    val got = Dedup.contaminationAwareSplit(corpus, probe,
+        "doc_id", "text", minTokens = 15, k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    val expectSplit = corpus
+      .select(col("doc_id"), TextAnalysis.hashSplit(
+        TextAnalysis.textHash(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === (("quarantined", true)), s"got $got")
+    assert(got(2L) === ((expectSplit(2L), false)), s"got $got")
+    assert(got(4L) === ((expectSplit(4L), false)), s"got $got")
+  }
+
   test("repetition removal: repeats drop, first occurrence and order survive") {
     val fix = Seq(
       (1L, "alpha\n\nbeta\n\nalpha\n\ngamma\n\nbeta"), // two repeats drop
