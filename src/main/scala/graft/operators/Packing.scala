@@ -74,7 +74,10 @@ object Packing {
     * global sum because token counts are integers and addition is
     * associative. Ties in `orderCol` would make the prefix sum
     * order-ambiguous, so uniqueness is a contract (`doc_id` for the
-    * registered query). */
+    * registered query); the key must be numeric, and the bucket
+    * arithmetic needs (max − min + 1) · buckets < 2⁶³ — at the
+    * default 1024 buckets that allows a key span of ~9·10¹⁵, far
+    * past any real doc-id universe. */
   def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
                     seqLen: Long, buckets: Int = 1024): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
