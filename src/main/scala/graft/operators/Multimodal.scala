@@ -199,10 +199,12 @@ object Multimodal {
     * round-trips correctly. `requireAscii` is a COMPATIBILITY check
     * (round-17 VERDICT item 7, demoting the round-16 corpus
     * constraint), set only by callers whose external mirrors still
-    * compute in CHARACTERS (m01/m06/m07's length/rpad/substring
-    * oracles): for those, a multi-byte corpus would silently diverge
-    * from the mirror, so the packer fails LOUDLY with an attributable
-    * message instead. The m03/m04/m05 mirrors compute in bytes
+    * compute in CHARACTERS — after round 18 moved m01/m06 to byte
+    * arithmetic, that is m07 alone (its frame-sample oracle slices
+    * payload text with substring, which DuckDB lacks a blob twin
+    * for): there, a multi-byte corpus would silently diverge from
+    * the mirror, so the packer fails LOUDLY with an attributable
+    * message instead. The m01-m06 mirrors compute in bytes
     * (octet_length + byte padding) and run unguarded — driver-exact
     * on non-ASCII corpora (pinned by the round-18 non-ASCII staged
     * pin). The char length rides the same projection (one built-in

@@ -77,7 +77,9 @@ object Packing {
     * registered query); the key must be numeric, and the bucket
     * arithmetic needs (max − min + 1) · buckets < 2⁶³ — at the
     * default 1024 buckets that allows a key span of ~9·10¹⁵, far
-    * past any real doc-id universe. */
+    * past any real doc-id universe. The span contract is enforced
+    * with a loud raise_error on the bounds row (round-18 ADVICE),
+    * never a silent wrap. */
   def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
                     seqLen: Long, buckets: Int = 1024): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
@@ -86,13 +88,32 @@ object Packing {
       min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
     // value-range bucket: (key - lo) * buckets / (hi - lo + 1) — integer,
     // order-aligned, and every bucket id is in [0, buckets)
+    //
+    // The (max − min + 1) · buckets < 2⁶³ contract is ENFORCED, not just
+    // documented (round-18 ADVICE): a key span past the bound would
+    // silently overflow (key − lo) · buckets into negative bucket ids
+    // and emit a corrupt packing manifest. The check reads only the
+    // broadcast bounds row, so it is constant-folded per partition:
+    // a wrapped (hi − lo) is NEGATIVE (true diff ≥ 0 always, so a
+    // negative value proves 2⁶³ overflow of the diff itself), and a
+    // legal diff must stay ≤ ⌊2⁶³−1 / buckets⌋ − 1 for (diff+1)·buckets
+    // to fit a long (conservative by at most one key at the boundary).
+    val maxDiff = Long.MaxValue / buckets - 1
+    val spanDiff = (col("__hi") - col("__lo")).cast("long")
     val bucketed = df
       .select(col(orderCol), col(tokensCol).cast("long").as("__n"))
       .crossJoin(broadcast(bounds))
       .withColumn("__b",
-        call_function("div",
+        when(spanDiff < 0L || spanDiff > maxDiff,
+          raise_error(concat(
+            lit(s"packSequences: key span * $buckets buckets overflows " +
+              "long bucket arithmetic (span "),
+            (col("__hi") - col("__lo")).cast("string"),
+            lit(s"+1 keys, max ${maxDiff + 1}) — raise `buckets` " +
+              "granularity down or renumber the key domain"))))
+        .otherwise(call_function("div",
           (col(orderCol) - col("__lo")).cast("long") * buckets,
-          (col("__hi") - col("__lo")).cast("long") + 1L))
+          (col("__hi") - col("__lo")).cast("long") + 1L)))
       .drop("__lo", "__hi")
     val inBucket = Window.partitionBy(col("__b")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -126,11 +126,24 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    // recurse into subdirectories (round-18 ADVICE: the former
+    // top-level-only listing silently UNDER-counted partitioned/nested
+    // layouts, and a partial count > 0 would feed planesFor/cellsFor a
+    // value that diverges from the oracle's COUNT(*)); hidden entries
+    // (_SUCCESS, _temporary, .crc) are skipped like any parquet reader
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Nil
+        }
     val files: Seq[org.apache.hadoop.fs.Path] =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath)
+      if (fs.getFileStatus(root).isDirectory) walk(root)
       else Seq(root)
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)

@@ -307,9 +307,10 @@ class ExplainRegressionSpec extends AnyFunSuite with SparkTestSession {
     // the exact trap packSequences exists to avoid. The one allowed
     // unpartitioned window is the per-bucket base cumsum, whose input
     // is the <=1024-row bucket-totals aggregate, identifiable by its
-    // __tot input column.
-    val unpartitioned = "Window \\[[^\\]]*\\], \\[[^\\]]*ASC[^\\]]*\\]\\n"
-      .r // Window [exprs], [order] — two bracket groups = no partition list
+    // __tot input column. A window with a partition list prints three
+    // bracket groups (exprs, partition, order); two groups = no
+    // partition list — the wins/noPart classification below encodes
+    // exactly that.
     val wins = "Window \\[[^\\]]*\\](, \\[[^\\]]*\\])*".r.findAllIn(p).toList
     val noPart = wins.filterNot(_.matches(
       "Window \\[[^\\]]*\\], \\[[^\\]]*\\], \\[[^\\]]*\\]"))
