@@ -10,9 +10,13 @@ import org.apache.spark.sql.SparkSession
   * round-4 showed 2x swings on queries with zero code delta):
   *   - a warm-up action runs first so timings measure the queries,
   *     not session/codegen initialization;
-  *   - each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and
-  *     the MEDIAN is reported, so one contended run can't masquerade
-  *     as a regression;
+  *   - each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) in
+  *     INTERLEAVED full windows (round-19: window w runs every query
+  *     once, then window w+1 repeats the suite) and the per-query
+  *     MEDIAN across windows is reported, so one contended stretch
+  *     can't masquerade as a regression — back-to-back repetition let
+  *     a single contention burst hit all of a query's runs at once;
+  *     the JSON carries per-window totals for a stability check;
   *   - spark.catalog.clearCache() runs before every timed execution,
   *     so a persist inside one query can neither leak speed into its
   *     own repeats nor squat in executor memory during later queries.
@@ -127,42 +131,76 @@ object Bench {
     // is unaffected by scheduler stalls that stretch wall time)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    val results = selected.map { case (name, fn) =>
-      // a prior query's rounds / stage metrics (and the warm-up's)
-      // must not bleed in: drain the bus, flush the residue, discard.
-      // A pre-drain timeout means stale stage events may still land in
-      // THIS query's window — record the marker AFTER the discard so
-      // it survives into this query's telemetry map instead of being
-      // drained away with the residue it is reporting about.
-      val preDrained = org.apache.spark.sql.GraftColumnBridge
-        .waitListenerBusEmpty(spark, 10000L)
-      stageAgg.flush()
-      Telemetry.drain()
-      if (!preDrained) Telemetry.record("bench.pre_drain_timeout", 1L)
-      // a failed query records -1 (not a plausible-looking elapsed time)
-      val times = (1 to runs).flatMap { _ =>
+    // Interleaved windows (round-19, VERDICT item 2): the `runs`
+    // repetitions of a query run in SEPARATE full passes over the
+    // suite rather than back-to-back — a contended stretch of the
+    // sandbox (GC storm, a co-tenant burst) then lands on AT MOST one
+    // of each query's repetitions instead of all three, and the
+    // per-query median across windows discards it. Window totals are
+    // emitted alongside so cross-round comparisons can check
+    // window-to-window agreement (±10% is the stability target)
+    // before reading any per-query delta as a regression. Standing
+    // fixtures (StandingFixtures, Ivf.buildCached) are built in
+    // window 1 and reused after — so medians price the CONSUME path
+    // and the build cost is attributed in fixture.*_build_ms.
+    val wallsBy = scala.collection.mutable.Map.empty[String, List[Double]]
+    val cpusBy = scala.collection.mutable.Map.empty[String, List[Double]]
+    val telBy = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+    val windowTotals = scala.collection.mutable.Buffer.empty[Double]
+    // per-execution telemetry merge: cumulative bench.* volume counters
+    // SUM across windows (preserving the former "summed over all runs"
+    // stage-metric semantics); operator convergence counters are
+    // deterministic per query+data, so last-wins
+    def mergeTel(prev: Map[String, Long], cur: Map[String, Long]): Map[String, Long] =
+      (prev.keySet ++ cur.keySet).map { k =>
+        val v =
+          if (k.startsWith("bench.")) prev.getOrElse(k, 0L) + cur.getOrElse(k, 0L)
+          else cur.getOrElse(k, prev(k))
+        k -> v
+      }.toMap
+    for (_ <- 1 to runs) {
+      var windowWall = 0.0
+      for ((name, fn) <- selected) {
+        // a prior query's rounds / stage metrics (and the warm-up's)
+        // must not bleed in: drain the bus, flush the residue, discard.
+        // A pre-drain timeout means stale stage events may still land
+        // in THIS query's window — record the marker AFTER the discard
+        // so it survives into this query's telemetry map instead of
+        // being drained away with the residue it is reporting about.
+        val preDrained = org.apache.spark.sql.GraftColumnBridge
+          .waitListenerBusEmpty(spark, 10000L)
+        stageAgg.flush()
+        Telemetry.drain()
+        if (!preDrained) Telemetry.record("bench.pre_drain_timeout", 1L)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val c0 = osBean.getProcessCpuTime
+        // a failed execution contributes nothing (an all-failed query
+        // records -1, never a plausible-looking elapsed time)
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some(((System.nanoTime() - t0) / 1e9,
-            (osBean.getProcessCpuTime - c0) / 1e9))
+          val dt = (System.nanoTime() - t0) / 1e9
+          wallsBy(name) = dt :: wallsBy.getOrElse(name, Nil)
+          cpusBy(name) =
+            ((osBean.getProcessCpuTime - c0) / 1e9) :: cpusBy.getOrElse(name, Nil)
+          windowWall += dt
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        // the deterministic drain runs outside the timed window
+        if (!org.apache.spark.sql.GraftColumnBridge.waitListenerBusEmpty(spark, 10000L))
+          Telemetry.record("bench.listener_drain_timeout", 1L)
+        stageAgg.flush()
+        telBy(name) = mergeTel(telBy.getOrElse(name, Map.empty), Telemetry.drain())
       }
-      def med(xs: Seq[Double]) =
-        if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.size - 1) / 2)
-      // stage metrics are summed over ALL runs of this query (divide
-      // by `runs` for per-execution volumes); the deterministic drain
-      // runs outside the timed window
-      if (!org.apache.spark.sql.GraftColumnBridge.waitListenerBusEmpty(spark, 10000L))
-        Telemetry.record("bench.listener_drain_timeout", 1L)
-      stageAgg.flush()
-      // convergence telemetry recorded by iterative operators during the
-      // runs (deterministic per query+data, so last-run values suffice)
-      (name, med(times.map(_._1)), med(times.map(_._2)), Telemetry.drain())
+      windowTotals += windowWall
+    }
+    def med(xs: Seq[Double]) =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.size - 1) / 2)
+    val results = selected.map { case (name, _) =>
+      (name, med(wallsBy.getOrElse(name, Nil)),
+        med(cpusBy.getOrElse(name, Nil)),
+        telBy.getOrElse(name, Map.empty[String, Long]))
     }
     // Artifact hygiene (round-9): the driver captures the TAIL of the
     // output, and r08's line lost its per-query wall map to the window
@@ -181,7 +219,8 @@ object Bench {
         .map { case (m, v) => "\"" + m + "\":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"initial_shuffle_partitions":$initialParts,"telemetry":$tel,"cpu_sec":$cpu,"queries":$qs}"""
+    val wtots = windowTotals.map(fmt).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"initial_shuffle_partitions":$initialParts,"window_totals":$wtots,"telemetry":$tel,"cpu_sec":$cpu,"queries":$qs}"""
     println(line)
     // sidecar file (round-10, VERDICT item 7): the driver captures only
     // the TAIL of stdout, and a 71-query line has repeatedly lost its

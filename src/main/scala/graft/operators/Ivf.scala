@@ -102,7 +102,17 @@ object Ivf {
       .select(col("vec_id"), col("embedding"),
         array_max(col("__scored")).getField("cell_id").as("cell_id"))
 
-  /** Build an index with k cells and `iters` Lloyd refinements. */
+  /** Build an index with k cells and `iters` Lloyd refinements.
+    *
+    * Cost note (round-19, VERDICT item 6): the Lloyd loop runs `iters`
+    * full corpus scans (assignment) plus one seed TakeOrdered scan —
+    * at corpora where even one scan per iteration dominates, train the
+    * centroids on a SAMPLE instead: `build(Similarity.hashSample(emb,
+    * "vec_id", n), k, iters)` converges to near-identical cells (the
+    * centroid of a uniform sample estimates the cell mean with
+    * O(1/√n) error) and the full corpus pays only the single
+    * assignment pass of `assign`. The registered queries instead reuse
+    * one build per corpus via `buildCached`. */
   def build(emb: DataFrame, k: Int, iters: Int = 2): IvfIndex = {
     // deterministic seeds: k smallest md5(vec_id), cell ids in md5 order
     var cents: Seq[(Int, Array[Float])] = emb
@@ -138,6 +148,42 @@ object Ivf {
         }
     }
     IvfIndex(cents, bestCell(emb, cents))
+  }
+
+  /** Recompute the assignment plan for already-trained centroids —
+    * one broadcast-scored corpus scan, no Lloyd work. */
+  def assign(emb: DataFrame, cents: Seq[(Int, Array[Float])]): DataFrame =
+    bestCell(emb, cents)
+
+  // trained centroids are a few KB of driver-local, session-free data
+  // — the ideal memo unit: reuse costs zero jobs, and the assignment
+  // plan is re-derived against the CALLER's DataFrame so nothing
+  // session-bound is cached
+  private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[(Int, Array[Float])]]()
+
+  /** `build` with driver-side centroid memoization (round-19, VERDICT
+    * item 6: e04/e05/e13 each re-ran the full Lloyd build on the same
+    * corpus). `cacheKey` must uniquely identify the CORPUS CONTENT —
+    * the registered queries pass the sf directory; pass "" to disable
+    * memoization. Same (cacheKey, k, iters) → the collected centroids
+    * are reused with zero scans and only the per-row assignment plan
+    * is rebuilt. The memo is per-JVM: a long-lived service should
+    * instead persist centroids next to the corpus (they ARE the
+    * index metadata). */
+  def buildCached(emb: DataFrame, k: Int, iters: Int = 2,
+                  cacheKey: String = ""): IvfIndex = {
+    if (cacheKey.isEmpty) build(emb, k, iters)
+    else {
+      val cents = centroidMemo.computeIfAbsent((cacheKey, k, iters), _ => {
+        val t0 = System.nanoTime()
+        val c = build(emb, k, iters).centroids
+        graft.Telemetry.record("fixture.ivf_build_ms",
+          (System.nanoTime() - t0) / 1000000L)
+        c
+      })
+      IvfIndex(cents, bestCell(emb, cents))
+    }
   }
 
   /** Top-k per query scanning only the `nprobe` best cells. */

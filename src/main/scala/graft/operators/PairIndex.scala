@@ -489,14 +489,28 @@ object PairIndex {
     * Append-path atomicity caveat: in-place appends are sequenced and
     * each append's plan reads only pre-append table state, but a
     * concurrent reader of the SAME DocIndex can observe a partially
-    * advanced index. */
+    * advanced index.
+    *
+    * `preserveInput = true` (round-19) selects COPY-ON-WRITE: the
+    * in-place append and partial-rewrite paths are redirected to the
+    * full-rewrite branch, so every artifact of the RESULT is a fresh
+    * generation and the input index is never mutated — full snapshot
+    * isolation for concurrent readers of the old generation, and the
+    * property that lets several consumers advance the SAME standing
+    * base (the suite's shared fixture; see
+    * queries.StandingFixtures). Row-identical to the default mode by
+    * construction (the full-rewrite branch copy-forwards unchanged
+    * rows); the price is copy-forward I/O of the index instead of
+    * batch-scale appends, so the daily production path leaves it
+    * off and snapshots via generation handoff instead. */
   def advanceDocIndex(spark: SparkSession, idx: DocIndex, batch: DataFrame,
                       idCol: String, textCol: String,
                       frozenCaps: Boolean = false,
                       economyGuard: Double = 0.3,
                       assertNoCapFlips: Boolean = false,
                       driftStats: Boolean = true,
-                      autoCompactMaxFiles: Double = 0.0): AdvanceResult = {
+                      autoCompactMaxFiles: Double = 0.0,
+                      preserveInput: Boolean = false): AdvanceResult = {
     import org.apache.spark.storage.StorageLevel
     // per-phase wall is ALWAYS exported to Telemetry (round-13, VERDICT
     // item 7) so a bench regression in the advance is attributable from
@@ -963,7 +977,7 @@ object PairIndex {
       batchD.unpersist()
     }
     val result =
-      if (nEvicted == 0 && nAffected == 0) {
+      if (!preserveInput && nEvicted == 0 && nAffected == 0) {
         // pure append: A == batch, so the delta is exactly the new
         // cross+within pairs and no existing row changes. The caches
         // are released BEFORE the tables they read are mutated —
@@ -983,7 +997,7 @@ object PairIndex {
           graft.etl.Layout.appendBucketed(dfBCk.get, t, "s", numBuckets)))
         stampProps(idx.pairsTable, nCorpus + nNew)
         AdvanceResult(idx, appended = true, nNew, 0L, 0L, nFlips, flipHolders)
-      } else if (nEvicted == 0) {
+      } else if (!preserveInput && nEvicted == 0) {
         // partial rewrite (the common cap-cascade case): with no
         // evictions, NO existing survivor or posting row changes —
         // affected-old docs keep their rows; only their PAIR scores

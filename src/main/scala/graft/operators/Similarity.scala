@@ -216,9 +216,10 @@ object Similarity {
     * `cells <= 0` (the default) derives √N from a metadata-cheap
     * count per the sizing rule above; pass an explicit count to pin
     * reproducible cell assignments across differently-sized corpora. */
-  def nearDupBlocked(emb: DataFrame, topN: Int, cells: Int = 0): DataFrame = {
+  def nearDupBlocked(emb: DataFrame, topN: Int, cells: Int = 0,
+                     cacheKey: String = ""): DataFrame = {
     val nCells = if (cells > 0) cells else cellsFor(emb.count())
-    val index = Ivf.build(emb, nCells, iters = 2)
+    val index = Ivf.buildCached(emb, nCells, iters = 2, cacheKey = cacheKey)
     val a = index.assigned.select(col("cell_id"),
       col("vec_id").as("v1"), col("embedding").as("e1"))
       .withColumn("n1", norm2E12(col("e1")))
@@ -247,9 +248,9 @@ object Similarity {
     * a window PARTITIONED by cell — parallel across cells, no global
     * pass. Output: (vec_id, cell_id, cell_rank). */
   def clusterBalancedSample(emb: DataFrame, cells: Int,
-                            perCell: Int): DataFrame = {
+                            perCell: Int, cacheKey: String = ""): DataFrame = {
     require(perCell >= 1, s"perCell must be >= 1: $perCell")
-    val index = Ivf.build(emb, cells, iters = 2)
+    val index = Ivf.buildCached(emb, cells, iters = 2, cacheKey = cacheKey)
     val w = Window.partitionBy(col("cell_id"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     index.assigned

@@ -138,8 +138,9 @@ object Events {
   private def q29(s: SparkSession, dir: String): DataFrame = {
     val sink = graft.streaming.EventsStreaming
       .tempDirDeletedOnExit("graft_q29_sink").toString
-    graft.streaming.EventsStreaming.runToParquetSink(s, dir, sink)
-      .awaitTermination()
+    val sq = graft.streaming.EventsStreaming.runToParquetSink(s, dir, sink)
+    sq.awaitTermination()
+    graft.streaming.EventsStreaming.recordStateTelemetry("q29", sq)
     s.read.parquet(sink)
       .orderBy(col("hour"), col("event_type"))
   }
@@ -203,9 +204,10 @@ object Events {
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val sink = graft.streaming.EventsStreaming
       .tempDirDeletedOnExit("graft_q31_sink").toString
-    graft.streaming.EventsStreaming
+    val sq = graft.streaming.EventsStreaming
       .runSessionsToParquetSink(s, dir, sink, gap = "30 minutes")
-      .awaitTermination()
+    sq.awaitTermination()
+    graft.streaming.EventsStreaming.recordStateTelemetry("q31", sq)
     s.read.parquet(sink)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("start_us"),
@@ -265,9 +267,13 @@ object Events {
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
       .unionByName(base.filter(pmod(col("doc_id"), lit(14)) === 0)
         .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
-    graft.streaming.DocsStreaming
+    val sq = graft.streaming.DocsStreaming
       .runDedupToParquetSink(s, docs, sink, chunks = 4)
-      .awaitTermination()
+    sq.awaitTermination()
+    // state telemetry (round-19, VERDICT item 5): final state rows
+    // should equal the distinct canonical forms seen — the measured
+    // state ∝ distinct-forms curve the 100 TB sharding story needs
+    graft.streaming.EventsStreaming.recordStateTelemetry("q33", sq)
     s.read.parquet(sink)
       .select(col("doc_id"), md5(col("text")).as("text_md5"),
         graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))

@@ -43,6 +43,32 @@ object EventsStreaming {
     * bench/verify runs (each round is its own JVM; within a JVM the
     * sink dir is still live when the lazy read-back executes, so
     * eager deletion is not an option). */
+  /** State-store telemetry for a completed bounded streaming run
+    * (round-19, VERDICT item 5): surface the
+    * `StreamingQueryProgress.stateOperators` numbers into `Telemetry`
+    * — which Bench drains into its per-query JSON — so state growth
+    * carries a MEASURED curve instead of a scaladoc sentence (q33's
+    * seen-form state is exact-forever by contract: one boolean per
+    * distinct canonical form, sharded by the group exchange; the
+    * sharding/compaction story at 100 TB plans against these numbers).
+    * Records the FINAL state size (rows/bytes — the cross-batch
+    * carry), total state rows updated across batches, and the
+    * data-bearing batch count. */
+  def recordStateTelemetry(prefix: String, q: StreamingQuery): Unit = {
+    val ps = q.recentProgress.toSeq
+    val withState = ps.filter(_.stateOperators.nonEmpty)
+    withState.lastOption.foreach { last =>
+      graft.Telemetry.record(s"$prefix.state_rows",
+        last.stateOperators.map(_.numRowsTotal).sum)
+      graft.Telemetry.record(s"$prefix.state_bytes",
+        last.stateOperators.map(_.memoryUsedBytes).sum)
+      graft.Telemetry.record(s"$prefix.state_rows_updated",
+        withState.flatMap(_.stateOperators).map(_.numRowsUpdated).sum)
+    }
+    graft.Telemetry.record(s"$prefix.batches",
+      ps.count(_.numInputRows > 0))
+  }
+
   def tempDirDeletedOnExit(prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {

@@ -189,6 +189,57 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     PairIndex.dropDocIndex(spark, scratch)
   }
 
+  test("preserveInput advance never mutates the input index and stays row-identical") {
+    // same fixture as the append-path test: without preserveInput this
+    // is a pure in-place append (r.appended, r.idx eq idx); with it the
+    // advance must write ALL-fresh generations, leave every input
+    // table byte-identical, and still equal the from-scratch answer —
+    // the copy-on-write contract the shared suite fixture relies on
+    // (round-19, StandingFixtures)
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",
+      3L -> "totally unrelated content sits here quietly")
+    val batch = docsDf(
+      101L -> "a b c d e f g y",
+      102L -> "m n o p q r s t",
+      103L -> "m n o p q r s u")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    val before = (Seq(idx.survivorsTable, idx.pairsTable)
+      ++ idx.postingsTable ++ idx.dfTable)
+      .map(t => t -> spark.table(t).collect().toSet).toMap
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity, preserveInput = true)
+    assert(!r.appended, "preserveInput must never report an in-place append")
+    val inputTables = before.keySet
+    val resultTables = (Seq(r.idx.survivorsTable, r.idx.pairsTable)
+      ++ r.idx.postingsTable ++ r.idx.dfTable).toSet
+    assert(resultTables.intersect(inputTables).isEmpty,
+      s"preserveInput result reuses input tables: ${resultTables.intersect(inputTables)}")
+    before.foreach { case (t, rows) =>
+      assert(spark.table(t).collect().toSet === rows,
+        s"preserveInput mutated input table $t")
+    }
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    // frozen daily mode under copy-on-write: same guarantees
+    val rf = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      frozenCaps = true, preserveInput = true)
+    assert(!rf.appended)
+    before.foreach { case (t, rows) =>
+      assert(spark.table(t).collect().toSet === rows,
+        s"frozen preserveInput mutated input table $t")
+    }
+    assertTablesEqual(rf.idx, scratch)
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, rf.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
   test("advanceDocIndex rescores old pairs when the batch pushes a shingle over the df-cap") {
     // cap 2: corpus pair (1,2) scores 3/5 = 0.6 via shared shingles
     // {p q r, q r s, r s t}; the batch doc re-uses "p q r", pushing its
