@@ -617,6 +617,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(rb >= rs, "banding lost recall vs the single-signature floor")
   }
 
+  test("lshRecallReport: generator counts bound the ε-universe; banded default wins; flip wired") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val r = Similarity.lshRecallReport(emb, minCos = 0.42).collect().head
+    val (rows, eps, banded, probe) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(rows === math.min(500L, emb.count()))
+    // both generators emit SUBSETS of the exact ε-universe (same
+    // threshold tail over a candidate subset) — counts can never
+    // exceed it, and the banded OR-construction dominates the
+    // single-signature generator by construction
+    assert(banded <= eps && probe <= eps)
+    assert(banded >= probe,
+      s"banding lost recall vs single-signature: $banded < $probe")
+    assert(eps > 0, "fixture ε-universe is empty — the report is vacuous")
+    // the round-19 default flip: the epsilon entry point's default
+    // generator IS the banded one (bands = 0 selects single-signature)
+    val docs = Tables.documents(spark, sfDir)
+    val viaDefault = Similarity.semDedupCurationThreshold(
+      docs, emb, "doc_id", "text", minCos = 0.42,
+      sizeHint = emb.count()).orderBy(col("doc_id"))
+    val viaBanded = Similarity.semDedupCurationBanded(
+      docs, emb, "doc_id", "text", minCos = 0.42,
+      sizeHint = emb.count()).orderBy(col("doc_id"))
+    assert(viaDefault.exceptAll(viaBanded).isEmpty &&
+      viaBanded.exceptAll(viaDefault).isEmpty,
+      "default epsilon entry point must ride the banded generator")
+  }
+
   test("parquetRowCount reads the exact count from footers; LSH plan construction runs zero jobs") {
     // footer metadata equals count() on both a single file and a
     // Spark-written directory
