@@ -127,8 +127,13 @@ object CanonicalTpch {
       .filter(col("director").isNotNull && col("director") =!= "N/A")
       .groupBy(col("director"))
       .agg(count(lit(1)).as("movie_count"),
+        // AVG denominator counts NON-NULL ratings (round-19): SQL AVG
+        // ignores nulls, so a director with a null-rating movie must
+        // average over the rated ones only — count(*) would silently
+        // deflate the mean on degraded rows (no gate corpus carries
+        // nulls, but the degrade fixture spec does)
         (sum(ExactNum.cents(col("imdb_rating"))).cast("double")
-          / count(lit(1)) / 100.0).as("avg_rating"))
+          / count(col("imdb_rating")) / 100.0).as("avg_rating"))
       .filter(col("movie_count") >= 3)
       .orderBy(col("avg_rating").desc, col("director").asc)
       .limit(20)
@@ -138,7 +143,7 @@ object CanonicalTpch {
       | SELECT p_brand AS director,
       |   CAST(COUNT(*) AS BIGINT) AS movie_count,
       |   CAST(SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) AS DOUBLE)
-      |     / COUNT(*) / 100.0 AS avg_rating
+      |     / COUNT(p_retailprice) / 100.0 AS avg_rating
       | FROM part
       | WHERE p_brand IS NOT NULL AND p_brand <> 'N/A'
       | GROUP BY 1
