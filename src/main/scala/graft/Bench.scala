@@ -70,6 +70,19 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE_BROADCAST", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Generated-class cache sized to the suite (round-19, guide §1:
+      // measure the QUERIES, not compilation): the default
+      // spark.sql.codegen.cache.maxEntries=100 holds fewer codegen
+      // units than ONE pass over the 103-query suite produces, so
+      // under interleaved windows every window re-Janino-compiles and
+      // re-JITs every WholeStageCodegen/expression class — measured as
+      // monotonically-declining window totals (194.7/158.3/132.1 s)
+      // whose medians price compilation, not computation. 4096 entries
+      // keeps each distinct generated class compiled once per session;
+      // the same setting is the production posture for any multi-query
+      // service JVM (the cache is LRU-bounded either way).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       // Shuffle-scratch hygiene for long multi-query sessions: shuffle
       // files are only deleted when ContextCleaner GCs their stage
       // references, and the default periodic-GC interval (30 min) lets
@@ -147,6 +160,37 @@ object Bench {
     val cpusBy = scala.collection.mutable.Map.empty[String, List[Double]]
     val telBy = scala.collection.mutable.Map.empty[String, Map[String, Long]]
     val windowTotals = scala.collection.mutable.Buffer.empty[Double]
+    // Untimed warm-up window (round-19, guide §1.1/§1.4: measure the
+    // queries, not initialization). Even with the enlarged codegen
+    // cache, each generated class's FIRST executions run interpreted /
+    // C1 while HotSpot profiles them, so window totals decline
+    // monotonically (measured 168.0/128.1/91.5 s across three timed
+    // windows) and the per-query median prices JIT compilation, not
+    // the plan. One untimed pass executes every query once — compiling
+    // and profiling each cached class — so the timed windows agree
+    // (±10% stability target) and medians measure computation.
+    // clearCache() still runs before every timed execution, so no DATA
+    // computed here can leak into a timed window; fixture builds
+    // (StandingFixtures/Ivf) land here and stay attributed via their
+    // fixture.*_build_ms telemetry. Disable with
+    // SPARK_GRAFT_BENCH_WARM=0 to reproduce cold-window numbers.
+    val warmPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    if (warmPass) {
+      for ((name, fn) <- selected) {
+        spark.catalog.clearCache()
+        Telemetry.drain()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+        }
+        // keep ONLY the convergence/fixture counters (fixture builds
+        // happen here now — their build_ms attribution must survive);
+        // bench.* volume counters from the warm pass are discarded so
+        // the summed shuffle/spill volumes keep meaning "timed windows"
+        telBy(name) = mergeTel(telBy.getOrElse(name, Map.empty),
+          Telemetry.drain().filterNot(_._1.startsWith("bench.")))
+      }
+    }
     // per-execution telemetry merge: cumulative bench.* volume counters
     // SUM across windows (preserving the former "summed over all runs"
     // stage-metric semantics); operator convergence counters are
