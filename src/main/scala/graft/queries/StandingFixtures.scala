@@ -24,16 +24,19 @@ import org.apache.spark.sql.functions._
   * attributes it instead of burying it in whichever query ran first.
   *
   * SHARING CONTRACT for the advanced base (d31/d32/d39): an advance
-  * leaves its input index INTACT only on the full-rewrite path (the
-  * eviction case — this fixture's mod-64 split evicts at every
-  * driver-verified SF); the append/partial-rewrite paths extend the
-  * base tables in place. `advanceConsumed` therefore inspects every
-  * advance outcome and INVALIDATES the shared base the moment an
-  * advance appended to it or the advanced generation still references
-  * a base table — the next consumer rebuilds from scratch rather than
-  * advancing an already-advanced base. Correctness never depends on
-  * the memo: each consumer's result is pinned by its own oracle
-  * whichever path the fixture takes.
+  * leaves its input index INTACT only when it writes fresh
+  * generations (the preserveInput copy-on-write mode d31/d39 use);
+  * the append/partial-rewrite paths extend the base tables in place.
+  * The in-place consumer (d32) therefore advances a storage-level
+  * CLONE (`consumableBaseDocIndex` — file-copy snapshot, round-19)
+  * so the shared base stays pristine and is built exactly once per
+  * run; `advanceConsumed` remains the safety net for the preserved
+  * consumers — it inspects every advance outcome and INVALIDATES the
+  * shared base the moment an advance appended to it or the advanced
+  * generation still references a base table, so the next consumer
+  * rebuilds rather than advancing an already-advanced base.
+  * Correctness never depends on the memo: each consumer's result is
+  * pinned by its own oracle whichever path the fixture takes.
   */
 object StandingFixtures {
 
@@ -92,6 +95,23 @@ object StandingFixtures {
       PairIndex.keepLatest(s, "fx_base63_doc_index", idx)
       idx
     }
+
+  /** Storage-level CLONE of the shared 63/64 base for a consumer that
+    * advances IN PLACE (d32's append path) — round-19 optimization.
+    * Before this, d32's append consumed the shared base every run and
+    * the next consumer (d39, alphabetically) paid a full ~4.7 s
+    * rebuild in EVERY bench window; a file-copy snapshot of the
+    * bucketed index costs ~0.3 s, preserves bucket layout and
+    * TBLPROPERTIES (`PairIndex.cloneDocIndex`), and leaves the shared
+    * base pristine, so it is built exactly once per JVM run. The clone
+    * is the caller's to register under ITS keepLatest ring (the
+    * advance mutates it in place, so the advanced index IS the clone).
+    * This mirrors production: the append path is exercised against a
+    * storage snapshot, not against the live shared artifact. */
+  def consumableBaseDocIndex(s: SparkSession, dir: String): PairIndex.DocIndex = {
+    val base = baseDocIndex(s, dir)
+    timed("base63_clone")(PairIndex.cloneDocIndex(s, base))
+  }
 
   /** Post-advance bookkeeping for a shared-base consumer: registers
     * the advanced generation under the CONSUMER's keepLatest ring and

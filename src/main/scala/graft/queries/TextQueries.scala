@@ -1226,14 +1226,17 @@ object TextQueries {
     * exactly what it would detect) instead of silently drifting. */
   private def d32(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.PairIndex
-    // shared base fixture — see d31 for the sharing contract. d32
-    // deliberately does NOT pass preserveInput: the frozen daily path's
-    // whole identity is "batch-scale compute + four bucketed APPENDS",
-    // and this registration is the one that driver-gates the in-place
-    // append write path end-to-end — so its advance consumes the
-    // shared base (advanceConsumed detects the append and invalidates
-    // the fixture; the next consumer rebuilds a pristine one).
-    val base = StandingFixtures.baseDocIndex(s, dir)
+    // d32 deliberately does NOT pass preserveInput: the frozen daily
+    // path's whole identity is "batch-scale compute + four bucketed
+    // APPENDS", and this registration is the one that driver-gates the
+    // in-place append write path end-to-end. Round-19 optimization: the
+    // append runs against a storage-level CLONE of the shared base
+    // (file-copy snapshot, ~0.3 s) instead of consuming the shared
+    // fixture — previously the invalidation forced the next consumer
+    // (d39) into a full ~4.7 s index rebuild in every bench window.
+    // The advance itself is unchanged: same in-place append against a
+    // byte-identical index, same oracle pin.
+    val base = StandingFixtures.consumableBaseDocIndex(s, dir)
     val docs = Tables.documents(s, dir)
     // assertNoCapFlips (round-14, ADVICE): this query's oracle pin is
     // only valid when the mod-64 batch flips no shingle's cap status —
@@ -1243,7 +1246,9 @@ object TextQueries {
     val adv = PairIndex.advanceDocIndex(
       s, base, docs.filter(pmod(col("doc_id"), lit(64)) === 0), "doc_id", "text",
       frozenCaps = true, assertNoCapFlips = true)
-    StandingFixtures.advanceConsumed(s, dir, "d32", base, adv)
+    // the advanced index IS the clone (in-place append), owned by this
+    // consumer's ring — the shared fixture was never touched
+    PairIndex.keepLatest(s, "d32", adv.idx)
     PairIndex.curateFromIndex(s, adv.idx, "doc_id", "text")
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),

@@ -55,15 +55,22 @@ object DocsStreaming {
                      streamDir: java.nio.file.Path): Seq[java.nio.file.Path] = {
     require(chunks >= 2, "need at least 2 chunks for a multi-batch replay")
     val scratch = EventsStreaming.tempDirDeletedOnExit("graft_doc_chunks_stage")
+    // ONE partitioned write instead of one filter+write job per chunk
+    // (round-19, same change as stageEventChunks): the per-chunk loop
+    // re-executed the upstream pipeline (for q33 that is the 3-branch
+    // injection union) AND the global ntile sort once per chunk; a
+    // single-task dynamic-partition write evaluates both once and
+    // emits exactly one file per __chunk directory. Chunk contents are
+    // identical; partitionBy strips __chunk from the files like the
+    // old drop("__chunk").
     val chunked = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .withColumn("__chunk", ntile(chunks).over(Window.orderBy(col("doc_id"))))
+    val stage = scratch.resolve("all")
+    chunked.repartition(1).write.partitionBy("__chunk").parquet(stage.toString)
     (1 to chunks).map { i =>
-      val stage = scratch.resolve(s"c$i")
-      chunked.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.parquet(stage.toString)
       val part = {
-        val ls = java.nio.file.Files.list(stage)
+        val ls = java.nio.file.Files.list(stage.resolve(s"__chunk=$i"))
         try ls.filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
         finally ls.close()

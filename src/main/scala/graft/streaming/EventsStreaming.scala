@@ -67,6 +67,17 @@ object EventsStreaming {
     }
     graft.Telemetry.record(s"$prefix.batches",
       ps.count(_.numInputRows > 0))
+    // per-phase durations summed across micro-batches (round-19): the
+    // bounded streaming registrations are fixed-cost dominated, and
+    // these numbers say WHICH phase (planning, state commit, sink
+    // addBatch) carries that cost — the same attribution contract as
+    // pairindex.advance_ms_*
+    import scala.jdk.CollectionConverters._
+    ps.flatMap(_.durationMs.asScala)
+      .groupBy(_._1).foreach { case (k, vs) =>
+        graft.Telemetry.record(s"$prefix.dur_$k",
+          vs.map(_._2.longValue()).sum)
+      }
   }
 
   def tempDirDeletedOnExit(prefix: String): java.nio.file.Path = {
@@ -171,14 +182,21 @@ object EventsStreaming {
     val tsType = graft.sources.Tables.eventsTsNativeType(spark, dir)
     val schema = tsType.map(eventsNativeSchema).getOrElse(eventsRawSchema)
     val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
+    // ONE partitioned write instead of one filter+write job per chunk
+    // (round-19): the per-chunk loop re-executed the global ntile sort
+    // `chunks` times — 4 jobs, 4 sorts for 4 chunks. A single-task
+    // dynamic-partition write evaluates the sort once and emits exactly
+    // one file per __chunk directory (the writer starts a new file per
+    // partition value). Chunk contents are identical (same ntile rows);
+    // the partition column is stripped from the files by partitionBy,
+    // exactly like the old drop("__chunk").
     val chunked = spark.read.schema(schema).parquet(src.toString)
       .withColumn("__chunk", ntile(chunks).over(Window.orderBy(col("ts"))))
+    val stage = scratch.resolve("all")
+    chunked.repartition(1).write.partitionBy("__chunk").parquet(stage.toString)
     (1 to chunks).map { i =>
-      val stage = scratch.resolve(s"c$i")
-      chunked.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.parquet(stage.toString)
       val part = {
-        val ls = java.nio.file.Files.list(stage)
+        val ls = java.nio.file.Files.list(stage.resolve(s"__chunk=$i"))
         try ls.filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
         finally ls.close()

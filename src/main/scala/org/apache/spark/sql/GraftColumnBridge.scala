@@ -48,6 +48,27 @@ object GraftColumnBridge {
       case _ => ()
     }
 
+  /** Create `dst` as a catalog-metadata copy of managed table `src`
+    * (schema, bucket spec, format, table properties) at dst's own
+    * default managed location — the metadata half of a storage-level
+    * table clone (PairIndex.cloneDocIndex). One SessionCatalog call
+    * instead of CREATE LIKE + SHOW TBLPROPERTIES + ALTER + REFRESH
+    * round-trips through the SQL layer (each of which pays a full
+    * parse/analyze; measured as most of a 1.3 s clone of a 15 MB
+    * index). Stats are dropped: the clone's data files are copied
+    * after this call and any stale estimate must not outlive them. */
+  def cloneTableDefinition(spark: SparkSession, src: String, dst: String): Unit = {
+    val cat = spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+    val m = cat.getTableMetadata(catalyst.TableIdentifier(src))
+    cat.createTable(
+      m.copy(
+        identifier = catalyst.TableIdentifier(dst),
+        createTime = System.currentTimeMillis(),
+        storage = m.storage.copy(locationUri = None),
+        stats = None),
+      ignoreIfExists = false)
+  }
+
   /** Block until the async listener bus has dispatched every posted
     * event, or `timeoutMs` elapses. Returns true when the bus drained,
     * false on timeout. Bench uses this to attribute per-query stage

@@ -240,6 +240,63 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     PairIndex.dropDocIndex(spark, scratch)
   }
 
+  test("cloneDocIndex snapshots byte-identically and isolates in-place appends") {
+    // the round-19 suite optimization: d32's in-place append runs
+    // against a storage-level clone so the shared base fixture stays
+    // pristine. The clone must (a) equal the source row-for-row on all
+    // four tables, (b) carry the graft.* TBLPROPERTIES the advance
+    // reads its semantics from, (c) keep the bucket layout (consumer
+    // plans stay exchange-free), and (d) absorb an in-place append
+    // WITHOUT the source observing any change.
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",
+      3L -> "totally unrelated content sits here quietly")
+    val batch = docsDf(
+      101L -> "a b c d e f g y",
+      102L -> "m n o p q r s t",
+      103L -> "m n o p q r s u")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    val before = (Seq(idx.survivorsTable, idx.pairsTable)
+      ++ idx.postingsTable ++ idx.dfTable)
+      .map(t => t -> spark.table(t).collect().toSet).toMap
+    val clone = PairIndex.cloneDocIndex(spark, idx)
+    val cloneTabs = Seq(clone.survivorsTable, clone.pairsTable) ++
+      clone.postingsTable ++ clone.dfTable
+    assert(cloneTabs.toSet.intersect(before.keySet).isEmpty)
+    // (a) row-identical snapshot
+    (Seq(idx.survivorsTable -> clone.survivorsTable,
+      idx.pairsTable -> clone.pairsTable) ++
+      idx.postingsTable.zip(clone.postingsTable) ++
+      idx.dfTable.zip(clone.dfTable)).foreach { case (src, dst) =>
+      assert(spark.table(dst).collect().toSet === before(src),
+        s"clone $dst differs from $src")
+    }
+    // (b) advance semantics readable off the clone's pairs table
+    val props = spark.sql(s"SHOW TBLPROPERTIES `${clone.pairsTable}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.threshold").contains("0.6"))
+    assert(props.get("graft.numBuckets").contains("4"))
+    // (c)+(d) the in-place append advances the CLONE and the source
+    // stays byte-identical; the advanced clone equals a from-scratch
+    // materialization of corpus ∪ batch
+    val r = PairIndex.advanceDocIndex(spark, clone, batch, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity)
+    assert(r.appended && (r.idx === clone))
+    before.foreach { case (t, rows) =>
+      assert(spark.table(t).collect().toSet === rows,
+        s"append to clone mutated source table $t")
+    }
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, clone)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
   test("advanceDocIndex rescores old pairs when the batch pushes a shingle over the df-cap") {
     // cap 2: corpus pair (1,2) scores 3/5 = 0.6 via shared shingles
     // {p q r, q r s, r s t}; the batch doc re-uses "p q r", pushing its
