@@ -29,7 +29,11 @@ SPARK_GRAFT_VERIFY_ONLY=$R19Q \
 python3 tools/oracle_check.py /root/testdata/sf0.1 /tmp/vout_sf01_r19 2>&1 \
   | tee "$logdir/oracle_sf01_r19.log" | tail -3
 
-R19Q1=e14_lsh_recall_report,e10_semdedup_threshold,e11_semdedup_banded,c4_by_director,d28_pair_index_curation,d29_pair_index_clusters,d30_incremental_from_index,d31_pair_index_advance,d32_frozen_cap_advance,d39_guarded_advance,e04_ann_ivf,e13_cluster_sample
+# d32 excluded at sf1 BY DESIGN (unchanged from r13): the dup-heavy
+# GenScale fixture flips 468 shingle cap statuses, so the frozen-cap
+# assertNoCapFlips precondition correctly refuses — the loud failure
+# is the operator working as specified, not a pinnable row (NOTES:772)
+R19Q1=e14_lsh_recall_report,e10_semdedup_threshold,e11_semdedup_banded,c4_by_director,d28_pair_index_curation,d29_pair_index_clusters,d30_incremental_from_index,d31_pair_index_advance,d39_guarded_advance,e04_ann_ivf,e13_cluster_sample
 echo "== leg 2: sf1 standard =="
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_VERIFY_ONLY=$R19Q1 \
   sbt -batch "runMain graft.Verify /root/repo/benchdata/sf1 /tmp/vout_sf1_r19" 2>&1 \
