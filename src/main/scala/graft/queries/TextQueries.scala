@@ -1237,6 +1237,13 @@ object TextQueries {
     // The advance itself is unchanged: same in-place append against a
     // byte-identical index, same oracle pin.
     val base = StandingFixtures.consumableBaseDocIndex(s, dir)
+    // the clone enters this consumer's ring BEFORE the advance
+    // (round-20, ADVICE): if the advance throws (assertNoCapFlips on a
+    // dup-heavy fixture) or takes a rewrite path, an unregistered
+    // clone's four tables would belong to no ring and leak for the
+    // JVM's lifetime — keepLatest's live-set check keeps the
+    // append-path (adv.idx == clone) registration safe
+    PairIndex.keepLatest(s, "d32", base)
     val docs = Tables.documents(s, dir)
     // assertNoCapFlips (round-14, ADVICE): this query's oracle pin is
     // only valid when the mod-64 batch flips no shingle's cap status —
@@ -1246,9 +1253,10 @@ object TextQueries {
     val adv = PairIndex.advanceDocIndex(
       s, base, docs.filter(pmod(col("doc_id"), lit(64)) === 0), "doc_id", "text",
       frozenCaps = true, assertNoCapFlips = true)
-    // the advanced index IS the clone (in-place append), owned by this
-    // consumer's ring — the shared fixture was never touched
-    PairIndex.keepLatest(s, "d32", adv.idx)
+    // the advanced index IS the clone (in-place append), already in
+    // the ring above — register only a generation the advance wrote
+    // fresh (eviction/auto-compact outcomes)
+    if (adv.idx != base) PairIndex.keepLatest(s, "d32", adv.idx)
     PairIndex.curateFromIndex(s, adv.idx, "doc_id", "text")
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),

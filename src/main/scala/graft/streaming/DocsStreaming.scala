@@ -69,8 +69,15 @@ object DocsStreaming {
     val stage = scratch.resolve("all")
     chunked.repartition(1).write.partitionBy("__chunk").parquet(stage.toString)
     (1 to chunks).map { i =>
+      val chunkDir = stage.resolve(s"__chunk=$i")
+      // same empty-chunk guard as stageEventChunks (ADVICE round-19):
+      // rows < chunks leaves high ntile groups without a partition
+      // directory — fail attributably, not with NoSuchFileException
+      require(java.nio.file.Files.isDirectory(chunkDir),
+        s"stageDocChunks: chunk $i of $chunks is empty — the input has " +
+          "fewer rows than chunks; use fewer chunks or a larger input")
       val part = {
-        val ls = java.nio.file.Files.list(stage.resolve(s"__chunk=$i"))
+        val ls = java.nio.file.Files.list(chunkDir)
         try ls.filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
         finally ls.close()

@@ -195,8 +195,16 @@ object EventsStreaming {
     val stage = scratch.resolve("all")
     chunked.repartition(1).write.partitionBy("__chunk").parquet(stage.toString)
     (1 to chunks).map { i =>
+      val chunkDir = stage.resolve(s"__chunk=$i")
+      // an input with fewer rows than chunks leaves high ntile groups
+      // EMPTY — no partition directory is written, and the listing
+      // below would die with an anonymous NoSuchFileException (ADVICE
+      // round-19); fail attributably instead
+      require(java.nio.file.Files.isDirectory(chunkDir),
+        s"stageEventChunks: chunk $i of $chunks is empty — the input has " +
+          "fewer rows than chunks; use fewer chunks or a larger input")
       val part = {
-        val ls = java.nio.file.Files.list(stage.resolve(s"__chunk=$i"))
+        val ls = java.nio.file.Files.list(chunkDir)
         try ls.filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
         finally ls.close()

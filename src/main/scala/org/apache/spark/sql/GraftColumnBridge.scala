@@ -56,8 +56,16 @@ object GraftColumnBridge {
     * round-trips through the SQL layer (each of which pays a full
     * parse/analyze; measured as most of a 1.3 s clone of a 15 MB
     * index). Stats are dropped: the clone's data files are copied
-    * after this call and any stale estimate must not outlive them. */
-  def cloneTableDefinition(spark: SparkSession, src: String, dst: String): Unit = {
+    * after this call and any stale estimate must not outlive them.
+    *
+    * Returns the CATALOG-resolved (src location, dst location) so the
+    * data copy uses the real table paths: deriving them from the
+    * warehouse-dir string convention silently breaks under a
+    * non-default current database (the catalog places dst under
+    * <db>.db/ while the convention points at the warehouse root,
+    * yielding an empty clone) and under explicit table locations. */
+  def cloneTableDefinition(spark: SparkSession, src: String, dst: String):
+      (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = {
     val cat = spark.asInstanceOf[classic.SparkSession].sessionState.catalog
     val m = cat.getTableMetadata(catalyst.TableIdentifier(src))
     cat.createTable(
@@ -67,6 +75,9 @@ object GraftColumnBridge {
         storage = m.storage.copy(locationUri = None),
         stats = None),
       ignoreIfExists = false)
+    val d = cat.getTableMetadata(catalyst.TableIdentifier(dst))
+    (new org.apache.hadoop.fs.Path(m.location),
+      new org.apache.hadoop.fs.Path(d.location))
   }
 
   /** Block until the async listener bus has dispatched every posted

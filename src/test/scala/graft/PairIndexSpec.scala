@@ -240,6 +240,110 @@ class PairIndexSpec extends AnyFunSuite with SparkTestSession {
     PairIndex.dropDocIndex(spark, scratch)
   }
 
+  test("preserveInput pure-append advance is clone+append, not a copy-forward rewrite") {
+    // round-20 (VERDICT-19 item 1): a preserved advance with no
+    // evictions and no cap flips must take the APPEND write shape
+    // against a storage-level clone — O(batch) Spark compute plus one
+    // file copy — instead of redirecting to the full-rewrite branch's
+    // O(index) copy-forward. The phase telemetry is the contract: the
+    // clone phase plus the four append phases fire, and none of the
+    // rewrite phases do.
+    val corpus = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",
+      3L -> "totally unrelated content sits here quietly")
+    val batch = docsDf(
+      101L -> "a b c d e f g y",
+      102L -> "m n o p q r s t",
+      103L -> "m n o p q r s u")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    graft.Telemetry.drain()
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity, preserveInput = true)
+    val tel = graft.Telemetry.drain()
+    assert(tel.contains("pairindex.advance_ms_clone_index"))
+    Seq("append_pairs", "append_postings", "append_survivors", "append_df")
+      .foreach(p => assert(tel.contains(s"pairindex.advance_ms_$p"),
+        s"preserved pure-append advance skipped phase $p"))
+    tel.keys.filter(_.startsWith("pairindex.advance_ms_rewrite"))
+      .foreach(p => fail(s"preserved pure-append advance ran rewrite phase $p"))
+    assert(!r.appended && r.affectedOld === 0 && r.evicted === 0)
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+  }
+
+  test("preserveInput covers the cap-flip partial rewrite: input intact, row-identical") {
+    // the cap-flip fixture of the rescore test, under copy-on-write:
+    // the partial-rewrite shape (cloned survivors/postings/df + fresh
+    // pairs generation) must leave every input table byte-identical
+    // and still equal the from-scratch answer
+    val corpus = docsDf(
+      1L -> "p q r s t u",
+      2L -> "p q r s t v")
+    val batch = docsDf(101L -> "p q r z1 z2 z3")
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    val before = (Seq(idx.survivorsTable, idx.pairsTable)
+      ++ idx.postingsTable ++ idx.dfTable)
+      .map(t => t -> spark.table(t).collect().toSet).toMap
+    graft.Telemetry.drain()
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity, preserveInput = true)
+    val tel = graft.Telemetry.drain()
+    assert(!r.appended && r.affectedOld === 2 && r.evicted === 0)
+    // partial-rewrite shape: pairs rewritten fresh, the rest appended
+    // to clones — never the full-rewrite branch's survivor/posting
+    // copy-forward
+    assert(tel.contains("pairindex.advance_ms_clone_index"))
+    assert(tel.contains("pairindex.advance_ms_rewrite_pairs"))
+    assert(!tel.contains("pairindex.advance_ms_rewrite_survivors"))
+    assert(!tel.contains("pairindex.advance_ms_rewrite_postings"))
+    val resultTables = (Seq(r.idx.survivorsTable, r.idx.pairsTable)
+      ++ r.idx.postingsTable ++ r.idx.dfTable).toSet
+    assert(resultTables.intersect(before.keySet).isEmpty,
+      s"preserved cap-flip advance reuses input tables: " +
+        s"${resultTables.intersect(before.keySet)}")
+    before.foreach { case (t, rows) =>
+      assert(spark.table(t).collect().toSet === rows,
+        s"preserved cap-flip advance mutated input table $t")
+    }
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 2, numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
+  test("preserveInput covers the eviction full rewrite: input intact, row-identical") {
+    val corpus = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta",
+      11L -> "alpha beta gamma delta epsilon eta",
+      12L -> "completely different text lives in this row")
+    val batch = docsDf(5L -> "alpha beta gamma delta epsilon zeta") // == doc 10
+    val idx = PairIndex.materializeDocIndex(corpus, "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    val before = (Seq(idx.survivorsTable, idx.pairsTable)
+      ++ idx.postingsTable ++ idx.dfTable)
+      .map(t => t -> spark.table(t).collect().toSet).toMap
+    val r = PairIndex.advanceDocIndex(spark, idx, batch, "doc_id", "text",
+      economyGuard = Double.PositiveInfinity, preserveInput = true)
+    assert(!r.appended && r.evicted === 1 && r.newDocs === 1)
+    before.foreach { case (t, rows) =>
+      assert(spark.table(t).collect().toSet === rows,
+        s"preserved eviction advance mutated input table $t")
+    }
+    val scratch = PairIndex.materializeDocIndex(
+      corpus.unionByName(batch), "doc_id", "text",
+      numBuckets = 4, keepPostings = true)
+    assertTablesEqual(r.idx, scratch)
+    PairIndex.dropDocIndex(spark, idx)
+    PairIndex.dropDocIndex(spark, r.idx)
+    PairIndex.dropDocIndex(spark, scratch)
+  }
+
   test("cloneDocIndex snapshots byte-identically and isolates in-place appends") {
     // the round-19 suite optimization: d32's in-place append runs
     // against a storage-level clone so the shared base fixture stays
