@@ -445,25 +445,38 @@ object Dedup {
     require(p > 0, s"pairWidth must be positive: $p")
     // 1-based positions so the oracle's tokens[i] indexing mirrors
     // directly; md5 of the byte-span gram = md5 of the space-joined
-    // token form on the single-space-normalized corpus
+    // token form on the single-space-normalized corpus. The
+    // fingerprint is stored as 16-byte BINARY (unhex of the hex form),
+    // not the 32-byte hex string (round-20, guide §2.3 narrower
+    // types): f is the dominant column of the gram stream — the
+    // kernel's one corpus-scale shuffle — and it never reaches any
+    // output, so halving it halves the exchange and the posting
+    // aggregation state with bit-identical match semantics (same
+    // 128 bits).
     val grams = df
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextAnalysis.shinglesCol(col(textCol), k)).as(Seq("pos", "g")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        md5(col("g")).as("f"))
+        unhex(md5(col("g"))).as("f"))
     // ONE numbered repartition on the gram key serves the occurrence
-    // window, the cap filter AND the posting aggregation (the window
-    // requires hash(f); the aggregation's clustering key is the same f)
-    // — pinned pair width because this exchange feeds the pair
-    // explosion, whose fan-out AQE's map-byte coalescing cannot see.
-    // sort_array orders by (doc_id, pos), so the sliced pair explosion
-    // below yields doc_id1 <= doc_id2 positionally and the inequality
-    // filter leaves strictly cross-doc pairs.
-    val capped = grams
-      .repartition(p, col("f"))
-      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("f"))))
+    // aggregate, the cap filter AND the posting aggregation (all are
+    // clustered by the same f) — pinned pair width because this
+    // exchange feeds the pair explosion, whose fan-out AQE's map-byte
+    // coalescing cannot see. The occurrence cap runs as a bucket-local
+    // per-gram aggregate + semi join on the same partitioning
+    // (round-20, guide §1.2) instead of a window count — the window
+    // planned a SORT of the full gram stream; the aggregate is
+    // sort-free and AQE reuses the gram exchange between the two
+    // reads. sort_array orders by (doc_id, pos), so the sliced pair
+    // explosion below yields doc_id1 <= doc_id2 positionally and the
+    // inequality filter leaves strictly cross-doc pairs.
+    val widened = grams.repartition(p, col("f"))
+    val underCap = widened
+      .groupBy(col("f")).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") <= maxOcc)
-      .drop("__occ")
+      .select(col("f"))
+    val capped = widened
+      .join(underCap.hint("shuffle_hash"), Seq("f"), "left_semi")
     val postings = capped
       .groupBy(col("f"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("os"))
@@ -552,13 +565,13 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextAnalysis.shinglesCol(col(textCol), k)).as(Seq("pos", "g")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        md5(col("g")).as("f"), lit(side).as("__side"))
+        unhex(md5(col("g"))).as("f"), lit(side).as("__side"))
     val tagged = grams(probe, 1).unionByName(grams(corpus, 0))
     // probe gram keys recomputed from the small side (narrow scan, no
     // dependence on the big union Exchange)
     val probeKeys = probe
       .select(explode(TextAnalysis.shinglesCol(col(textCol), k)).as("g"))
-      .select(md5(col("g")).as("f")).distinct()
+      .select(unhex(md5(col("g"))).as("f")).distinct()
     // Gram-stream width note: the numbered repartition below is
     // DEFENSIVE — the optimizer pushes the semi join through both it
     // and the union (PushDownLeftSemiAntiJoin), plans one
@@ -576,12 +589,24 @@ object Dedup {
     // own pinned width. If a future Spark stops propagating union
     // partitioning, this repartition materializes and pins the width
     // instead — either plan is sound.
-    val capped = tagged
+    // Occurrence cap via a bucket-local per-gram aggregate + semi join
+    // instead of a window count (round-20, guide §1.2): the window
+    // planned as a SORT of the corpus-scale gram stream before the
+    // per-f count — the sweep's one full-stream sort — while the
+    // aggregate rides the hash(f) exchange sort-free, and the cap
+    // filter becomes a semi join against the (gram-scale) under-cap
+    // key set on the same partitioning. AQE reuses the gram exchange
+    // between the two reads, so the explode/md5 map side still runs
+    // once; rows kept are identical (the cap is per-gram).
+    val prunedGrams = tagged
       .repartition(p, col("f"))
       .join(probeKeys.hint("shuffle_hash"), Seq("f"), "left_semi")
-      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("f"))))
+    val underCapKeys = prunedGrams
+      .groupBy(col("f")).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") <= maxOcc)
-      .drop("__occ")
+      .select(col("f"))
+    val capped = prunedGrams
+      .join(underCapKeys.hint("shuffle_hash"), Seq("f"), "left_semi")
     val postings = capped
       .groupBy(col("f"))
       .agg(
@@ -630,26 +655,41 @@ object Dedup {
     def grams(df: DataFrame, side: Int): DataFrame = df
       .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.shinglesCol(col(textCol), k)).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("f"), lit(side).as("__side"))
+      .select(col("doc_id"), unhex(md5(col("g"))).as("f"), lit(side).as("__side"))
     val tagged = grams(probe, 1).unionByName(grams(corpus, 0))
     val probeKeys = probe
       .select(explode(TextAnalysis.shinglesCol(col(textCol), k)).as("g"))
-      .select(md5(col("g")).as("f")).distinct()
-    // prune-then-window exactly like the sweep: for a surviving gram
-    // the window count equals its full-universe occurrence count (the
-    // prune is per-gram), which is what the mirror recomputes
-    val occd = tagged
+      .select(unhex(md5(col("g"))).as("f")).distinct()
+    // prune exactly like the sweep; occurrence counts come from a
+    // bucket-local GROUP BY on the same hash(f) exchange. Round-20
+    // (guide §1.2 per-task work): the former shape — a window count
+    // over partition-by-f followed by one aggregate with THREE
+    // count_distincts — planned as Sort + Window + Expand(×4) over the
+    // corpus-scale gram stream, measured as 14.3 CPU-s at 32 threads
+    // vs 2.6 at 8 on a 12 MB stream (the stage is memory-bound, and
+    // ×4-expanded sort/window traffic is what it is bound ON). The
+    // per-gram aggregate needs no sort and no Expand; the three gram
+    // totals are one pass over the ~|grams| relation, and the probe-doc
+    // count re-reads the pruned stream against the (small) over-cap
+    // key set — AQE reuses the gram exchange, so the map side runs
+    // once.
+    val pruned = tagged
       .repartition(p, col("f"))
       .join(probeKeys.hint("shuffle_hash"), Seq("f"), "left_semi")
-      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("f"))))
-    occd.agg(
-      count_distinct(col("f")).as("grams_surviving_prune"),
-      count_distinct(when(col("__occ") > maxOcc, col("f")))
-        .as("grams_over_cap"),
-      sum(when(col("__occ") > maxOcc, 1L).otherwise(0L))
-        .as("occurrences_dropped"),
-      count_distinct(when(col("__occ") > maxOcc && col("__side") === 1,
-        col("doc_id"))).as("probe_docs_touched"))
+    val perF = pruned.groupBy(col("f")).agg(count(lit(1)).as("__occ"))
+    val gramTotals = perF.agg(
+      count(lit(1)).as("grams_surviving_prune"),
+      count(when(col("__occ") > maxOcc, lit(1))).as("grams_over_cap"),
+      sum(when(col("__occ") > maxOcc, col("__occ")).otherwise(0L))
+        .as("occurrences_dropped"))
+    val overCapKeys = perF.filter(col("__occ") > maxOcc).select(col("f"))
+    val probeDocs = pruned
+      .filter(col("__side") === 1)
+      .join(overCapKeys.hint("shuffle_hash"), Seq("f"), "left_semi")
+      .agg(count_distinct(col("doc_id")).as("probe_docs_touched"))
+    gramTotals.crossJoin(probeDocs)
+      .select(col("grams_surviving_prune"), col("grams_over_cap"),
+        col("occurrences_dropped"), col("probe_docs_touched"))
   }
 
   /** Span excision (d37, the back half of decontamination): given the
